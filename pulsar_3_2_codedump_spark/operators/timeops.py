@@ -1,0 +1,150 @@
+"""Time-based operators (SURVEY §2.F): delayed delivery, TTL, seek, last-id.
+
+Reference:
+  - Delayed delivery: ``deliver_at_time`` metadata (PulsarApi.proto:143); the
+    broker tracker holds (ledger, entry, deliverAt) in a priority queue and
+    releases due messages (pulsar-broker/.../delayed/
+    InMemoryDelayedDeliveryTracker.java:34,70,117; spillable variant
+    bucket/BucketDelayedDeliveryTracker.java).
+  - TTL/expiry: cursor advances past messages older than the TTL
+    (PersistentMessageExpiryMonitor.java:44,77).
+  - Seek by timestamp: binary search for first entry with publish_time ≥ ts
+    (PersistentMessageFinder.java:37,57; OpFindNewest.java).
+  - Last message id: GET_LAST_MESSAGE_ID (ServerCnx.java:2147).
+
+Spark re-expression: every one of these is a *predicate or aggregate over the
+envelope*, which Catalyst pushes into the parquet scan. Seek-by-timestamp is
+literally free at 100 TB: parquet min/max row-group stats prune the log the
+same way Pulsar's OpFindNewest binary-searches it. The streaming form of
+delayed delivery (event-time timers) lives in streaming/delayed.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.envelope import EVENTS_ENVELOPE_ORACLE, wrap_events
+from pulsar_3_2_codedump_spark.queries import query
+
+_ENV = f"WITH envelope AS ({EVENTS_ENVELOPE_ORACLE})"
+_AS_OF = "2024-01-15 00:00:00"
+
+
+def visible_as_of(env: DataFrame, as_of: str) -> DataFrame:
+    """Delayed-delivery visibility: a message is deliverable once
+    deliver_at ≤ as_of (deliver_at null ⇒ immediately visible)."""
+    ts = F.lit(as_of).cast("timestamp")
+    return env.filter((F.col("publish_time") <= ts) & (F.coalesce(F.col("deliver_at"), F.col("publish_time")) <= ts))
+
+
+@query(
+    "delayed_delivery_due",
+    section="2.F1",
+    doc="Batch oracle of the delayed-delivery tracker (InMemoryDelayedDeliveryTracker"
+    ".java:117 getScheduledMessages): messages visible at an as-of instant — "
+    "published, and deliver_at (if any) has elapsed.",
+    oracle=f"""
+        {_ENV}
+        SELECT partition, COUNT(*) AS n_visible, MAX(sequence_id) AS max_seq
+        FROM envelope
+        WHERE publish_time <= TIMESTAMP '{_AS_OF}'
+          AND COALESCE(deliver_at, publish_time) <= TIMESTAMP '{_AS_OF}'
+        GROUP BY partition
+    """,
+)
+def delayed_delivery_due(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = wrap_events(load(spark, sf_dir, "events"))
+    return (
+        visible_as_of(env, _AS_OF)
+        .groupBy("partition")
+        .agg(F.count(F.lit(1)).alias("n_visible"), F.max("sequence_id").alias("max_seq"))
+    )
+
+
+@query(
+    "ttl_expiry",
+    section="2.F3",
+    doc="TTL expiry (PersistentMessageExpiryMonitor.java:77): drop messages older "
+    "than ttl relative to the log's max publish_time; count survivors per partition.",
+    oracle=f"""
+        {_ENV}
+        SELECT partition, COUNT(*) AS n_live
+        FROM envelope
+        WHERE publish_time >= (SELECT MAX(publish_time) FROM envelope) - INTERVAL 7 DAY
+        GROUP BY partition
+    """,
+)
+def ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = wrap_events(load(spark, sf_dir, "events"))
+    horizon = env.agg((F.max("publish_time") - F.expr("INTERVAL 7 DAY")).alias("h"))
+    return (
+        env.join(F.broadcast(horizon))
+        .filter(F.col("publish_time") >= F.col("h"))
+        .groupBy("partition")
+        .agg(F.count(F.lit(1)).alias("n_live"))
+    )
+
+
+@query(
+    "seek_by_timestamp",
+    section="2.F5",
+    doc="seekAsync(timestamp) (ConsumerImpl.java:2203 / PersistentMessageFinder.java:57): "
+    "first offset per partition with publish_time ≥ ts, plus message count from there. "
+    "Parquet min/max stats make this the same binary search the broker does.",
+    oracle=f"""
+        {_ENV}
+        SELECT partition, MIN("offset") AS seek_offset, COUNT(*) AS n_from_seek
+        FROM envelope
+        WHERE publish_time >= TIMESTAMP '{_AS_OF}'
+        GROUP BY partition
+    """,
+)
+def seek_by_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = wrap_events(load(spark, sf_dir, "events"))
+    return (
+        env.filter(F.col("publish_time") >= F.lit(_AS_OF).cast("timestamp"))
+        .groupBy("partition")
+        .agg(F.min("offset").alias("seek_offset"), F.count(F.lit(1)).alias("n_from_seek"))
+    )
+
+
+@query(
+    "last_message_id",
+    section="2.F7",
+    doc="GET_LAST_MESSAGE_ID (ServerCnx.java:2147): max offset + its sequence per partition "
+    "— the bounded-read horizon Trigger.AvailableNow uses.",
+    oracle=f"""
+        {_ENV}
+        SELECT partition, MAX("offset") AS last_offset,
+               ARG_MAX(sequence_id, "offset") AS last_sequence_id
+        FROM envelope GROUP BY partition
+    """,
+)
+def last_message_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = wrap_events(load(spark, sf_dir, "events"))
+    return env.groupBy("partition").agg(
+        F.max("offset").alias("last_offset"),
+        F.max_by("sequence_id", "offset").alias("last_sequence_id"),
+    )
+
+
+@query(
+    "seek_reset_cursor",
+    section="2.F6",
+    doc="Seek / resetCursor to an absolute position (PersistentSubscription.java:694): "
+    "re-read everything from (partition, offset) ≥ the reset point.",
+    oracle=f"""
+        {_ENV}
+        SELECT partition, COUNT(*) AS n_replayed, MIN("offset") AS first_offset
+        FROM envelope WHERE "offset" >= 100
+        GROUP BY partition
+    """,
+)
+def seek_reset_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = wrap_events(load(spark, sf_dir, "events"))
+    return (
+        env.filter(F.col("offset") >= 100)
+        .groupBy("partition")
+        .agg(F.count(F.lit(1)).alias("n_replayed"), F.min("offset").alias("first_offset"))
+    )
