@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is fully executed (collect) so the number includes the whole plan,
+not just planning. A warmup pass on sf0.001 primes the JVM/codegen caches so
+we measure steady-state throughput, which is what matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pulsar_3_2_codedump_spark.queries import load_all
+from pulsar_3_2_codedump_spark.session import get_spark
+
+HEADLINE = [
+    # the Pulsar spine
+    "tableview_latest",
+    "compaction_tombstones",
+    "dedup_producer_sequence",
+    "delayed_delivery_due",
+    "key_shared_assignment",
+    "tumbling_window_counts",
+    "sliding_window_counts",
+    "session_window_gaps",
+    # relational
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "window_running_revenue",
+    "topk_orders",
+    # LLM pipeline
+    "exact_dedup",
+    "minhash_lsh_dedup",
+    "cosine_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warm_dir = "/root/testdata/sf0.001"
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    registry = load_all()
+    spark = get_spark("bench")
+
+    for name in HEADLINE:  # warmup: JIT/codegen/parquet footer caches
+        try:
+            registry[name].fn(spark, warm_dir).collect()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = len(registry[name].fn(spark, sf_dir).collect())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,363 @@
+"""The ``pulsarlike`` data source — the one real custom engine component
+(SURVEY §4 item 1, §7 M2).
+
+A topic (partitioned parquet segment log + manifest, see topic.py) exposed to
+Spark as a batch source, a streaming source with Kafka-style
+``(partition → offset)`` offsets, and a streaming sink with atomic, idempotent
+micro-batch commits.
+
+Reference mapping:
+  - Subscription = the streaming query's checkpoint: Structured Streaming
+    persists the offset dict per micro-batch exactly like a durable cursor's
+    markDeletePosition (ManagedCursorImpl.java:131); ``commit(end)`` is the
+    cumulative ack (ServerCnx.handleAck:1860).
+  - startingOffsets earliest|latest = SubscriptionInitialPosition.java:36-41.
+  - startingOffsets timestamp:<iso> = seek-by-timestamp
+    (PersistentMessageFinder.java:57): binary search per partition using
+    segment bounds, then an exact scan inside the boundary segment.
+  - maxRecordsPerTrigger = consumer flow control / receiver queue permits
+    (ServerCnx.handleFlow:1910, receiverQueueSize=1000) — bounds how far
+    latestOffset may advance per micro-batch.
+  - Sink offset stamping: segments written by the streaming sink store rows
+    in order and the manifest records the base offset; the reader computes
+    ``offset = base + row_position`` — exactly how BrokerEntryMetadata.index
+    is stamped broker-side at append (AppendIndexMetadataInterceptor.java),
+    not producer-side.
+  - Exactly-once: commit() is atomic (manifest replace) and idempotent
+    (replayed batchIds are skipped), the Spark-side equivalent of the
+    transaction buffer's all-or-nothing visibility
+    (TopicTransactionBuffer.java:258,301).
+
+Scale posture: read tasks are one per (topic-partition × offset-range) —
+the natural parallel unit; Arrow batches cross the Python boundary (no
+per-row serde); segment pruning happens before any file IO.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.pandas.types import to_arrow_schema
+from pyspark.sql.types import StructType
+
+from pulsar_3_2_codedump_spark.envelope import ENVELOPE_SCHEMA
+
+FORMAT_NAME = "pulsarlike"
+
+# envelope minus offset/partition (stamped at read from manifest base)
+_DATA_FIELDS = [f for f in ENVELOPE_SCHEMA.fields if f.name not in ("offset", "partition")]
+_DATA_SCHEMA = StructType(_DATA_FIELDS)
+
+
+def _arrow_schema() -> pa.Schema:
+    return to_arrow_schema(ENVELOPE_SCHEMA)
+
+
+def _read_manifest(path: str) -> dict:
+    with open(os.path.join(path, "manifest.json")) as f:
+        return json.load(f)
+
+
+def _write_manifest_atomic(path: str, manifest: dict) -> None:
+    tmp = os.path.join(path, f"manifest.json.tmp.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(path, "manifest.json"))
+
+
+def _end_offsets(manifest: dict) -> dict[str, int]:
+    out = {}
+    for p, segs in manifest["segments"].items():
+        out[p] = max((s["start"] + s["count"] for s in segs), default=0)
+    return out
+
+
+def _segment_batches(
+    topic_path: str, p: str, seg: dict, lo: int, hi: int
+) -> list[pa.RecordBatch]:
+    """Read one segment, slice to [lo, hi), stamp partition/offset columns."""
+    seg_path = os.path.join(topic_path, f"partition={p}", seg["path"])
+    table = pq.read_table(seg_path)
+    base = seg["start"]
+    if "offset" in table.column_names:
+        # batch-appended segment: offsets are materialized in the data
+        mask = pa.compute.and_(
+            pa.compute.greater_equal(table.column("offset"), lo),
+            pa.compute.less(table.column("offset"), hi),
+        )
+        table = table.filter(mask)
+        if table.num_rows == 0:
+            return []
+        offsets = table.column("offset").cast(pa.int64()).combine_chunks()
+        n_out = table.num_rows
+    else:
+        # stream-sink segment: rows are in append order; offset = base + position
+        n = table.num_rows
+        start_row = max(0, lo - base)
+        end_row = min(n, hi - base)
+        if start_row >= end_row:
+            return []
+        table = table.slice(start_row, end_row - start_row)
+        offsets = pa.array(range(base + start_row, base + end_row), type=pa.int64())
+        n_out = end_row - start_row
+    parts = pa.array([int(p)] * n_out, type=pa.int32())
+    cols, names = [], []
+    target = _arrow_schema()
+    for field in target:
+        if field.name == "offset":
+            cols.append(offsets)
+        elif field.name == "partition":
+            cols.append(parts)
+        elif field.name in table.column_names:
+            cols.append(table.column(field.name).cast(field.type).combine_chunks())
+        else:
+            cols.append(pa.nulls(n_out, type=field.type))
+        names.append(field.name)
+    out = pa.table(cols, names=names).cast(target)
+    return out.to_batches()
+
+
+def _seek_offset_for_timestamp(topic_path: str, p: str, segs: list[dict], ts_us: int) -> int:
+    """First offset with publish_time >= ts (PersistentMessageFinder.java:57):
+    prune by segment bounds, then exact scan of the boundary segment."""
+    import datetime as _dt
+
+    target = _dt.datetime.fromtimestamp(ts_us / 1e6, tz=_dt.timezone.utc).replace(tzinfo=None)
+    for seg in sorted(segs, key=lambda s: s["start"]):
+        seg_path = os.path.join(topic_path, f"partition={p}", seg["path"])
+        try:
+            tbl = pq.read_table(seg_path, columns=["publish_time", "offset"])
+            has_offset = True
+        except Exception:
+            tbl = pq.read_table(seg_path, columns=["publish_time"])
+            has_offset = False
+        pts = tbl.column("publish_time").cast(pa.timestamp("us")).combine_chunks().to_pylist()
+        if not pts:
+            continue
+        if has_offset:
+            offs = tbl.column("offset").to_pylist()
+            pairs = sorted(zip(offs, pts))
+        else:
+            pairs = list(enumerate(pts, start=seg["start"]))
+        for off, v in pairs:
+            if v is not None and v >= target:
+                return off
+    return max((s["start"] + s["count"] for s in segs), default=0)
+
+
+@dataclass
+class RangePartition(InputPartition):
+    partition: str
+    lo: int
+    hi: int
+
+
+class _SegmentScanMixin:
+    """Shared read logic: segment pruning + Arrow batch production."""
+
+    def __init__(self, options):
+        self.path = options.get("path") or options.get("topic")
+        if not self.path:
+            raise ValueError("pulsarlike requires option 'path' (topic directory)")
+        self.options = options
+
+    def _manifest(self) -> dict:
+        return _read_manifest(self.path)
+
+    def read(self, partition: RangePartition):
+        manifest = self._manifest()
+        p = partition.partition
+        for seg in sorted(manifest["segments"][p], key=lambda s: s["start"]):
+            if seg["start"] + seg["count"] <= partition.lo or seg["start"] >= partition.hi:
+                continue  # file-level pruning
+            yield from _segment_batches(self.path, p, seg, partition.lo, partition.hi)
+
+
+class PulsarLikeBatchReader(_SegmentScanMixin, DataSourceReader):
+    """Batch scan (Reader §2.A3): full log or offset-bounded via options."""
+
+    def partitions(self):
+        manifest = self._manifest()
+        ends = _end_offsets(manifest)
+        start = json.loads(self.options.get("startingoffsets_json", "{}") or "{}")
+        return [
+            RangePartition(p, int(start.get(p, 0)), end) for p, end in sorted(ends.items())
+        ]
+
+
+class PulsarLikeStreamReader(_SegmentScanMixin, DataSourceStreamReader):
+    """Streaming source with (partition → offset) offsets.
+
+    initialOffset honors startingOffsets = earliest | latest |
+    timestamp:<iso> | {"0": 123, ...}; latestOffset caps per-partition
+    advance at maxRecordsPerTrigger (flow control, §2.J2).
+    """
+
+    def initialOffset(self) -> dict:
+        manifest = self._manifest()
+        mode = (self.options.get("startingoffsets") or "earliest").strip()
+        if mode == "earliest":
+            return {p: 0 for p in manifest["segments"]}
+        if mode == "latest":
+            return _end_offsets(manifest)
+        if mode.startswith("timestamp:"):
+            import datetime as _dt
+
+            ts = _dt.datetime.fromisoformat(mode.split(":", 1)[1])
+            ts_us = int(ts.timestamp() * 1e6) if ts.tzinfo else int(
+                ts.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6
+            )
+            return {
+                p: _seek_offset_for_timestamp(self.path, p, segs, ts_us)
+                for p, segs in manifest["segments"].items()
+            }
+        return {str(k): int(v) for k, v in json.loads(mode).items()}
+
+    def latestOffset(self) -> dict:
+        manifest = self._manifest()
+        ends = _end_offsets(manifest)
+        max_rec = self.options.get("maxrecordspertrigger")
+        if max_rec:
+            cap = int(max_rec)
+            cur = getattr(self, "_last_end", None) or self.initialOffset()
+            ends = {p: min(e, cur.get(p, 0) + cap) for p, e in ends.items()}
+        self._last_end = ends
+        return ends
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            RangePartition(p, int(start.get(p, 0)), int(end[p]))
+            for p in sorted(end)
+            if int(end[p]) > int(start.get(p, 0))
+        ]
+
+    def commit(self, end: dict) -> None:
+        # cumulative ack — checkpoint already persisted by Spark; nothing to do
+        # (a broker would move markDeletePosition here)
+        pass
+
+
+@dataclass
+class SegmentCommit(WriterCommitMessage):
+    partition_counts: str  # json {partition: [staged_file, count]}
+
+
+class PulsarLikeStreamWriter(DataSourceStreamWriter):
+    """Streaming sink: executors stage parquet files; the driver commit
+    assigns base offsets and atomically replaces the manifest (idempotent
+    per batchId → exactly-once)."""
+
+    def __init__(self, options, schema):
+        self.path = options.get("path") or options.get("topic")
+        if not self.path:
+            raise ValueError("pulsarlike sink requires option 'path'")
+        self.options = options
+
+    def write(self, iterator) -> SegmentCommit:
+        from pyspark import TaskContext
+
+        manifest = _read_manifest(self.path)
+        n_part = manifest["n_partitions"]
+        tc = TaskContext.get()
+        task = f"{tc.partitionId()}-{uuid.uuid4().hex[:8]}" if tc else uuid.uuid4().hex[:8]
+        rows_by_part: dict[int, list] = {}
+        for row in iterator:
+            d = row.asDict(recursive=False)
+            p = d.get("partition")
+            if p is None:
+                key = d.get("key") or ""
+                p = hash(key) % n_part  # keyless → spread; keyed routing should pre-set partition
+            rows_by_part.setdefault(int(p), []).append(d)
+
+        staged: dict[int, list] = {}
+        stage_dir = os.path.join(self.path, "_stream_staging")
+        os.makedirs(stage_dir, exist_ok=True)
+        data_schema = to_arrow_schema(_DATA_SCHEMA)
+        for p, rows in rows_by_part.items():
+            arrays = []
+            for field in _DATA_FIELDS:
+                vals = [r.get(field.name) for r in rows]
+                arrays.append(pa.array(vals, type=data_schema.field(field.name).type))
+            tbl = pa.table(arrays, names=[f.name for f in _DATA_FIELDS])
+            fname = f"stage-{task}-p{p}.parquet"
+            pq.write_table(tbl, os.path.join(stage_dir, fname))
+            staged[p] = [fname, len(rows)]
+        return SegmentCommit(partition_counts=json.dumps(staged))
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        manifest = _read_manifest(self.path)
+        done = manifest.setdefault("committed_stream_batches", [])
+        if batchId in done:
+            # replayed micro-batch after restart — idempotent skip
+            self._cleanup(messages)
+            return
+        ends = _end_offsets(manifest)
+        stage_dir = os.path.join(self.path, "_stream_staging")
+        for msg in messages:
+            if msg is None:
+                continue
+            for p_str, (fname, count) in sorted(json.loads(msg.partition_counts).items()):
+                p = int(p_str)
+                base = ends.get(str(p), ends.get(p, 0))
+                seg_name = f"seg-{base:020d}-{count}"
+                pdir = os.path.join(self.path, f"partition={p}")
+                os.makedirs(pdir, exist_ok=True)
+                shutil.move(os.path.join(stage_dir, fname), os.path.join(pdir, seg_name))
+                manifest["segments"].setdefault(str(p), []).append(
+                    {"start": int(base), "count": int(count), "path": seg_name}
+                )
+                ends[str(p)] = base + count
+        done.append(batchId)
+        _write_manifest_atomic(self.path, manifest)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._cleanup(messages)
+
+    def _cleanup(self, messages) -> None:
+        stage_dir = os.path.join(self.path, "_stream_staging")
+        for msg in messages or []:
+            if msg is None:
+                continue
+            for _p, (fname, _c) in json.loads(msg.partition_counts).items():
+                try:
+                    os.remove(os.path.join(stage_dir, fname))
+                except OSError:
+                    pass
+
+
+class PulsarLikeDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        return ENVELOPE_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return PulsarLikeBatchReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return PulsarLikeStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return PulsarLikeStreamWriter(self.options, schema)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(PulsarLikeDataSource)

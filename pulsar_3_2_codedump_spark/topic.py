@@ -1,0 +1,241 @@
+"""Topic storage: a topic is a partitioned directory of parquet segments
+plus a JSON manifest (SURVEY §1, §3.1).
+
+Reference mapping:
+  - Topic / partition: persistent://tenant/ns/topic with N independent
+    sub-logs (PersistentTopic.java:523 — publish appends to a managed ledger).
+    Here: ``<root>/<topic>/partition=<p>/seg-<start>-<count>.parquet``.
+  - Ledger (BookKeeper segment, rolled and trimmed,
+    ManagedLedgerImpl.java:1794,2598): one parquet segment file. Retention /
+    trim = dropping segments from the manifest then deleting files.
+  - BrokerEntryMetadata.index (PulsarApi.proto:191): the monotonic
+    per-partition ``offset`` column, assigned at append time from the
+    manifest's per-partition high-water mark.
+  - Transaction buffer visibility (TopicTransactionBuffer.java:258):
+    segments are staged as files FIRST, then the manifest is atomically
+    replaced (write-temp + os.replace) — a reader never sees a half-appended
+    batch, which is exactly-once for the batch sink and the streaming sink's
+    idempotent micro-batch commit.
+  - Message dedup (MessageDeduplication.java:325): append() drops rows whose
+    (producer_name, sequence_id) is ≤ the stored per-producer high-water
+    mark, then advances the marks in the same manifest commit.
+
+Scale posture: the manifest holds only segment-level metadata (start/count
+per segment + per-producer seq marks), never row data — listing stays O(#segments).
+Readers prune segments by offset range before touching parquet, and parquet
+row-group stats prune inside. On a real deployment root can be an object
+store path; atomic-rename becomes a conditional-put of the manifest object.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from pulsar_3_2_codedump_spark.envelope import ENVELOPE_SCHEMA
+
+MANIFEST = "manifest.json"
+
+
+def _manifest_path(topic_path: str) -> str:
+    return os.path.join(topic_path, MANIFEST)
+
+
+def read_manifest(topic_path: str) -> dict:
+    with open(_manifest_path(topic_path)) as f:
+        return json.load(f)
+
+
+def _write_manifest_atomic(topic_path: str, manifest: dict) -> None:
+    tmp = _manifest_path(topic_path) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(topic_path))  # atomic commit point
+
+
+def create_topic(root: str, name: str, n_partitions: int = 4) -> str:
+    topic_path = os.path.join(root, name)
+    os.makedirs(topic_path, exist_ok=True)
+    for p in range(n_partitions):
+        os.makedirs(os.path.join(topic_path, f"partition={p}"), exist_ok=True)
+    _write_manifest_atomic(
+        topic_path,
+        {
+            "name": name,
+            "n_partitions": n_partitions,
+            "segments": {str(p): [] for p in range(n_partitions)},
+            # per-producer dedup high-water marks (MessageDeduplication analogue)
+            "producer_seq": {},
+            "compaction_horizon": {str(p): -1 for p in range(n_partitions)},
+        },
+    )
+    return topic_path
+
+
+def end_offsets(manifest: dict) -> dict[int, int]:
+    """Exclusive end offset per partition (== next offset to assign)."""
+    out = {}
+    for p, segs in manifest["segments"].items():
+        out[int(p)] = max((s["start"] + s["count"] for s in segs), default=0)
+    return out
+
+
+def append(
+    spark: SparkSession,
+    df: DataFrame,
+    topic_path: str,
+    dedup: bool = True,
+) -> dict[int, int]:
+    """Append envelope rows to the topic: route → assign offsets → write
+    segments → atomically commit the manifest. Returns new end offsets.
+
+    ``df`` must carry the envelope columns except offset (which is assigned
+    here); ``partition`` may be pre-set or is derived from the key hash.
+    """
+    manifest = read_manifest(topic_path)
+    n_part = manifest["n_partitions"]
+    ends = end_offsets(manifest)
+
+    cols = [f.name for f in ENVELOPE_SCHEMA.fields]
+    if "partition" not in df.columns:
+        df = df.withColumn(
+            "partition", F.pmod(F.xxhash64(F.col("key")), F.lit(n_part)).cast("int")
+        )
+
+    if dedup and manifest["producer_seq"]:
+        marks = [(p, int(s)) for p, s in manifest["producer_seq"].items()]
+        marks_df = F.broadcast(
+            spark.createDataFrame(marks, "producer_name string, __hwm long")
+        )
+        df = (
+            df.join(marks_df, "producer_name", "left")
+            .filter(F.col("__hwm").isNull() | (F.col("sequence_id") > F.col("__hwm")))
+            .drop("__hwm")
+        )
+
+    # also dedup inside the batch itself (a retry may land in the same batch)
+    if dedup:
+        df = df.dropDuplicates(["producer_name", "sequence_id"])
+
+    # monotonic offsets: current end + dense rank of arrival within partition;
+    # arrival order = publish_time (a real log is publish-ordered — this is what
+    # makes seek-by-timestamp a prefix search, PersistentMessageFinder.java:57)
+    w = W.partitionBy("partition").orderBy("publish_time", "producer_name", "sequence_id")
+    ends_df = F.broadcast(
+        spark.createDataFrame(list(ends.items()), "partition int, __end long")
+    )
+    staged = (
+        df.join(ends_df, "partition", "left")
+        .withColumn("offset", F.row_number().over(w).cast("long") - 1 + F.coalesce("__end", F.lit(0)))
+        .drop("__end")
+        .select(*cols)
+    )
+
+    # stage files: one new segment per partition, named by start offset
+    batch_id = uuid.uuid4().hex[:12]
+    stage_dir = os.path.join(topic_path, f"_staging_{batch_id}")
+    staged.write.mode("overwrite").partitionBy("partition").parquet(stage_dir)
+
+    # gather per-partition stats for the manifest from the staged files
+    stats = (
+        spark.read.schema(ENVELOPE_SCHEMA).parquet(stage_dir)
+        .groupBy("partition")
+        .agg(
+            F.min("offset").alias("start"),
+            F.count(F.lit(1)).alias("count"),
+            F.max("publish_time").alias("max_pt"),
+        )
+        .collect()
+    )
+    new_marks = {
+        r["producer_name"]: r["hwm"]
+        for r in staged.groupBy("producer_name").agg(F.max("sequence_id").alias("hwm")).collect()
+        if r["producer_name"] is not None
+    }
+
+    # move staged partition dirs into place as committed segments
+    import shutil
+
+    for row in stats:
+        p, start, count = row["partition"], row["start"], row["count"]
+        seg_name = f"seg-{start:020d}-{count}"
+        src = os.path.join(stage_dir, f"partition={p}")
+        dst = os.path.join(topic_path, f"partition={p}", seg_name)
+        shutil.move(src, dst)
+        manifest["segments"][str(p)].append(
+            {"start": int(start), "count": int(count), "path": seg_name}
+        )
+    shutil.rmtree(stage_dir, ignore_errors=True)
+
+    for prod, hwm in new_marks.items():
+        prev = int(manifest["producer_seq"].get(prod, -1))
+        manifest["producer_seq"][prod] = max(prev, int(hwm))
+
+    _write_manifest_atomic(topic_path, manifest)  # the commit point
+    return end_offsets(manifest)
+
+
+def read_topic(
+    spark: SparkSession,
+    topic_path: str,
+    start_offsets: dict[int, int] | None = None,
+    end: dict[int, int] | None = None,
+) -> DataFrame:
+    """Batch scan of committed segments (the Reader, §2.A3): only segments
+    overlapping [start, end) are listed — file-level pruning before parquet
+    row-group pruning."""
+    manifest = read_manifest(topic_path)
+    paths = []
+    for p, segs in manifest["segments"].items():
+        lo = (start_offsets or {}).get(int(p), 0)
+        hi = (end or {}).get(int(p))
+        for s in segs:
+            if s["start"] + s["count"] <= lo:
+                continue
+            if hi is not None and s["start"] >= hi:
+                continue
+            paths.append(os.path.join(topic_path, f"partition={p}", s["path"]))
+    if not paths:
+        return spark.createDataFrame([], ENVELOPE_SCHEMA)
+    df = spark.read.schema(ENVELOPE_SCHEMA).option("basePath", topic_path).parquet(*paths)
+    if start_offsets:
+        lo_df = F.broadcast(
+            spark.createDataFrame(list(start_offsets.items()), "partition int, __lo long")
+        )
+        df = df.join(lo_df, "partition", "left").filter(
+            F.col("__lo").isNull() | (F.col("offset") >= F.col("__lo"))
+        ).drop("__lo")
+    if end:
+        hi_df = F.broadcast(
+            spark.createDataFrame(list(end.items()), "partition int, __hi long")
+        )
+        df = df.join(hi_df, "partition", "left").filter(
+            F.col("__hi").isNull() | (F.col("offset") < F.col("__hi"))
+        ).drop("__hi")
+    return df
+
+
+def trim_retention(spark: SparkSession, topic_path: str, min_offset: dict[int, int]) -> int:
+    """Retention trim (§2.F4, internalTrimLedgers): drop whole segments fully
+    below the per-partition min retained offset. Returns #segments dropped."""
+    import shutil
+
+    manifest = read_manifest(topic_path)
+    dropped = 0
+    for p, segs in manifest["segments"].items():
+        keep = []
+        for s in segs:
+            if s["start"] + s["count"] <= min_offset.get(int(p), 0):
+                shutil.rmtree(
+                    os.path.join(topic_path, f"partition={p}", s["path"]), ignore_errors=True
+                )
+                dropped += 1
+            else:
+                keep.append(s)
+        manifest["segments"][p] = keep
+    _write_manifest_atomic(topic_path, manifest)
+    return dropped

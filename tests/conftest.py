@@ -1,0 +1,24 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pulsar_3_2_codedump_spark.session import get_spark
+    from pulsar_3_2_codedump_spark.sources import register
+
+    s = get_spark("tests", cpus=8)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    register(s)
+    yield s
+
+
+@pytest.fixture()
+def tmp_root(tmp_path):
+    return str(tmp_path)

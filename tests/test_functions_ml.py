@@ -1,0 +1,93 @@
+"""LLM-pipeline operators: dedup family, similarity, text, multimodal (§2.N)."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F, types as Ty
+
+from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.functions.dedup_ml import (
+    base_hashes,
+    minhash_signature,
+    shingles,
+)
+from pulsar_3_2_codedump_spark.functions.multimodal import (
+    MediaDecodeUnavailable,
+    as_media_table,
+    decode_image,
+    extract_features,
+)
+from pulsar_3_2_codedump_spark.functions.similarity import cosine, sign_lsh_bucket
+from tests.conftest import SF_DIR
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "a completely different sentence with other words entirely")],
+        "doc_id long, text string",
+    )
+    sh = df.select("doc_id", shingles(F.col("text")).alias("sh"))
+    sig = sh.withColumn("hs", base_hashes(F.col("sh"))).select(
+        "doc_id", *minhash_signature(F.col("hs"))
+    )
+    rows = {r["doc_id"]: tuple(r[f"h{j}"] for j in range(8)) for r in sig.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_minhash_near_dup_mostly_agrees(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"  # 1 word differs
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    sh = df.select("doc_id", shingles(F.col("text")).alias("sh"))
+    sig = sh.withColumn("hs", base_hashes(F.col("sh"))).select(
+        "doc_id", *minhash_signature(F.col("hs"))
+    )
+    rows = {r["doc_id"]: [r[f"h{j}"] for j in range(8)] for r in sig.collect()}
+    agree = sum(1 for x, y in zip(rows[1], rows[2]) if x == y)
+    assert agree >= 4  # jaccard = 6/10 shingles → expect most hashes equal
+
+
+def test_cosine_exact_on_known_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [0.0, 1.0]), (2, [1.0, 1.0], [1.0, 1.0]), (3, [2.0, 0.0], [1.0, 0.0])],
+        "id long, a array<float>, b array<float>",
+    )
+    out = {r["id"]: r["c"] for r in df.select("id", cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert abs(out[1] - 0.0) < 1e-12
+    assert abs(out[2] - 1.0) < 1e-12
+    assert abs(out[3] - 1.0) < 1e-12
+
+
+def test_sign_lsh_bucket_range(spark):
+    emb = load(spark, SF_DIR, "embeddings")
+    buckets = emb.select(sign_lsh_bucket(F.col("embedding")).alias("b"))
+    mn, mx = buckets.agg(F.min("b"), F.max("b")).collect()[0]
+    assert 0 <= mn and mx <= 255
+
+
+def test_multimodal_feature_kernel_deterministic(spark):
+    media = as_media_table(load(spark, SF_DIR, "documents")).limit(20)
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    docs = {r["doc_id"]: r["text"] for r in load(spark, SF_DIR, "documents").limit(20).collect()}
+    for mid, row in feats.items():
+        raw = docs[mid].encode()
+        assert row["n_bytes"] == len(raw)
+        assert math.isclose(row["byte_mean"], sum(raw) / len(raw), rel_tol=1e-9)
+        assert list(row["feature"])[0] == float(len(raw) % 256)
+
+
+def test_multimodal_real_decode_is_gated():
+    with pytest.raises(MediaDecodeUnavailable):
+        decode_image(b"\x89PNG")
+
+
+def test_media_metadata_prunes_blob(spark):
+    """Metadata aggregates must not scan the blob column (column pruning)."""
+    media = as_media_table(load(spark, SF_DIR, "documents"))
+    agg = media.groupBy(F.col("meta.format")).agg(F.sum("meta.n_bytes"))
+    plan = agg._jdf.queryExecution().optimizedPlan().toString()
+    assert "blob" not in plan.split("Aggregate")[0]  # blob pruned before agg

@@ -1,0 +1,118 @@
+"""Batch operator semantics spot-checks (the full oracle parity run lives in
+tools/verify_local.py; these pin the SEMANTICS, not just oracle agreement)."""
+
+from pyspark.sql import functions as F
+
+from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.envelope import wrap_events
+from pulsar_3_2_codedump_spark.operators.compaction import (
+    compact,
+    latest_per_key,
+    strategic_compact,
+)
+from pulsar_3_2_codedump_spark.operators.dedup import dedup_exact, dedup_highest_sequence
+from pulsar_3_2_codedump_spark.operators.routing import key_shared_bucket, route_by_key
+from pulsar_3_2_codedump_spark.operators.timeops import visible_as_of
+from tests.conftest import SF_DIR
+
+
+def _env(spark):
+    return wrap_events(load(spark, SF_DIR, "events"))
+
+
+def test_envelope_offsets_dense_per_partition(spark):
+    env = _env(spark)
+    for r in env.groupBy("partition").agg(
+        F.min("offset").alias("lo"), F.max("offset").alias("hi"), F.count("*").alias("n")
+    ).collect():
+        assert r["lo"] == 0 and r["hi"] == r["n"] - 1
+
+
+def test_tableview_one_row_per_key_latest_offset(spark):
+    env = _env(spark)
+    tv = latest_per_key(env)
+    assert tv.count() == env.select("key").distinct().count()
+    # each key's row carries that key's max (partition, offset)
+    joined = tv.alias("t").join(env.alias("e"), "key").filter(
+        (F.col("e.partition") == F.col("t.partition")) & (F.col("e.offset") > F.col("t.offset"))
+    )
+    assert joined.count() == 0
+
+
+def test_compaction_drops_keys_whose_latest_is_tombstone(spark):
+    env = _env(spark)
+    kept = compact(env, tombstone=F.col("properties")["event_type"] == "error")
+    # no kept row is a tombstone
+    assert kept.filter(F.col("properties")["event_type"] == "error").count() == 0
+    # and keys are a subset of all keys
+    assert kept.count() <= env.select("key").distinct().count()
+
+
+def test_strategic_compaction_picks_max_rank(spark):
+    env = _env(spark).withColumn("rank_expr", F.col("sequence_id").cast("double"))
+    out = strategic_compact(env, F.col("rank_expr"), ["sequence_id"])
+    # keep-rule = max sequence_id per key
+    expected = env.groupBy("key").agg(F.max("sequence_id").alias("sequence_id"))
+    diff = out.select("key", "sequence_id").exceptAll(expected)
+    assert diff.count() == 0
+
+
+def test_dedup_exact_collapses_replays(spark):
+    env = _env(spark)
+    replayed = env.unionByName(env.filter(F.col("sequence_id") % 3 == 0))
+    assert dedup_exact(replayed).count() == env.count()
+    hwm = dedup_highest_sequence(env)
+    assert hwm.count() == 4  # producers
+
+
+def test_visible_as_of_excludes_pending_delays(spark):
+    env = _env(spark)
+    # pick an instant strictly inside some message's delay window so at least
+    # one message is published-but-held (delays are ≤490s, so a fixed date
+    # rarely catches one at small SF)
+    import datetime as dt
+
+    probe = (
+        env.filter(F.col("deliver_at") > F.col("publish_time") + F.expr("INTERVAL 10 SECONDS"))
+        .select("publish_time")
+        .first()
+    )
+    as_of = (probe["publish_time"] + dt.timedelta(seconds=2)).strftime("%Y-%m-%d %H:%M:%S")
+    vis = visible_as_of(env, as_of)
+    # nothing published later is visible
+    assert vis.filter(F.col("publish_time") > F.lit(as_of).cast("timestamp")).count() == 0
+    # nothing still delayed is visible
+    assert vis.filter(F.col("deliver_at") > F.lit(as_of).cast("timestamp")).count() == 0
+    # but some delayed messages published before as_of are excluded
+    held = env.filter(
+        (F.col("publish_time") <= F.lit(as_of).cast("timestamp"))
+        & (F.col("deliver_at") > F.lit(as_of).cast("timestamp"))
+    )
+    assert held.count() > 0
+    assert vis.count() + held.count() == env.filter(
+        F.col("publish_time") <= F.lit(as_of).cast("timestamp")
+    ).count()
+
+
+def test_key_shared_bucket_stable_and_total(spark):
+    env = _env(spark)
+    assigned = env.withColumn("consumer", key_shared_bucket(F.col("key"), 4))
+    # every message lands on exactly one consumer 0..3
+    mn, mx = assigned.agg(F.min("consumer"), F.max("consumer")).collect()[0]
+    assert 0 <= mn and mx <= 3
+    # a key maps to exactly one consumer (per-key ordering preservable)
+    multi = assigned.groupBy("key").agg(F.countDistinct("consumer").alias("nc")).filter("nc > 1")
+    assert multi.count() == 0
+
+
+def test_route_by_key_colocates_keys(spark):
+    env = _env(spark)
+    routed = route_by_key(env, 8)
+    pid = F.spark_partition_id()
+    spread = (
+        routed.withColumn("pid", pid)
+        .groupBy("key")
+        .agg(F.countDistinct("pid").alias("np"))
+        .filter("np > 1")
+    )
+    assert spread.count() == 0

@@ -1,0 +1,166 @@
+"""Stateful streaming operators: delayed delivery, count windows, counters,
+function adapters (§2.F1, §2.G2, §2.H1, §2.I1)."""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F, types as Ty
+
+from pulsar_3_2_codedump_spark import topic as T
+from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.envelope import wrap_events
+from pulsar_3_2_codedump_spark.streaming.delayed import delayed_delivery
+from pulsar_3_2_codedump_spark.streaming.function_runtime import (
+    WindowConfig,
+    count_window_function,
+    keyed_counter,
+    pulsar_function,
+    window_function,
+)
+from tests.conftest import SF_DIR
+
+
+def _events_topic(spark, root, limit=300):
+    tp = T.create_topic(root, "ev", n_partitions=2)
+    env = (
+        wrap_events(load(spark, SF_DIR, "events"))
+        .filter(F.col("sequence_id") < limit)
+        .drop("partition", "offset")
+    )
+    T.append(spark, env, tp)
+    return tp
+
+
+def test_delayed_delivery_releases_due_messages(spark, tmp_root):
+    """Replay the topic twice (same checkpoint): run 1 buffers everything
+    (watermark starts at 0); run 2's watermark = run 1's max publish_time,
+    so every message whose deliver_at ≤ that watermark is released — the
+    batch visibility predicate of operators/timeops.delayed_delivery_due."""
+    tp = _events_topic(spark, tmp_root)
+    src = spark.readStream.format("pulsarlike").option("path", tp).load()
+    released = delayed_delivery(src)
+
+    collected: list = []
+
+    def grab(batch, _bid):
+        collected.extend(batch.collect())
+
+    def run_once():
+        q = (
+            released.writeStream.foreachBatch(grab)
+            .outputMode("append")
+            .option("checkpointLocation", tmp_root + "/ck_delay")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()  # batch 0: watermark starts at 0 → everything buffers
+    assert collected == []
+    # the log grows (tail append) → next batch runs with batch-0's watermark
+    all_env = wrap_events(load(spark, SF_DIR, "events")).drop("partition", "offset")
+    T.append(spark, all_env.filter(F.col("sequence_id").between(300, 399)), tp)
+    run_once()  # batch 1: watermark = max(publish_time of first 300) → release
+
+    assert len(collected) > 0
+    first = wrap_events(load(spark, SF_DIR, "events")).filter(F.col("sequence_id") < 300)
+    wm = first.agg(F.max("publish_time")).collect()[0][0]
+    due = first.filter(F.coalesce(F.col("deliver_at"), F.col("publish_time")) <= F.lit(wm))
+    due_seqs = {r["sequence_id"] for r in due.select("sequence_id").collect()}
+    rel_seqs = {r["sequence_id"] for r in collected}
+    # batch-1 releases are exactly the first-300 messages due at that watermark
+    assert rel_seqs <= due_seqs
+    assert len(rel_seqs) >= len(due_seqs) - 5  # tail-of-watermark slack
+    # and every released row's deliver_at had truly elapsed
+    for r in collected:
+        assert r["deliver_at"] <= r["released_at_watermark"]
+
+
+def test_count_window_matches_batch_oracle(spark, tmp_root):
+    """Streaming count windows == batch floor(rank/N) oracle (§2.G2)."""
+    tp = _events_topic(spark, tmp_root, limit=400)
+    src = spark.readStream.format("pulsarlike").option("path", tp).load()
+    wins = count_window_function(src, n=50, key_col="producer_name", seq_col="sequence_id")
+    q = (
+        wins.writeStream.format("memory").queryName("cw").outputMode("append")
+        .option("checkpointLocation", tmp_root + "/ck_cw")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {(r["key"], r["win_id"]): (r["n"], r["first_seq"], r["last_seq"])
+           for r in spark.sql("select * from cw").collect()}
+    # batch oracle over the same rows
+    env = wrap_events(load(spark, SF_DIR, "events")).filter(F.col("sequence_id") < 400)
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("producer_name").orderBy("sequence_id")
+    oracle = (
+        env.withColumn("rn", F.row_number().over(w))
+        .withColumn("win_id", F.floor((F.col("rn") - 1) / 50))
+        .groupBy("producer_name", "win_id")
+        .agg(F.count("*").alias("n"), F.min("sequence_id").alias("lo"), F.max("sequence_id").alias("hi"))
+        .filter(F.col("n") == 50)  # streaming only emits FULL windows
+    )
+    expected = {(r["producer_name"], r["win_id"]): (r["n"], r["lo"], r["hi"]) for r in oracle.collect()}
+    assert got == expected
+
+
+def test_keyed_counter_accumulates(spark, tmp_root):
+    tp = _events_topic(spark, tmp_root, limit=200)
+    src = spark.readStream.format("pulsarlike").option("path", tp).load()
+    q = (
+        keyed_counter(src, "producer_name")
+        .writeStream.format("memory").queryName("ctr").outputMode("append")
+        .option("checkpointLocation", tmp_root + "/ck_ctr")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {r["key"]: r["count"] for r in spark.sql("select * from ctr").collect()}
+    env = wrap_events(load(spark, SF_DIR, "events")).filter(F.col("sequence_id") < 200)
+    expected = {r["producer_name"]: r["n"] for r in env.groupBy("producer_name").agg(F.count("*").alias("n")).collect()}
+    assert got == expected
+
+
+def test_pulsar_function_adapter_filters_nulls(spark):
+    """Function<X,T>: null return filters the message (Function.java:40)."""
+    df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+
+    def double_if_even(s: pd.Series) -> pd.Series:
+        return s.where(s % 2 == 0) * 2
+
+    out = pulsar_function(df, double_if_even, "v", "out", Ty.DoubleType())
+    vals = sorted(r["out"] for r in out.collect())
+    assert vals == [0.0, 4.0, 8.0, 12.0, 16.0]
+
+
+def test_window_function_adapter_batch(spark):
+    """WindowFunction over duration windows via applyInPandas (G1)."""
+    ev = load(spark, SF_DIR, "events").select(
+        F.col("ts").alias("event_time"), "event_type", "value"
+    )
+    schema = Ty.StructType(
+        [
+            Ty.StructField("n", Ty.LongType()),
+            Ty.StructField("vmax", Ty.DoubleType()),
+        ]
+    )
+
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{"n": len(pdf), "vmax": float(pdf["value"].max())}])
+
+    cfg = WindowConfig(window_length_duration="6 hours")
+    out = window_function(ev, cfg, process, schema)
+    rows = out.collect()
+    assert sum(r["n"] for r in rows) == 1000
+    total_max = max(r["vmax"] for r in rows)
+    assert total_max == ev.agg(F.max("value")).collect()[0][0]
+
+
+def test_delayed_state_schema_roundtrip():
+    """State pack/unpack helpers stay consistent (unit, no Spark)."""
+    from pulsar_3_2_codedump_spark.streaming import delayed as D
+
+    assert [f.name for f in D.RELEASED_SCHEMA.fields] == [
+        "partition", "key", "sequence_id", "deliver_at", "released_at_watermark",
+    ]
+    assert [f.name for f in D.STATE_SCHEMA.fields] == ["keys", "seqs", "deliver_ats"]

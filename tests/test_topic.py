@@ -1,0 +1,85 @@
+"""Topic storage layer: append/offsets/dedup/read/trim (SURVEY §1, §2.E1, §2.F4)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from pulsar_3_2_codedump_spark import topic as T
+from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.envelope import wrap_events
+from tests.conftest import SF_DIR
+
+
+def _env(spark):
+    return wrap_events(load(spark, SF_DIR, "events")).drop("partition", "offset")
+
+
+def test_append_assigns_contiguous_offsets(spark, tmp_root):
+    tp = T.create_topic(tmp_root, "t1", n_partitions=4)
+    T.append(spark, _env(spark), tp)
+    df = T.read_topic(spark, tp)
+    stats = df.groupBy("partition").agg(
+        F.min("offset").alias("lo"), F.max("offset").alias("hi"), F.count("*").alias("n")
+    ).collect()
+    assert len(stats) == 4
+    for r in stats:
+        assert r["lo"] == 0
+        assert r["hi"] == r["n"] - 1  # dense, no gaps
+
+
+def test_append_is_deduped_by_producer_sequence(spark, tmp_root):
+    tp = T.create_topic(tmp_root, "t2", n_partitions=2)
+    env = _env(spark)
+    first = T.append(spark, env, tp)
+    second = T.append(spark, env, tp)  # full replay: zero new rows
+    assert first == second
+    assert T.read_topic(spark, tp).count() == env.count()
+
+
+def test_second_append_continues_offsets(spark, tmp_root):
+    tp = T.create_topic(tmp_root, "t3", n_partitions=2)
+    env = _env(spark)
+    a = env.filter(F.col("sequence_id") < 500)
+    b = env.filter(F.col("sequence_id") >= 500)
+    ends_a = T.append(spark, a, tp)
+    ends_b = T.append(spark, b, tp)
+    for p in ends_a:
+        assert ends_b[p] >= ends_a[p]
+    df = T.read_topic(spark, tp)
+    assert df.count() == env.count()
+    # still dense after two appends
+    for r in df.groupBy("partition").agg(F.max("offset").alias("hi"), F.count("*").alias("n")).collect():
+        assert r["hi"] == r["n"] - 1
+
+
+def test_read_from_offset_and_bounded(spark, tmp_root):
+    tp = T.create_topic(tmp_root, "t4", n_partitions=2)
+    T.append(spark, _env(spark), tp)
+    ends = T.end_offsets(T.read_manifest(tp))
+    lo = {p: 10 for p in ends}
+    df = T.read_topic(spark, tp, start_offsets=lo)
+    assert df.agg(F.min("offset")).collect()[0][0] == 10
+    bounded = T.read_topic(spark, tp, start_offsets=lo, end={p: 20 for p in ends})
+    assert bounded.count() == 2 * 10
+
+
+def test_retention_trim_drops_whole_segments(spark, tmp_root):
+    tp = T.create_topic(tmp_root, "t5", n_partitions=2)
+    env = _env(spark)
+    T.append(spark, env.filter(F.col("sequence_id") < 500), tp)
+    T.append(spark, env.filter(F.col("sequence_id") >= 500), tp)
+    manifest = T.read_manifest(tp)
+    first_seg_end = {
+        int(p): segs[0]["start"] + segs[0]["count"] for p, segs in manifest["segments"].items()
+    }
+    dropped = T.trim_retention(spark, tp, first_seg_end)
+    assert dropped == 2  # one per partition
+    df = T.read_topic(spark, tp)
+    for r in df.groupBy("partition").agg(F.min("offset").alias("lo")).collect():
+        assert r["lo"] == first_seg_end[r["partition"]]
+    # trimmed segment dirs physically gone
+    m2 = T.read_manifest(tp)
+    for p, segs in m2["segments"].items():
+        names = {s["path"] for s in segs}
+        on_disk = set(os.listdir(os.path.join(tp, f"partition={p}")))
+        assert names <= on_disk
