@@ -1,0 +1,266 @@
+"""Advanced relational operators (SURVEY §2.M continued): statistical
+aggregates, JSON scalar functions over message properties, as-of joins,
+range joins, subqueries, time-bucketed rollups, ranking distributions.
+
+The reference has none of these (no SQL layer in-repo); they are required by
+the harness and are native Spark. The as-of join is the one genuinely novel
+composition (Spark has no ASOF JOIN): expressed as last_value(... IGNORE
+NULLS) over an event-time-ordered window — one shuffle on the key, no
+range-explosion, which is the scalable form at 100 TB (the naive
+inequality-join alternative is quadratic per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.queries import query
+
+
+@query(
+    "stats_summary",
+    section="2.M-agg",
+    doc="Statistical aggregates: exact interpolated percentiles, median, stddev, "
+    "correlation/covariance per return flag.",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS p50_price,
+               ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+               ROUND(median(l_quantity), 4)                   AS med_qty,
+               ROUND(stddev_samp(l_extendedprice), 4)         AS sd_price,
+               ROUND(corr(l_quantity, l_extendedprice), 6)    AS qty_price_corr,
+               ROUND(covar_samp(l_discount, l_tax), 6)        AS disc_tax_cov
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_cov"),
+    )
+
+
+@query(
+    "json_properties",
+    section="2.M-scalar",
+    doc="JSON scalar functions over the message properties payload (events.props "
+    "is the properties-map analogue, §1.2): extract, cast, aggregate.",
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY 1
+    """,
+)
+def json_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.filter(k.isNotNull())
+        .groupBy((k % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@query(
+    "asof_join_prior_view",
+    section="2.M-join",
+    doc="AS-OF join (no Spark native): for each purchase, the user's most recent "
+    "strictly-earlier view event — last_value IGNORE NULLS over an event-ordered "
+    "window; one shuffle on user_id, no inequality-join blowup.",
+    oracle="""
+        SELECT user_id, event_id AS purchase_event, prior_view_event
+        FROM (
+            SELECT user_id, event_id, event_type,
+                   last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prior_view_event
+            FROM events
+        ) WHERE event_type = 'purchase'
+    """,
+)
+def asof_join_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn(
+        "prior_view_event",
+        F.last(F.when(F.col("event_type") == "view", F.col("event_id")), ignorenulls=True).over(w),
+    )
+    return marked.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_event"), "prior_view_event"
+    )
+
+
+@query(
+    "exists_in_subqueries",
+    section="2.M-subquery",
+    doc="EXISTS + IN subqueries: urgent orders that shipped a high-quantity line.",
+    oracle="""
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+          AND o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'MACHINERY')
+    """,
+)
+def exists_in_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "lineitem", "customer"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+          AND o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'MACHINERY')
+        """
+    )
+
+
+@query(
+    "range_join_price_bands",
+    section="2.M-join",
+    doc="Range (interval) join: parts bucketed into literal price bands via "
+    "BETWEEN — broadcast of the tiny band table keeps it a single scan.",
+    oracle="""
+        WITH bands(band, lo, hi) AS (VALUES
+            ('budget', 0.0, 500.0), ('mid', 500.0, 1200.0), ('premium', 1200.0, 100000.0))
+        SELECT band, COUNT(*) AS n_parts, ROUND(AVG(p_retailprice), 4) AS avg_price
+        FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+        GROUP BY band
+    """,
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 500.0), ("mid", 500.0, 1200.0), ("premium", 1200.0, 100000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
+    )
+
+
+@query(
+    "monthly_rollup",
+    section="2.M-agg",
+    doc="Time-bucketed continuous-aggregate rollup (hypertable-style): monthly "
+    "order volume + revenue — date_trunc hits parquet min/max pruning when "
+    "filtered.",
+    oracle="""
+        SELECT STRFTIME(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    """,
+)
+def monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "rank_distributions",
+    section="2.M-window",
+    doc="Ranking distributions: ntile quartiles + percent_rank + cume_dist over "
+    "supplier account balances (unique tiebreak).",
+    oracle="""
+        SELECT s_suppkey,
+               ntile(4)       OVER (ORDER BY s_acctbal, s_suppkey) AS quartile,
+               ROUND(percent_rank() OVER (ORDER BY s_acctbal, s_suppkey), 6) AS pct_rank,
+               ROUND(cume_dist()    OVER (ORDER BY s_acctbal, s_suppkey), 6) AS cdist
+        FROM supplier
+    """,
+)
+def rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load(spark, sf_dir, "supplier")
+    w = W.orderBy("s_acctbal", "s_suppkey")
+    return supp.select(
+        "s_suppkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "first_last_window",
+    section="2.M-window",
+    doc="first_value/last_value with explicit frames: each order's first and last "
+    "shipped line by date (unique tiebreak).",
+    oracle="""
+        SELECT DISTINCT l_orderkey,
+               first_value(l_linenumber) OVER (PARTITION BY l_orderkey
+                   ORDER BY l_shipdate, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_line,
+               last_value(l_linenumber) OVER (PARTITION BY l_orderkey
+                   ORDER BY l_shipdate, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_line
+        FROM lineitem WHERE l_orderkey <= 1000
+    """,
+)
+def first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_shipdate", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey",
+        F.first("l_linenumber").over(w).alias("first_line"),
+        F.last("l_linenumber").over(w).alias("last_line"),
+    ).distinct()
+
+
+@query(
+    "schema_decode_value",
+    section="1.3-schema",
+    doc="Schema-on-read decode of the binary value payload (AUTO_CONSUME → typed "
+    "struct, AutoConsumeSchema.java:123): from_json over the envelope value; "
+    "aggregate on the decoded field.",
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1 ORDER BY n DESC, k LIMIT 20
+    """,
+)
+def schema_decode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from pulsar_3_2_codedump_spark.envelope import wrap_events
+
+    env = wrap_events(load(spark, sf_dir, "events"))
+    schema = T.StructType([T.StructField("k", T.LongType(), True)])
+    decoded = env.withColumn("data", F.from_json(F.col("value").cast("string"), schema))
+    return (
+        decoded.groupBy(F.col("data.k").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("k"))
+        .limit(20)
+    )

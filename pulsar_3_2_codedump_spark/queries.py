@@ -49,6 +49,7 @@ def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""
 def load_all() -> dict[str, Query]:
     """Import every module that registers queries, then return the registry."""
     from pulsar_3_2_codedump_spark.operators import (  # noqa: F401
+        advanced,
         compaction,
         dedup,
         relational,

@@ -1,0 +1,140 @@
+"""Schema registry: versioned per-topic schemas + compatibility enforcement
+(SURVEY §1.1, §1.3).
+
+Reference: pulsar-broker/.../service/schema/SchemaRegistryServiceImpl.java —
+schemas are appended to a per-topic version log; writes are admitted only if
+the new schema passes the configured compatibility strategy, per format
+(AvroSchemaCompatibilityCheck.java, JsonSchemaCompatibilityCheck.java,
+KeyValueSchemaCompatibilityCheck.java). Consumers with AUTO_CONSUME resolve
+the latest registered schema at runtime
+(pulsar-client/.../impl/schema/AutoConsumeSchema.java:50,123).
+
+Spark re-expression: the version log is ``schemas.json`` beside the topic
+manifest; each version stores a Spark StructType JSON. Compatibility is a
+structural check over StructType (the same adds/removes/renames logic Avro
+compat reduces to for record types). Decode = ``from_json(value, schema)``
+— AUTO_CONSUME is decode-with-latest.
+
+Strategies (pulsar-client-api/.../api/SchemaCompatibilityStrategy.java):
+BACKWARD (new reader reads old data), FORWARD (old reader reads new data),
+FULL (both), NONE (anything), ALWAYS_INCOMPATIBLE (nothing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+SCHEMAS_FILE = "schemas.json"
+
+
+class SchemaIncompatibleError(ValueError):
+    pass
+
+
+def _load_log(topic_path: str) -> list[dict]:
+    p = os.path.join(topic_path, SCHEMAS_FILE)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)
+
+
+def _store_log(topic_path: str, log: list[dict]) -> None:
+    p = os.path.join(topic_path, SCHEMAS_FILE)
+    tmp = p + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(log, f, indent=1)
+    os.replace(tmp, p)
+
+
+def _can_read(reader: T.StructType, writer: T.StructType) -> bool:
+    """Can data written with ``writer`` be decoded by ``reader``?
+    (the Avro record-resolution rule compat checks reduce to):
+    every reader field must exist in the writer with the same type, or be
+    nullable (acts as the default); extra writer fields are ignored."""
+    wmap = {f.name: f for f in writer.fields}
+    for rf in reader.fields:
+        wf = wmap.get(rf.name)
+        if wf is None:
+            if not rf.nullable:
+                return False
+        elif wf.dataType != rf.dataType:
+            return False
+    return True
+
+
+def check_compatibility(
+    new: T.StructType, existing: list[T.StructType], strategy: str
+) -> None:
+    strategy = strategy.upper()
+    if strategy == "NONE":
+        return
+    if strategy == "ALWAYS_INCOMPATIBLE":
+        raise SchemaIncompatibleError("registry is ALWAYS_INCOMPATIBLE")
+    if not existing:
+        return
+    prev = existing[-1]
+    if strategy in ("BACKWARD", "FULL") and not _can_read(new, prev):
+        raise SchemaIncompatibleError("BACKWARD violated: new schema cannot read old data")
+    if strategy in ("FORWARD", "FULL") and not _can_read(prev, new):
+        raise SchemaIncompatibleError("FORWARD violated: old schema cannot read new data")
+    if strategy in ("BACKWARD_TRANSITIVE", "FULL_TRANSITIVE"):
+        for old in existing:
+            if not _can_read(new, old):
+                raise SchemaIncompatibleError("BACKWARD_TRANSITIVE violated")
+    if strategy in ("FORWARD_TRANSITIVE", "FULL_TRANSITIVE"):
+        for old in existing:
+            if not _can_read(old, new):
+                raise SchemaIncompatibleError("FORWARD_TRANSITIVE violated")
+
+
+def register_schema(
+    topic_path: str,
+    schema: T.StructType,
+    strategy: str = "BACKWARD",
+    schema_type: str = "JSON",
+) -> int:
+    """Append a schema version (returns the version id) after the compat gate
+    (SchemaRegistryServiceImpl admission)."""
+    log = _load_log(topic_path)
+    existing = [T.StructType.fromJson(e["schema"]) for e in log]
+    check_compatibility(schema, existing, strategy)
+    version = len(log)
+    log.append({"version": version, "type": schema_type, "schema": schema.jsonValue()})
+    _store_log(topic_path, log)
+    return version
+
+
+def get_schema(topic_path: str, version: int | None = None) -> T.StructType:
+    """version=None → latest (AUTO_CONSUME resolution, AutoConsumeSchema.java:123)."""
+    log = _load_log(topic_path)
+    if not log:
+        raise LookupError(f"no schemas registered for {topic_path}")
+    entry = log[-1] if version is None else log[version]
+    return T.StructType.fromJson(entry["schema"])
+
+
+def decode_value(
+    env: DataFrame, topic_path: str, version: int | None = None, out_col: str = "data"
+) -> DataFrame:
+    """Schema-decode the envelope's binary value → typed struct column
+    (consumer-side schema decode, ConsumerImpl message path)."""
+    schema = get_schema(topic_path, version)
+    return env.withColumn(out_col, F.from_json(F.col("value").cast("string"), schema))
+
+
+def key_value_schema(key_schema: T.DataType, value_schema: T.StructType) -> T.StructType:
+    """KEY_VALUE schema (SchemaType.KEY_VALUE, KeyValueEncodingType INLINE):
+    a struct of both parts."""
+    return T.StructType(
+        [T.StructField("key", key_schema, True), T.StructField("value", value_schema, True)]
+    )
+
+
+def decode_auto_consume(env: DataFrame, topic_path: str) -> DataFrame:
+    """AUTO_CONSUME: always the latest registered schema."""
+    return decode_value(env, topic_path, version=None)

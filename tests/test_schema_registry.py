@@ -1,0 +1,71 @@
+"""Schema registry: version log, compatibility strategies, decode (§1.1/§1.3)."""
+
+import pytest
+
+from pyspark.sql import functions as F, types as T
+
+from pulsar_3_2_codedump_spark import schema_registry as SR
+from pulsar_3_2_codedump_spark import topic as TP
+from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.envelope import wrap_events
+from tests.conftest import SF_DIR
+
+V1 = T.StructType([T.StructField("k", T.LongType(), True)])
+V2_OK = T.StructType(
+    [T.StructField("k", T.LongType(), True), T.StructField("extra", T.StringType(), True)]
+)
+V2_BAD = T.StructType([T.StructField("k", T.StringType(), True)])  # type change
+
+
+def test_register_and_resolve_latest(tmp_root):
+    tp = TP.create_topic(tmp_root, "t", 1)
+    assert SR.register_schema(tp, V1) == 0
+    assert SR.register_schema(tp, V2_OK) == 1
+    assert SR.get_schema(tp).fieldNames() == ["k", "extra"]  # AUTO_CONSUME = latest
+    assert SR.get_schema(tp, 0).fieldNames() == ["k"]
+
+
+def test_backward_rejects_type_change(tmp_root):
+    tp = TP.create_topic(tmp_root, "t", 1)
+    SR.register_schema(tp, V1)
+    with pytest.raises(SR.SchemaIncompatibleError):
+        SR.register_schema(tp, V2_BAD, strategy="BACKWARD")
+
+
+def test_forward_rejects_required_removal(tmp_root):
+    tp = TP.create_topic(tmp_root, "t", 1)
+    wide = T.StructType(
+        [T.StructField("k", T.LongType(), False), T.StructField("v", T.LongType(), False)]
+    )
+    narrow = T.StructType([T.StructField("k", T.LongType(), False)])
+    SR.register_schema(tp, wide)
+    # FORWARD: old (wide, with required v) must read new (narrow) data → fails
+    with pytest.raises(SR.SchemaIncompatibleError):
+        SR.register_schema(tp, narrow, strategy="FORWARD")
+    # BACKWARD allows dropping a field (new reader ignores old extra field)
+    assert SR.register_schema(tp, narrow, strategy="BACKWARD") == 1
+
+
+def test_none_strategy_accepts_anything(tmp_root):
+    tp = TP.create_topic(tmp_root, "t", 1)
+    SR.register_schema(tp, V1)
+    assert SR.register_schema(tp, V2_BAD, strategy="NONE") == 1
+
+
+def test_decode_value_roundtrip(spark, tmp_root):
+    tp = TP.create_topic(tmp_root, "t", 2)
+    env = wrap_events(load(spark, SF_DIR, "events")).drop("partition", "offset")
+    TP.append(spark, env, tp)
+    SR.register_schema(tp, V1)
+    decoded = SR.decode_auto_consume(TP.read_topic(spark, tp), tp)
+    row = decoded.filter(F.col("data.k").isNotNull()).select("data.k").first()
+    assert row is not None and isinstance(row["k"], int)
+    # decoded k matches the JSON in properties
+    chk = decoded.withColumn("k2", F.get_json_object(F.col("properties")["props"], "$.k").cast("long"))
+    assert chk.filter(F.col("data.k") != F.col("k2")).count() == 0
+
+
+def test_key_value_schema_shape():
+    kv = SR.key_value_schema(T.StringType(), V1)
+    assert kv.fieldNames() == ["key", "value"]
+    assert kv["value"].dataType == V1
