@@ -39,6 +39,8 @@ HEADLINE = [
     "window_running_revenue",
     "topk_orders",
     # LLM pipeline
+    "asof_join_prior_view",
+    "stats_summary",
     "exact_dedup",
     "minhash_lsh_dedup",
     "cosine_topk",
