@@ -166,6 +166,13 @@ class RangePartition(InputPartition):
     hi: int
 
 
+@dataclass
+class SnapshotPartition(InputPartition):
+    """The compacted snapshot (readCompacted=true, §2.D3)."""
+
+    rel_path: str
+
+
 class _SegmentScanMixin:
     """Shared read logic: segment pruning + Arrow batch production."""
 
@@ -178,8 +185,13 @@ class _SegmentScanMixin:
     def _manifest(self) -> dict:
         return _read_manifest(self.path)
 
-    def read(self, partition: RangePartition):
+    def read(self, partition):
         manifest = self._manifest()
+        if isinstance(partition, SnapshotPartition):
+            target = _arrow_schema()
+            snap = pq.read_table(os.path.join(self.path, partition.rel_path))
+            yield from snap.select(target.names).cast(target).to_batches()
+            return
         p = partition.partition
         for seg in sorted(manifest["segments"][p], key=lambda s: s["start"]):
             if seg["start"] + seg["count"] <= partition.lo or seg["start"] >= partition.hi:
@@ -188,15 +200,25 @@ class _SegmentScanMixin:
 
 
 class PulsarLikeBatchReader(_SegmentScanMixin, DataSourceReader):
-    """Batch scan (Reader §2.A3): full log or offset-bounded via options."""
+    """Batch scan (Reader §2.A3): full log or offset-bounded via options;
+    readCompacted=true → compacted snapshot ∪ tail past the horizon (§2.D3)."""
 
     def partitions(self):
         manifest = self._manifest()
         ends = _end_offsets(manifest)
         start = json.loads(self.options.get("startingoffsets_json", "{}") or "{}")
-        return [
+        read_compacted = (self.options.get("readcompacted") or "").lower() == "true"
+        parts: list[InputPartition] = []
+        if read_compacted and manifest.get("compacted_path"):
+            parts.append(SnapshotPartition(manifest["compacted_path"]))
+            horizon = {
+                p: int(e) for p, e in manifest.get("compaction_horizon", {}).items()
+            }
+            start = {p: max(int(start.get(p, 0)), horizon.get(p, 0)) for p in ends}
+        parts.extend(
             RangePartition(p, int(start.get(p, 0)), end) for p, end in sorted(ends.items())
-        ]
+        )
+        return parts
 
 
 class PulsarLikeStreamReader(_SegmentScanMixin, DataSourceStreamReader):

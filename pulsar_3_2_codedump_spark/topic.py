@@ -239,3 +239,54 @@ def trim_retention(spark: SparkSession, topic_path: str, min_offset: dict[int, i
         manifest["segments"][p] = keep
     _write_manifest_atomic(topic_path, manifest)
     return dropped
+
+
+def compact_topic(spark: SparkSession, topic_path: str, tombstone=None) -> dict[int, int]:
+    """Background compaction job (§2.D1, TwoPhaseCompactor.java:62): rewrite
+    the log ≤ the current end into a compacted snapshot holding only each
+    key's latest entry (tombstones dropped), and record the horizon.
+
+    The reference's two phases (scan → build latestForKey map → rewrite) are
+    one declarative plan: window last-per-key + filter + write. Readers with
+    readCompacted=true get union(snapshot, tail > horizon) — see
+    sources/pulsarlike.py. Returns the compaction horizon per partition.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F  # local to avoid cycle at import
+    from pyspark.sql.window import Window as W
+
+    manifest = read_manifest(topic_path)
+    horizon = end_offsets(manifest)
+    df = read_topic(spark, topic_path, end=horizon)
+    w = W.partitionBy("key").orderBy(F.desc("partition"), F.desc("offset"))
+    latest = (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+    if tombstone is not None:
+        latest = latest.filter(~tombstone)
+
+    snap_tmp = os.path.join(topic_path, "_compact_staging")
+    shutil.rmtree(snap_tmp, ignore_errors=True)
+    latest.write.mode("overwrite").parquet(snap_tmp)
+    snap_dir = os.path.join(topic_path, "compacted")
+    shutil.rmtree(snap_dir, ignore_errors=True)
+    os.replace(snap_tmp, snap_dir)
+
+    manifest["compaction_horizon"] = {str(p): int(e) for p, e in horizon.items()}
+    manifest["compacted_path"] = "compacted"
+    _write_manifest_atomic(topic_path, manifest)
+    return horizon
+
+
+def read_topic_compacted(spark: SparkSession, topic_path: str) -> DataFrame:
+    """readCompacted=true (§2.D3, CompactedTopicImpl.java): compacted snapshot
+    for the log ≤ horizon, raw tail after it."""
+    manifest = read_manifest(topic_path)
+    horizon = {int(p): int(e) for p, e in manifest.get("compaction_horizon", {}).items()}
+    snap_rel = manifest.get("compacted_path")
+    tail = read_topic(spark, topic_path, start_offsets=horizon or None)
+    if not snap_rel:
+        return tail
+    snap = spark.read.schema(ENVELOPE_SCHEMA).parquet(os.path.join(topic_path, snap_rel))
+    return snap.unionByName(tail)

@@ -83,3 +83,28 @@ def test_retention_trim_drops_whole_segments(spark, tmp_root):
         names = {s["path"] for s in segs}
         on_disk = set(os.listdir(os.path.join(tp, f"partition={p}")))
         assert names <= on_disk
+
+
+def test_compact_topic_then_compacted_read(spark, tmp_root):
+    """D1+D3 at the storage layer: compaction rewrites the log to latest-per-
+    key; readCompacted = snapshot ∪ tail appended after the horizon."""
+    tp = T.create_topic(tmp_root, "t6", n_partitions=2)
+    env = _env(spark)
+    T.append(spark, env.filter(F.col("sequence_id") < 800), tp)
+    horizon = T.compact_topic(spark, tp)
+    assert set(horizon) == {0, 1}
+    # snapshot holds exactly one row per key (no tombstone rule here)
+    compacted = T.read_topic_compacted(spark, tp)
+    keys_in_log = env.filter(F.col("sequence_id") < 800).select("key").distinct().count()
+    assert compacted.count() == keys_in_log
+    # a tail append after compaction shows up alongside the snapshot
+    T.append(spark, env.filter(F.col("sequence_id") >= 800), tp)
+    after = T.read_topic_compacted(spark, tp)
+    tail_n = env.filter(F.col("sequence_id") >= 800).count()
+    assert after.count() == keys_in_log + tail_n
+    # each snapshot row is that key's max (partition, offset) ≤ horizon
+    snap_max = compacted.groupBy("key").agg(F.max("offset").alias("o")).collect()
+    full = T.read_topic(spark, tp, end=horizon)
+    true_max = {r["key"]: r["o"] for r in full.groupBy("key").agg(F.max("offset").alias("o")).collect()}
+    for r in snap_max:
+        assert r["o"] <= true_max[r["key"]]
