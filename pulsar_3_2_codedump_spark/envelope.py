@@ -113,3 +113,35 @@ EVENTS_ENVELOPE_ORACLE = """
         ROW_NUMBER() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS "offset"
     FROM events
 """
+
+
+def wrap_table(
+    df: DataFrame,
+    key_col: str,
+    event_time_col: str,
+    n_partitions: int = N_PARTITIONS,
+    producer: str = "producer-0",
+) -> DataFrame:
+    """Generic fixture→envelope publisher: wrap ANY table's rows as messages
+    (the schema-encode step of ProducerImpl.serializeAndSendMessage:617 —
+    payload = JSON of all columns; typed decode comes back via the schema
+    registry)."""
+    payload = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    w = Window.partitionBy("partition").orderBy(event_time_col, key_col)
+    return (
+        df.withColumn("partition", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_partitions)).cast("int"))
+        .withColumn("offset", F.row_number().over(w).cast("long") - 1)
+        .select(
+            F.col(key_col).cast("string").alias("key"),
+            F.to_binary(payload, F.lit("utf-8")).alias("value"),
+            F.create_map(F.lit("source_table"), F.lit("generic")).alias("properties"),
+            F.col(event_time_col).alias("event_time"),
+            F.col(event_time_col).alias("publish_time"),
+            F.lit(producer).alias("producer_name"),
+            F.monotonically_increasing_id().alias("sequence_id"),
+            F.lit(None).cast("timestamp").alias("deliver_at"),
+            F.lit(None).cast("string").alias("replicated_from"),
+            "partition",
+            "offset",
+        )
+    )

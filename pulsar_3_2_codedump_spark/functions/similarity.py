@@ -198,3 +198,64 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine_sim"), "rank")
     )
+
+
+@query(
+    "embedding_cosine_neardup",
+    section="2.N-dedup",
+    doc="Embedding-cosine near-dup detection: candidate pairs from shared sign-bit "
+    "bucket (8 bits), verified cosine ≥ 0.95 — the scalable near-dup pattern for "
+    "embedding space (bucket equi-join, no all-pairs).",
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+                   (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+                   (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+                   (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+                   (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+                   (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+                   (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+                   (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+                   {_D_DOT} / ({_D_NORM_Q} * {_D_NORM_C}) AS cos
+            FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+        )
+        SELECT vec_a, vec_b, ROUND(cos, 4) AS cosine_sim
+        FROM pairs WHERE cos >= 0.95
+    """,
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", sign_lsh_bucket(F.col("embedding"))
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"), "bucket")
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("c_emb"), "bucket")
+    pairs = (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    return pairs.filter(F.col("cos") >= 0.95).select(
+        "vec_a", "vec_b", F.round("cos", 4).alias("cosine_sim")
+    )
+
+
+@query(
+    "approx_distinct_sketch",
+    section="2.M-agg",
+    doc="Approximate distinct (HLL++ sketch): engine-specific estimates, so no "
+    "cross-engine oracle — the driver records a rows-only check; exactness is "
+    "covered by q:distinct_counts.",
+    oracle=None,
+)
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -169,3 +169,49 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(doc_fingerprint(F.col("text"))).alias("n_fingerprints"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+@query(
+    "bpe_regex_tokens",
+    section="2.N-text",
+    doc="BPE-ish regex tokenizer (GPT-2-style word/number/punct split) vs plain "
+    "whitespace: per-source token counts under both tokenizers.",
+    oracle=r"""
+        SELECT source,
+               SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpe_tokens,
+               SUM(len(string_split_regex(lower(trim(text)), '\s+')))                AS ws_tokens
+        FROM documents GROUP BY source
+    """,
+)
+def bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)).cast("long")
+    return docs.groupBy("source").agg(
+        F.sum(bpe).alias("bpe_tokens"),
+        F.sum(token_count(F.col("text"))).alias("ws_tokens"),
+    )
+
+
+@query(
+    "top_terms",
+    section="2.N-text",
+    doc="Corpus term frequency: top-20 tokens by document frequency (explode → "
+    "two-level agg; at scale this is the classic map-side-combinable word count).",
+    oracle=r"""
+        SELECT term, n_docs, total_occurrences FROM (
+            SELECT w AS term, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS total_occurrences
+            FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+                  FROM documents)
+            GROUP BY w
+        ) ORDER BY n_docs DESC, total_occurrences DESC, term LIMIT 20
+    """,
+)
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    return (
+        tok.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("n_docs"), F.count(F.lit(1)).alias("total_occurrences"))
+        .orderBy(F.desc("n_docs"), F.desc("total_occurrences"), F.asc("term"))
+        .limit(20)
+    )

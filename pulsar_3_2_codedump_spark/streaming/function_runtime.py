@@ -156,3 +156,10 @@ def keyed_counter(env_stream: DataFrame, key_col: str = "key"):
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def with_metrics(df: DataFrame, name: str, *metric_cols: Column) -> DataFrame:
+    """User metrics (§2.H2, ContextImpl.recordMetric:516): Spark's observe()
+    API attaches named aggregates evaluated per batch/action; read them from
+    QueryProgress (streaming) or via Observation (batch)."""
+    return df.observe(name, *metric_cols)

@@ -124,17 +124,35 @@ def windowed_with_late_side_output(
     G6): the dual-query pattern — the main watermarked aggregation drops late
     rows; a parallel foreachBatch tracks the max-seen event_time and routes
     rows older than (max - lag) to the late topic."""
+    import datetime as _dt
+    import json as _json
+    import os as _os
+
     src = spark.readStream.format("pulsarlike").option("path", src_topic).load()
 
     lag_expr = f"INTERVAL {watermark_lag}"
-    state = {"max_ts": None}
+    # durable watermark tracker (survives query restarts, like the persisted
+    # per-topic max-event-ts WaterMarkEventGenerator keeps)
+    wm_file = _os.path.join(checkpoint, "late_watermark.json")
+
+    def _load_wm():
+        try:
+            with open(wm_file) as f:
+                return _dt.datetime.fromisoformat(_json.load(f)["max_ts"])
+        except (OSError, KeyError, ValueError):
+            return None
+
+    def _store_wm(ts) -> None:
+        _os.makedirs(checkpoint, exist_ok=True)
+        with open(wm_file, "w") as f:
+            _json.dump({"max_ts": ts.isoformat()}, f)
 
     def split_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
         b = batch.persist()
         try:
             mx = b.agg(F.max("event_time")).collect()[0][0]
-            wm = state["max_ts"]
+            wm = _load_wm()
             if wm is not None:
                 late = b.filter(F.col("event_time") < F.lit(wm) - F.expr(lag_expr))
                 T.append(sess, late.drop("offset"), late_topic)
@@ -163,7 +181,7 @@ def windowed_with_late_side_output(
             )
             T.append(sess, agg, agg_sink_topic, dedup=False)
             if mx is not None and (wm is None or mx > wm):
-                state["max_ts"] = mx
+                _store_wm(mx)
         finally:
             b.unpersist()
 
