@@ -40,3 +40,17 @@ def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = 
     duckdb-side pre-registered views, so the same SQL names work)."""
     for name in tables or TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def fanout(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Repartition before expression-heavy per-row work.
+
+    The fixtures are single-row-group parquet files, which Spark scans with
+    ONE task; anything computing per-row kernels (md5 shingles, dot products)
+    right after the scan would run single-threaded. A cheap round-robin
+    exchange of the raw rows buys full-core parallelism for the expensive
+    projection. At 100 TB inputs arrive as many splits and this becomes a
+    no-op decision — keep data small when it fans out, never collect it.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.catalog import fanout, load
 from pulsar_3_2_codedump_spark.queries import query
 
 N_HASHES = 8  # minhash signature length
@@ -119,7 +119,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    docs = fanout(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
     sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
     inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
     a, b = inv.alias("a"), inv.alias("b")
@@ -180,7 +180,7 @@ def _minhash_sig_sql() -> str:
     """,
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = fanout(load(spark, sf_dir, "documents"))
     sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
     # materialize (shingles, base hashes, signature) ONCE — four plan branches
     # (bands a/b, verify x/y) would otherwise re-run the md5 pass each
@@ -189,15 +189,23 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = sig.persist()
     sig.count()
-    bands = None
-    for b in range(N_HASHES // BAND_SIZE):
-        piece = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.col(f"h{b * BAND_SIZE}").alias("b1"),
-            F.col(f"h{b * BAND_SIZE + 1}").alias("b2"),
-        )
-        bands = piece if bands is None else bands.unionByName(piece)
+    # bands via ONE explode pass over the cached signature (a 4-way union
+    # would scan it 4×; at scale the band table is 4n tiny rows either way)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"h{b * BAND_SIZE}").alias("b1"),
+                        F.col(f"h{b * BAND_SIZE + 1}").alias("b2"),
+                    )
+                    for b in range(N_HASHES // BAND_SIZE)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "bd.band", "bd.b1", "bd.b2")
     a, bb = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -240,7 +248,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    docs = fanout(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
     tok = docs.select("doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
     hashed = tok.select("doc_id", _md5int(F.col("w")).alias("h"))
     bits = hashed.groupBy("doc_id").agg(

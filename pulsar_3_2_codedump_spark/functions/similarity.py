@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
-from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.catalog import fanout, load
 from pulsar_3_2_codedump_spark.queries import query
 
 TOP_K = 5
@@ -86,7 +86,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    c = emb.select(
+    c = fanout(emb).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("embedding").alias("c_emb"),

@@ -36,7 +36,11 @@ from pulsar_3_2_codedump_spark.queries import query
     """,
 )
 def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    from pulsar_3_2_codedump_spark.catalog import fanout
+
+    # exact percentiles buffer per-group values in the aggregator — fan the
+    # single-row-group scan out so partial aggregation runs on all cores
+    li = fanout(load(spark, sf_dir, "lineitem"))
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
         F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),

@@ -146,3 +146,38 @@ def multi_topic_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("topic")
         .agg(F.count(F.lit(1)).alias("n"), F.max("sequence_id").alias("max_seq"))
     )
+
+
+def key_shared_sticky(key_col, ranges: list[tuple[int, int, int]]):
+    """Key_Shared STICKY mode (KeySharedPolicy.KeySharedPolicySticky:94,
+    HashRangeExclusiveStickyKeyConsumerSelector): explicit hash ranges per
+    consumer; rows whose slot falls outside every range get consumer -1
+    (reference: messages wait for a consumer owning the range)."""
+    slot = md5_hash32(key_col) % KEY_HASH_SPACE
+    expr = F.lit(-1)
+    for lo, hi, consumer in ranges:
+        expr = F.when((slot >= lo) & (slot <= hi), F.lit(consumer)).otherwise(expr)
+    return expr.cast("int")
+
+
+@query(
+    "key_shared_sticky_ranges",
+    section="2.B3",
+    doc="Key_Shared STICKY: explicit exclusive hash ranges (0-32767 → c0, "
+    "32768-65535 → c1); per-consumer counts.",
+    oracle=f"""
+        {_ENV}
+        SELECT CASE WHEN CAST(concat('0x', substr(md5(key), 1, 8)) AS BIGINT) % 65536 <= 32767
+                    THEN 0 ELSE 1 END AS consumer,
+               COUNT(*) AS n, COUNT(DISTINCT key) AS n_keys
+        FROM envelope GROUP BY 1
+    """,
+)
+def key_shared_sticky_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = wrap_events(load(spark, sf_dir, "events"))
+    sel = key_shared_sticky(F.col("key"), [(0, 32767, 0), (32768, 65535, 1)])
+    return (
+        env.withColumn("consumer", sel)
+        .groupBy("consumer")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("key").alias("n_keys"))
+    )

@@ -184,3 +184,44 @@ def watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("wm").isNull() | ~late, 1)).alias("n_on_time"),
         F.count(F.when(late, 1)).alias("n_late"),
     )
+
+
+@query(
+    "count_window_sliding",
+    section="2.G2",
+    doc="Count-based SLIDING window (windowLengthCount=100, slidingIntervalCount=50, "
+    "WindowConfig.java:33-39): a window starts every 50 records per event_type and "
+    "spans 100 — each record lands in ≤2 windows; only full windows emit "
+    "(WindowManager semantics).",
+    oracle="""
+        WITH ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS total
+            FROM events
+        ),
+        assigned AS (  -- window w covers rn in [w*50, w*50 + 100)
+            SELECT event_type, value, total, (rn // 50) AS w FROM ranked
+            UNION ALL
+            SELECT event_type, value, total, (rn // 50) - 1 AS w FROM ranked WHERE rn // 50 >= 1
+        )
+        SELECT event_type, CAST(w AS BIGINT) AS win_id, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total_value
+        FROM assigned
+        WHERE w >= 0 AND (w * 50 + 100) <= total  -- only complete windows
+        GROUP BY event_type, w
+    """,
+)
+def count_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w) - 1).withColumn(
+        "total", F.count(F.lit(1)).over(W.partitionBy("event_type"))
+    )
+    cur = ranked.withColumn("w", F.floor(F.col("rn") / 50))
+    prev = ranked.withColumn("w", F.floor(F.col("rn") / 50) - 1).filter(F.col("w") >= 0)
+    assigned = cur.unionByName(prev)
+    return (
+        assigned.filter((F.col("w") * 50 + 100) <= F.col("total"))
+        .groupBy("event_type", F.col("w").alias("win_id"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )

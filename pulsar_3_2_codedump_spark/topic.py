@@ -290,3 +290,30 @@ def read_topic_compacted(spark: SparkSession, topic_path: str) -> DataFrame:
         return tail
     snap = spark.read.schema(ENVELOPE_SCHEMA).parquet(os.path.join(topic_path, snap_rel))
     return snap.unionByName(tail)
+
+
+def discover_topics(root: str, pattern: str = ".*") -> list[str]:
+    """Regex topic discovery (§2.A5, PatternMultiTopicsConsumerImpl): topics
+    under a namespace root whose name matches the pattern."""
+    import re
+
+    out = []
+    if not os.path.isdir(root):
+        return out
+    for name in sorted(os.listdir(root)):
+        if os.path.exists(os.path.join(root, name, MANIFEST)) and re.fullmatch(pattern, name):
+            out.append(os.path.join(root, name))
+    return out
+
+
+def read_topics(spark: SparkSession, root: str, pattern: str = ".*") -> DataFrame:
+    """Multi-topic scan: unionByName over every matched topic, with a topic
+    column (MultiTopicsConsumerImpl semantics)."""
+    paths = discover_topics(root, pattern)
+    if not paths:
+        return spark.createDataFrame([], ENVELOPE_SCHEMA).withColumn("topic", F.lit(None).cast("string"))
+    dfs = [read_topic(spark, p).withColumn("topic", F.lit(os.path.basename(p))) for p in paths]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

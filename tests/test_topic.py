@@ -108,3 +108,18 @@ def test_compact_topic_then_compacted_read(spark, tmp_root):
     true_max = {r["key"]: r["o"] for r in full.groupBy("key").agg(F.max("offset").alias("o")).collect()}
     for r in snap_max:
         assert r["o"] <= true_max[r["key"]]
+
+
+def test_pattern_topic_discovery_and_union(spark, tmp_root):
+    """§2.A5: regex subscribe discovers matching topics; union carries a
+    topic column."""
+    env = _env(spark)
+    for name in ("orders-a", "orders-b", "audit-log"):
+        tp = T.create_topic(tmp_root, name, n_partitions=2)
+        T.append(spark, env.filter(F.col("sequence_id") < 100), tp)
+    assert [t.split("/")[-1] for t in T.discover_topics(tmp_root, r"orders-.*")] == [
+        "orders-a", "orders-b",
+    ]
+    df = T.read_topics(spark, tmp_root, r"orders-.*")
+    assert df.count() == 200
+    assert {r["topic"] for r in df.select("topic").distinct().collect()} == {"orders-a", "orders-b"}
