@@ -1,0 +1,148 @@
+"""Pulsar IO surface: external system ↔ topic bridges (SURVEY §2.A6-A8),
+non-persistent topics (§2.A10), and interceptors (§2.J7).
+
+Reference:
+  - Source connectors pull external records into a topic
+    (pulsar-io/core/.../core/Source.java:28,37,45 ``open()/read()``; push/
+    batch variants PushSource.java, BatchSource.java); sink connectors write
+    topic data out (Sink.java:31,39,47 ``open()/write(Record)``). The
+    concrete fleet (kafka/jdbc/elasticsearch/... under pulsar-io/<name>/)
+    reduces to: move records between a topic and an external format.
+  - Non-persistent topics dispatch in memory with no storage
+    (pulsar-broker/.../nonpersistent/NonPersistentTopic.java).
+  - Interceptors hook producer/consumer send/ack paths
+    (pulsar-client-api/.../api/{Producer,Consumer,Reader}Interceptor.java).
+
+Spark re-expression: a source connector is ``spark.read.format(fmt)`` +
+``wrap_table`` + ``topic.append`` (batch) or ``readStream`` + the pulsarlike
+sink (streaming); a sink connector is a streaming query with ``foreachBatch``
+writing any Spark-supported format — each micro-batch is atomic on the topic
+side and idempotent on replay when the destination write is (overwrite-by-
+batch-path below). Interceptors are StreamingQueryListener / observe()
+hooks — they see every batch's metrics without touching the data path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pulsar_3_2_codedump_spark import topic as T
+from pulsar_3_2_codedump_spark.envelope import wrap_table
+
+
+def ingest_external(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    topic_path: str,
+    key_col: str,
+    event_time_col: str,
+    options: dict | None = None,
+) -> dict[int, int]:
+    """Source-connector path (§2.A6): external file/table → topic. Any Spark
+    reader format works (parquet/csv/json/jdbc/...)."""
+    reader = spark.read.format(fmt)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load(path)
+    env = wrap_table(df, key_col, event_time_col).drop("partition", "offset")
+    return T.append(spark, env, topic_path)
+
+
+def sink_to_external(
+    spark: SparkSession,
+    topic_path: str,
+    out_dir: str,
+    fmt: str,
+    checkpoint: str,
+    transform=None,
+):
+    """Sink-connector path (§2.A7): topic → external format via foreachBatch.
+
+    Each micro-batch writes to ``out_dir/batch_id=N`` with overwrite — a
+    replayed batch overwrites its own output, keeping the sink idempotent
+    (the JdbcAbstractSink upsert analogue for file formats)."""
+    src = spark.readStream.format("pulsarlike").option("path", topic_path).load()
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        out = transform(batch) if transform else batch
+        out.write.mode("overwrite").format(fmt).save(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return (
+        src.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def nonpersistent_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Non-persistent topic (§2.A10): best-effort in-memory dispatch, no
+    storage, no replay — the rate source wearing the envelope. Consumers miss
+    whatever flows while they are away, exactly like NonPersistentTopic."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    return rate.select(
+        (F.col("value") % 64).cast("string").alias("key"),
+        F.to_binary(F.col("value").cast("string"), F.lit("utf-8")).alias("value"),
+        F.create_map(F.lit("kind"), F.lit("nonpersistent")).alias("properties"),
+        F.col("timestamp").alias("event_time"),
+        F.col("timestamp").alias("publish_time"),
+        F.lit("rate-producer").alias("producer_name"),
+        F.col("value").alias("sequence_id"),
+        F.lit(None).cast("timestamp").alias("deliver_at"),
+        F.lit(None).cast("string").alias("replicated_from"),
+        (F.col("value") % 4).cast("int").alias("partition"),
+        F.col("value").alias("offset"),
+    )
+
+
+class InterceptorListener:
+    """Producer/consumer interceptor analogue (§2.J7): a
+    StreamingQueryListener recording per-batch row counts and sink commits —
+    the onSendAcknowledgement / beforeConsume hook points, observed from the
+    engine side instead of wrapping the client."""
+
+    def __init__(self):
+        self.events: list[dict] = []
+
+    def attach(self, spark: SparkSession):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                outer.events.append({"type": "started", "id": str(event.id)})
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                outer.events.append(
+                    {
+                        "type": "progress",
+                        "batchId": p.batchId,
+                        "numInputRows": p.numInputRows,
+                        "observed": dict(p.observedMetrics or {}),
+                    }
+                )
+
+            def onQueryTerminated(self, event):
+                outer.events.append({"type": "terminated", "id": str(event.id)})
+
+            def onQueryIdle(self, event):
+                pass
+
+        self._listener = _L()
+        spark.streams.addListener(self._listener)
+        return self
+
+    def detach(self, spark: SparkSession) -> None:
+        spark.streams.removeListener(self._listener)

@@ -268,3 +268,125 @@ def schema_decode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("k"))
         .limit(20)
     )
+
+
+@query(
+    "string_library",
+    section="2.M-scalar",
+    doc="String function library breadth: pad/translate/reverse/repeat/split_part/"
+    "strpos/left/right over part names.",
+    oracle="""
+        SELECT p_partkey,
+               lpad(p_brand, 12, '*')             AS brand_padded,
+               translate(p_type, 'AEIOU', 'aeiou') AS type_lowered_vowels,
+               reverse(p_brand)                   AS brand_rev,
+               repeat(left(p_brand, 2), 2)        AS brand_echo,
+               split_part(p_type, ' ', 1)         AS type_first_word,
+               strpos(p_name, 'a')                AS first_a,
+               right(p_name, 4)                   AS name_tail
+        FROM part WHERE p_partkey <= 300
+    """,
+)
+def string_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    return part.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_lowered_vowels"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.substring("p_brand", 1, 2), 2).alias("brand_echo"),
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_first_word"),
+        F.instr("p_name", "a").cast("long").alias("first_a"),
+        F.substring("p_name", -4, 4).alias("name_tail"),
+    )
+
+
+@query(
+    "date_extraction",
+    section="2.M-scalar",
+    doc="Date/time part extraction + arithmetic: year/quarter/month/week/doy/dow, "
+    "last_day, date diff vs a fixed anchor.",
+    oracle="""
+        SELECT o_orderkey,
+               EXTRACT(year FROM o_orderdate)            AS y,
+               EXTRACT(quarter FROM o_orderdate)         AS q,
+               EXTRACT(month FROM o_orderdate)           AS m,
+               EXTRACT(week FROM o_orderdate)            AS iso_week,
+               EXTRACT(doy FROM o_orderdate)             AS doy,
+               EXTRACT(dow FROM o_orderdate) + 1         AS dow_sun1,
+               STRFTIME(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+               datediff('day', TIMESTAMP '1995-01-01', o_orderdate)      AS days_since_epoch_start
+        FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def date_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow_sun1"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).cast("long").alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+@query(
+    "regexp_functions",
+    section="2.M-scalar",
+    doc="Regex library: extract/replace/match over document text.",
+    oracle=r"""
+        SELECT doc_id,
+               regexp_extract(text, '([a-z]{5,})', 1)            AS first_long_word,
+               LENGTH(regexp_replace(text, '[aeiou]', '', 'g'))  AS len_no_vowels,
+               regexp_matches(text, 'spark')                     AS mentions_spark
+        FROM documents WHERE doc_id < 200
+    """,
+)
+def regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]{5,})", 1).alias("first_long_word"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("long").alias("len_no_vowels"),
+        F.col("text").rlike("spark").alias("mentions_spark"),
+    )
+
+
+@query(
+    "array_functions",
+    section="2.M-scalar",
+    doc="Array/higher-order function library over embedding vectors: size, "
+    "element access, slice, sort, min/max, positive-count via filter.",
+    oracle="""
+        SELECT vec_id,
+               len(embedding)                                   AS dims,
+               ROUND(CAST(embedding[1] AS DOUBLE), 6)           AS first_dim,
+               ROUND(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS min_dim,
+               ROUND(CAST(list_sort(embedding)[64] AS DOUBLE), 6) AS max_dim,
+               len(list_filter(embedding, x -> x > 0))          AS n_positive,
+               ROUND(CAST(list_aggregate(embedding[1:8], 'sum') AS DOUBLE), 6) AS head_sum
+        FROM embeddings WHERE vec_id < 200
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dims"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_dim"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_dim"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.round(
+            F.aggregate(
+                F.slice("embedding", 1, 8), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            6,
+        ).alias("head_sum"),
+    )

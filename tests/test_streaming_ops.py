@@ -164,3 +164,25 @@ def test_delayed_state_schema_roundtrip():
         "partition", "key", "sequence_id", "deliver_at", "released_at_watermark",
     ]
     assert [f.name for f in D.STATE_SCHEMA.fields] == ["keys", "seqs", "deliver_ats"]
+
+
+def test_window_function_streaming_mode(spark, tmp_root):
+    """G1 end-to-end on a STREAM: WindowFunction via applyInPandas over
+    event-time windows of the pulsarlike source."""
+    import pandas as pd
+    from pulsar_3_2_codedump_spark.streaming.function_runtime import window_function
+
+    tp = _events_topic(spark, tmp_root, limit=500)
+    src = spark.readStream.format("pulsarlike").option("path", tp).load()
+    schema = Ty.StructType([Ty.StructField("n", Ty.LongType())])
+    out = window_function(
+        src, WindowConfig(window_length_duration="1 hour"),
+        lambda pdf: pd.DataFrame([{"n": len(pdf)}]), schema, streaming=True,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("wf_stream").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    total = spark.sql("select sum(n) s from wf_stream").collect()[0]["s"]
+    assert total == 500
