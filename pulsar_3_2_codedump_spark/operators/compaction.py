@@ -33,7 +33,25 @@ _ENV = f"WITH envelope AS ({EVENTS_ENVELOPE_ORACLE})"
 
 
 def latest_per_key(env: DataFrame, key_cols=("key",)) -> DataFrame:
-    """TableView / compaction phase-1: keep the highest-offset row per key."""
+    """TableView / compaction phase-1: keep the highest-(partition, offset)
+    row per key.
+
+    Plan choice: ``max_by(col, struct(partition, offset))`` per column — a
+    partial+final HASH aggregation (map-side combine shrinks each partition
+    to its distinct keys before the shuffle). ~2× faster than the
+    row_number-window form at 10M rows (tools/scale_smoke.py) and the right
+    100 TB plan: no sort, and the shuffle carries only one row per (map
+    partition × key), not the whole log."""
+    key_cols = list(key_cols)
+    rank = F.struct("partition", "offset")
+    others = [c for c in env.columns if c not in key_cols]
+    return env.groupBy(*key_cols).agg(*[F.max_by(c, rank).alias(c) for c in others]).select(
+        *env.columns
+    )
+
+
+def latest_per_key_window(env: DataFrame, key_cols=("key",)) -> DataFrame:
+    """Window-based alternative (kept for frames that need the full ranking)."""
     w = W.partitionBy(*key_cols).orderBy(F.desc("partition"), F.desc("offset"))
     return env.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 

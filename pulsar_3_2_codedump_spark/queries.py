@@ -54,6 +54,7 @@ def load_all() -> dict[str, Query]:
         dedup,
         relational,
         routing,
+        skew,
         timeops,
         windows,
     )

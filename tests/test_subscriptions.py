@@ -1,0 +1,71 @@
+"""Subscription types (§2.J1): exclusive/failover resume, shared work-queue."""
+
+from pyspark.sql import functions as F
+
+from pulsar_3_2_codedump_spark import subscriptions as S
+from pulsar_3_2_codedump_spark import topic as T
+from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.envelope import wrap_events
+from tests.conftest import SF_DIR
+
+
+def _topic(spark, root, parts=4):
+    tp = T.create_topic(root, "sub", n_partitions=parts)
+    env = wrap_events(load(spark, SF_DIR, "events")).drop("partition", "offset")
+    T.append(spark, env, tp)
+    return tp
+
+
+def test_shared_subscription_splits_disjoint_exhaustive(spark, tmp_root):
+    tp = _topic(spark, tmp_root)
+    consumers = S.shared(spark, tp, 2)
+    counts = []
+    for i, c in enumerate(consumers):
+        q = (
+            c.groupBy("partition").count()
+            .writeStream.format("memory").queryName(f"sub{i}").outputMode("complete")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(f"select * from sub{i}").collect()
+        counts.append({r["partition"]: r["count"] for r in rows})
+    # disjoint partitions, together exhaustive
+    assert set(counts[0]) == {0, 2} and set(counts[1]) == {1, 3}
+    assert sum(counts[0].values()) + sum(counts[1].values()) == 1000
+
+
+def test_failover_resumes_from_same_checkpoint(spark, tmp_root):
+    """Failover consumer = new query on the SAME checkpoint: it continues the
+    cursor instead of re-reading (SubscriptionType.Failover)."""
+    tp = _topic(spark, tmp_root)
+    ck = tmp_root + "/sub_ck"
+    seen: list = []
+
+    def grab(batch, _bid):
+        seen.extend(batch.collect())
+
+    def consume_once():
+        q = (
+            S.exclusive(spark, tp)
+            .writeStream.foreachBatch(grab)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    consume_once()  # original consumer reads everything, then "dies"
+    assert len(seen) == 1000
+    pos = S.subscription_position(ck)
+    assert pos is not None  # durable cursor exists
+    consume_once()  # failover consumer attaches to the same subscription
+    assert len(seen) == 1000  # nothing re-delivered — cursor honored
+    # new data published after failover is delivered to the new consumer
+    extra = (
+        wrap_events(load(spark, SF_DIR, "events"))
+        .filter(F.col("sequence_id") < 50)
+        .drop("partition", "offset")
+        .withColumn("producer_name", F.lit("p2"))
+    )
+    T.append(spark, extra, tp)
+    consume_once()
+    assert len(seen) == 1050

@@ -1,0 +1,86 @@
+"""Scale smoke: run the per-key/windowing spine on a synthetic N-million-row
+envelope (default 10M — ~100× the sf0.1 events fixture) to show the operator
+plans hold up when the data is orders of magnitude past the fixtures.
+
+Generates the envelope with spark.range (distributed, no driver data), runs:
+  - TableView / compaction (latest per key, window on key)
+  - producer dedup (hash agg on dedup identity)
+  - tumbling window counts (partial+final agg)
+  - Key_Shared assignment histogram
+  - salted hot-key aggregation under a 90%-skewed key distribution
+
+Usage: python tools/scale_smoke.py [n_millions]
+Prints one JSON line with rows/sec per operator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pulsar_3_2_codedump_spark.operators.compaction import latest_per_key
+from pulsar_3_2_codedump_spark.operators.dedup import dedup_highest_sequence
+from pulsar_3_2_codedump_spark.operators.routing import key_shared_bucket
+from pulsar_3_2_codedump_spark.operators.skew import salted_count_sum
+from pulsar_3_2_codedump_spark.session import get_spark
+
+
+def synthetic_envelope(spark, n_rows: int, skewed: bool = False):
+    base = spark.range(0, n_rows, numPartitions=64)
+    # 90% of traffic on key 0 when skewed; else ~100k uniform keys
+    key = (
+        F.when(F.pmod("id", 10) < 9, F.lit(0)).otherwise(F.pmod("id", 100_000))
+        if skewed
+        else F.pmod("id", 100_000)
+    )
+    return base.select(
+        key.cast("string").alias("key"),
+        F.col("id").alias("sequence_id"),
+        F.concat(F.lit("producer-"), F.pmod("id", 64).cast("string")).alias("producer_name"),
+        F.timestamp_micros(
+            F.lit(1704067200000000) + F.col("id") * 1000  # 1ms cadence from 2024-01-01
+        ).alias("publish_time"),
+        (F.col("id") % 1000).cast("double").alias("value"),
+        F.pmod(F.xxhash64("id"), F.lit(32)).cast("int").alias("partition"),
+        F.col("id").alias("offset"),
+    )
+
+
+def main() -> None:
+    n_m = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
+    n = int(n_m * 1_000_000)
+    spark = get_spark("scale_smoke")
+    env = synthetic_envelope(spark, n)
+    results = {}
+
+    def run(name, df):
+        t0 = time.time()
+        cnt = df.count()
+        dt = time.time() - t0
+        results[name] = {"sec": round(dt, 2), "rows_out": cnt, "mrows_per_sec": round(n / dt / 1e6, 1)}
+        print(f"# {name}: {dt:.2f}s ({cnt} out, {n/dt/1e6:.1f}M rows/s)", file=sys.stderr)
+
+    run("tableview_latest_per_key", latest_per_key(env))
+    run("dedup_high_water_marks", dedup_highest_sequence(env))
+    run(
+        "tumbling_window_counts",
+        env.groupBy(F.window("publish_time", "1 hour"), F.pmod(F.col("sequence_id"), 5)).count(),
+    )
+    run(
+        "key_shared_histogram",
+        env.withColumn("c", key_shared_bucket(F.col("key"), 16)).groupBy("c").count(),
+    )
+    skewed = synthetic_envelope(spark, n, skewed=True)
+    run("salted_hot_key_agg_90pct_skew", salted_count_sum(skewed, "key", "value", "sequence_id"))
+
+    print(json.dumps({"metric": "scale_smoke", "rows": n, "ops": results}))
+
+
+if __name__ == "__main__":
+    main()
