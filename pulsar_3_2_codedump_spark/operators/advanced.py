@@ -390,3 +390,24 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("head_sum"),
     )
+
+
+@query(
+    "offset_pagination",
+    section="2.M-sort",
+    doc="LIMIT/OFFSET pagination: page 2 of orders by totalprice (deterministic "
+    "tiebreak) — Spark DataFrame offset() + limit().",
+    oracle="""
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 15 OFFSET 15
+    """,
+)
+def offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(15)
+        .limit(15)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )

@@ -186,3 +186,64 @@ def test_window_function_streaming_mode(spark, tmp_root):
     q.awaitTermination(120)
     total = spark.sql("select sum(n) s from wf_stream").collect()[0]["s"]
     assert total == 500
+
+
+def test_streaming_tableview_latest_values(spark, tmp_root):
+    """A4 streaming form: TableView = groupBy(key).agg(max_by(..., offset))
+    in complete mode, continuously updated as the log grows
+    (TableViewImpl.handleMessage :182-214)."""
+    tp = _events_topic(spark, tmp_root, limit=300)
+    src = spark.readStream.format("pulsarlike").option("path", tp).load()
+    tv = src.groupBy("key").agg(
+        F.max_by("sequence_id", F.struct("partition", "offset")).alias("latest_seq"),
+        F.max("offset").alias("max_offset"),
+    )
+    def run(i):
+        q = (
+            tv.writeStream.format("memory").queryName(f"tv{i}").outputMode("complete")
+            .option("checkpointLocation", tmp_root + "/ck_tv")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return {r["key"]: r["latest_seq"] for r in spark.sql(f"select * from tv{i}").collect()}
+
+    got1 = run(1)
+    env = wrap_events(load(spark, SF_DIR, "events"))
+    def expected(limit):
+        e = env.filter(F.col("sequence_id") < limit)
+        return {r["key"]: r["latest_seq"] for r in e.groupBy("key").agg(
+            F.max_by("sequence_id", F.struct("partition", "offset")).alias("latest_seq")).collect()}
+    assert got1 == expected(300)
+    # log grows → the view updates (continuously-updated map semantics)
+    T.append(spark, wrap_events(load(spark, SF_DIR, "events"))
+             .filter(F.col("sequence_id").between(300, 399)).drop("partition", "offset"), tp)
+    got2 = run(2)
+    assert got2 == expected(400)
+
+
+def test_streaming_dedup_drop_duplicates(spark, tmp_root):
+    """E1 streaming form: withWatermark + dropDuplicates on the dedup
+    identity collapses a replayed producer retry inside the stream."""
+    tp = T.create_topic(tmp_root, "dd", n_partitions=2)
+    env = (
+        wrap_events(load(spark, SF_DIR, "events"))
+        .filter(F.col("sequence_id") < 200)
+        .drop("partition", "offset")
+    )
+    dup = env.filter(F.col("sequence_id") % 4 == 0)
+    T.append(spark, env, tp)
+    # simulate a producer retry slipping past broker dedup (different producer mark)
+    T.append(spark, dup, tp, dedup=False)
+    src = spark.readStream.format("pulsarlike").option("path", tp).load()
+    deduped = (
+        src.withWatermark("publish_time", "1 hour")
+        .dropDuplicates(["producer_name", "sequence_id"])
+    )
+    q = (
+        deduped.writeStream.format("memory").queryName("dd").outputMode("append")
+        .option("checkpointLocation", tmp_root + "/ck_dd")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("select count(*) c from dd").collect()[0]["c"]
+    assert n == 200  # 50 replays collapsed
