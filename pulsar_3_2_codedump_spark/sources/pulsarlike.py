@@ -48,7 +48,14 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamReader,
     DataSourceStreamWriter,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 from pyspark.sql.pandas.types import to_arrow_schema
@@ -201,7 +208,36 @@ class _SegmentScanMixin:
 
 class PulsarLikeBatchReader(_SegmentScanMixin, DataSourceReader):
     """Batch scan (Reader §2.A3): full log or offset-bounded via options;
-    readCompacted=true → compacted snapshot ∪ tail past the horizon (§2.D3)."""
+    readCompacted=true → compacted snapshot ∪ tail past the horizon (§2.D3).
+
+    Supports filter pushdown on ``offset`` ranges and ``partition`` equality —
+    the EntryFilter-at-the-source analogue (§2.C1): pruning happens at
+    segment-listing time, before any parquet IO."""
+
+    def __init__(self, options):
+        super().__init__(options)
+        self._lo = 0
+        self._hi: int | None = None
+        self._only_partition: int | None = None
+
+    def pushFilters(self, filters):
+        unsupported: list[Filter] = []
+        for f in filters:
+            col = f.attribute[0] if getattr(f, "attribute", None) else None
+            if isinstance(f, GreaterThanOrEqual) and col == "offset":
+                self._lo = max(self._lo, int(f.value))
+            elif isinstance(f, GreaterThan) and col == "offset":
+                self._lo = max(self._lo, int(f.value) + 1)
+            elif isinstance(f, LessThan) and col == "offset":
+                self._hi = min(self._hi, int(f.value)) if self._hi is not None else int(f.value)
+            elif isinstance(f, LessThanOrEqual) and col == "offset":
+                v = int(f.value) + 1
+                self._hi = min(self._hi, v) if self._hi is not None else v
+            elif isinstance(f, EqualTo) and col == "partition":
+                self._only_partition = int(f.value)
+            else:
+                unsupported.append(f)
+        return unsupported
 
     def partitions(self):
         manifest = self._manifest()
@@ -215,10 +251,42 @@ class PulsarLikeBatchReader(_SegmentScanMixin, DataSourceReader):
                 p: int(e) for p, e in manifest.get("compaction_horizon", {}).items()
             }
             start = {p: max(int(start.get(p, 0)), horizon.get(p, 0)) for p in ends}
-        parts.extend(
-            RangePartition(p, int(start.get(p, 0)), end) for p, end in sorted(ends.items())
-        )
+        for p, end in sorted(ends.items()):
+            if self._only_partition is not None and int(p) != self._only_partition:
+                continue
+            lo = max(int(start.get(p, 0)), self._lo)
+            hi = end if self._hi is None else min(end, self._hi)
+            if lo < hi:
+                parts.append(RangePartition(p, lo, hi))
+        if not parts:
+            # Spark requires ≥1 partition; an empty range yields no rows
+            parts.append(RangePartition(next(iter(ends), "0"), 0, 0))
         return parts
+
+
+class PulsarLikeBatchWriter(DataSourceWriter):
+    """Batch producer path (§2.A1): ``df.write.format("pulsarlike")`` —
+    executors stage parquet per topic-partition, driver commit assigns base
+    offsets and atomically swaps the manifest (same protocol as the
+    streaming sink, minus batch-id idempotency which batch writes don't
+    replay)."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError("pulsarlike is an append-only log; overwrite unsupported")
+        self._delegate = PulsarLikeStreamWriter(options, schema)
+
+    def write(self, iterator):
+        return self._delegate.write(iterator)
+
+    def commit(self, messages):
+        # batch path has no replay, use a fresh pseudo batch id
+        manifest = _read_manifest(self._delegate.path)
+        next_id = -1 - len(manifest.get("committed_stream_batches", []))
+        self._delegate.commit(messages, next_id)
+
+    def abort(self, messages):
+        self._delegate.abort(messages, -1)
 
 
 class PulsarLikeStreamReader(_SegmentScanMixin, DataSourceStreamReader):
@@ -374,6 +442,9 @@ class PulsarLikeDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return PulsarLikeBatchReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return PulsarLikeBatchWriter(self.options, schema, overwrite)
+
     def streamReader(self, schema) -> DataSourceStreamReader:
         return PulsarLikeStreamReader(self.options)
 
@@ -382,4 +453,6 @@ class PulsarLikeDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # required for the reader's pushFilters (runtime-settable SQL conf)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PulsarLikeDataSource)

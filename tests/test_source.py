@@ -122,3 +122,30 @@ def test_stream_sink_roundtrip_and_offsets(spark, tmp_root):
     )
     q2.awaitTermination(180)
     assert spark.read.format("pulsarlike").option("path", dst_tp).load().count() == 1000
+
+
+def test_batch_writer_via_format(spark, tmp_root):
+    """A1 batch producer surface: df.write.format('pulsarlike').save()."""
+    tp = T.create_topic(tmp_root, "w", n_partitions=4)
+    env = wrap_events(load(spark, SF_DIR, "events")).drop("offset")
+    env.write.format("pulsarlike").option("path", tp).mode("append").save()
+    out = spark.read.format("pulsarlike").option("path", tp).load()
+    assert out.count() == 1000
+    for r in out.groupBy("partition").agg(F.max("offset").alias("hi"), F.count("*").alias("n")).collect():
+        assert r["hi"] == r["n"] - 1
+
+
+def test_batch_reader_filter_pushdown_prunes(spark, tmp_root):
+    """§2.C1 at the custom source: offset/partition predicates are pushed
+    into segment listing (and results still correct)."""
+    tp = _make_topic(spark, tmp_root)
+    df = spark.read.format("pulsarlike").option("path", tp).load()
+    sub = df.filter((F.col("offset") >= 100) & (F.col("partition") == 2))
+    rows = sub.collect()
+    full = {(r["partition"], r["offset"]) for r in df.collect()}
+    assert {(r["partition"], r["offset"]) for r in rows} == {
+        (p, o) for (p, o) in full if p == 2 and o >= 100
+    }
+    # the predicates were CONSUMED by pushdown: no post-scan Filter node remains
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "Filter (" not in plan and "+- Filter" not in plan
