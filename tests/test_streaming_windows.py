@@ -1,0 +1,72 @@
+"""Watermarked streaming window aggregation vs batch oracle (§2.G2/G5).
+
+Append-mode window emission is watermark-driven: a window emits only once
+the event-time watermark passes its end. With availableNow single-batch
+runs, run N's data sets the watermark that run N+1 uses — so the test
+replays the topic in two runs and checks run 2 emits exactly the windows
+that closed under run 1's watermark.
+"""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pulsar_3_2_codedump_spark import topic as T
+from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.envelope import wrap_events
+from tests.conftest import SF_DIR
+
+LAG = "30 seconds"
+
+
+def test_append_mode_window_emission_matches_watermark_closure(spark, tmp_root):
+    tp = T.create_topic(tmp_root, "wm", n_partitions=2)
+    env = wrap_events(load(spark, SF_DIR, "events")).drop("partition", "offset")
+    first = env.filter(F.col("sequence_id") < 500)
+    T.append(spark, first, tp)
+
+    src = spark.readStream.format("pulsarlike").option("path", tp).load()
+    agg = (
+        src.withWatermark("event_time", LAG)
+        .groupBy(F.window("event_time", "1 hour").alias("w"), F.col("properties")["event_type"].alias("etype"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "etype", "n")
+    )
+
+    emitted: list = []
+
+    def grab(batch, _bid):
+        emitted.extend(batch.collect())
+
+    def run_once():
+        q = (
+            agg.writeStream.foreachBatch(grab)
+            .outputMode("append")
+            .option("checkpointLocation", tmp_root + "/ck_wm")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    assert emitted == []  # nothing closed yet: watermark trails by one batch
+    T.append(spark, env.filter(F.col("sequence_id").between(500, 599)), tp)
+    run_once()
+
+    # oracle: windows over the first 500 whose end ≤ (max event_time − lag)
+    wm = first.agg(F.max("event_time")).collect()[0][0] - dt.timedelta(seconds=30)
+    expected_df = (
+        first.groupBy(
+            F.window("event_time", "1 hour").alias("w"),
+            F.col("properties")["event_type"].alias("etype"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("w.end") <= F.lit(wm))
+        .select(F.col("w.start").alias("ws"), "etype", "n")
+    )
+    expected = {(r["ws"], r["etype"]): r["n"] for r in expected_df.collect()}
+    got = {(r["ws"], r["etype"]): r["n"] for r in emitted}
+    # run-2's new rows can add counts only to OPEN windows (not yet emitted),
+    # so every emitted closed window must match the batch count exactly
+    assert got == expected
+    assert len(got) > 0
