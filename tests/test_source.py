@@ -149,3 +149,24 @@ def test_batch_reader_filter_pushdown_prunes(spark, tmp_root):
     # the predicates were CONSUMED by pushdown: no post-scan Filter node remains
     plan = sub._jdf.queryExecution().executedPlan().toString()
     assert "Filter (" not in plan and "+- Filter" not in plan
+
+
+def test_multi_topic_streaming_union(spark, tmp_root):
+    """A5 streaming form: one query consuming N topics via unionByName of
+    sources (MultiTopicsConsumerImpl semantics), each with its own offsets."""
+    env = wrap_events(load(spark, SF_DIR, "events")).drop("partition", "offset")
+    tp_a = T.create_topic(tmp_root, "ta", n_partitions=2)
+    tp_b = T.create_topic(tmp_root, "tb", n_partitions=2)
+    T.append(spark, env.filter(F.col("sequence_id") < 400), tp_a)
+    T.append(spark, env.filter(F.col("sequence_id") >= 400), tp_b)
+    a = spark.readStream.format("pulsarlike").option("path", tp_a).load().withColumn("topic", F.lit("ta"))
+    b = spark.readStream.format("pulsarlike").option("path", tp_b).load().withColumn("topic", F.lit("tb"))
+    q = (
+        a.unionByName(b).groupBy("topic").count()
+        .writeStream.format("memory").queryName("mt").outputMode("complete")
+        .option("checkpointLocation", tmp_root + "/ck_mt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {r["topic"]: r["count"] for r in spark.sql("select * from mt").collect()}
+    assert got == {"ta": 400, "tb": 600}
