@@ -65,5 +65,6 @@ def load_all() -> dict[str, Query]:
         text,
     )
     from pulsar_3_2_codedump_spark.operators import delivery  # noqa: F401
+    from pulsar_3_2_codedump_spark.streaming import queries_streaming  # noqa: F401
 
     return REGISTRY
