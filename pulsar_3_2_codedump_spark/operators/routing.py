@@ -181,3 +181,28 @@ def key_shared_sticky_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("consumer")
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("key").alias("n_keys"))
     )
+
+
+@query(
+    "round_robin_routing",
+    section="2.B2",
+    doc="Keyless round-robin routing (RoundRobinPartitionMessageRouterImpl.java:82-84): "
+    "messages without a key spread evenly — partition = sequence mod N; per-partition "
+    "counts are balanced to within one message.",
+    oracle="""
+        SELECT CAST(event_id % 8 AS INT) AS partition, COUNT(*) AS n,
+               MIN(event_id) AS first_seq, MAX(event_id) AS last_seq
+        FROM events GROUP BY 1
+    """,
+)
+def round_robin_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("partition", (F.col("event_id") % 8).cast("int"))
+        .groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("first_seq"),
+            F.max("event_id").alias("last_seq"),
+        )
+    )

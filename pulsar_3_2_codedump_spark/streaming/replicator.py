@@ -189,3 +189,28 @@ def windowed_with_late_side_output(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def reconsume_later(
+    failed: DataFrame, backoff_base_seconds: int = 2, max_backoff_seconds: int = 3600
+) -> DataFrame:
+    """reconsumeLater → RETRY topic with exponential redelivery backoff
+    (§2.J4: RedeliveryBackoff / RetryMessageUtil.java:31-33 — retry messages
+    are DELAYED messages): stamp deliver_at = publish_time + min(base^(rc+1),
+    cap) seconds, bump the redelivery counter, and let the delayed-delivery
+    operator (streaming/delayed.py) hold them until due."""
+    rc = F.coalesce(F.col("properties")["redelivery_count"].cast("int"), F.lit(0))
+    backoff = F.least(
+        F.pow(F.lit(float(backoff_base_seconds)), rc + 1).cast("long"),
+        F.lit(max_backoff_seconds),
+    )
+    return failed.withColumn(
+        "deliver_at",
+        F.timestamp_micros(F.unix_micros(F.col("publish_time")) + backoff * 1_000_000),
+    ).withColumn(
+        "properties",
+        F.map_concat(
+            F.map_filter(F.col("properties"), lambda k, _: k != F.lit("redelivery_count")),
+            F.create_map(F.lit("redelivery_count"), (rc + 1).cast("string")),
+        ),
+    )

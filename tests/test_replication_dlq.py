@@ -99,3 +99,25 @@ def test_read_compacted_via_source(spark, tmp_root):
     # non-compacted read still sees the full log
     full = spark.read.format("pulsarlike").option("path", tp).load()
     assert full.count() == 700
+
+
+def test_reconsume_later_exponential_backoff(spark):
+    """J4: each redelivery pushes deliver_at out exponentially (retry
+    messages are delayed messages, RetryMessageUtil)."""
+    from pulsar_3_2_codedump_spark.streaming.replicator import reconsume_later
+
+    env = wrap_events(load(spark, SF_DIR, "events")).filter(F.col("sequence_id") < 10)
+    r1 = reconsume_later(env)
+    row1 = r1.select("publish_time", "deliver_at", "properties").first()
+    assert (row1["deliver_at"] - row1["publish_time"]).total_seconds() == 2.0  # 2^1
+    assert row1["properties"]["redelivery_count"] == "1"
+    r2 = reconsume_later(r1)
+    row2 = r2.select("publish_time", "deliver_at", "properties").first()
+    assert (row2["deliver_at"] - row2["publish_time"]).total_seconds() == 4.0  # 2^2
+    assert row2["properties"]["redelivery_count"] == "2"
+    # backoff is capped
+    capped = reconsume_later(
+        env.withColumn("properties", F.create_map(F.lit("redelivery_count"), F.lit("30"))),
+        max_backoff_seconds=600,
+    ).first()
+    assert (capped["deliver_at"] - capped["publish_time"]).total_seconds() == 600.0
