@@ -170,3 +170,32 @@ def test_multi_topic_streaming_union(spark, tmp_root):
     q.awaitTermination(180)
     got = {r["topic"]: r["count"] for r in spark.sql("select * from mt").collect()}
     assert got == {"ta": 400, "tb": 600}
+
+
+def test_per_key_order_preserved_through_stream_copy(spark, tmp_root):
+    """Key_Shared's core guarantee end-to-end (§2.B3): after a full
+    stream-copy (source -> sink), each key's messages appear in the
+    destination in the same relative order (by offset) as in the source."""
+    src_tp = _make_topic(spark, tmp_root, parts=4)
+    dst_tp = T.create_topic(tmp_root, "ordered-copy", n_partitions=4)
+    q = (
+        spark.readStream.format("pulsarlike").option("path", src_tp).load()
+        .writeStream.format("pulsarlike").option("path", dst_tp)
+        .option("checkpointLocation", tmp_root + "/ck_ord")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+    def key_sequences(tp):
+        df = spark.read.format("pulsarlike").option("path", tp).load()
+        rows = df.select("key", "partition", "offset", "sequence_id").collect()
+        seqs = {}
+        for r in sorted(rows, key=lambda r: (r["partition"], r["offset"])):
+            seqs.setdefault(r["key"], []).append(r["sequence_id"])
+        return seqs
+
+    src_seqs = key_sequences(src_tp)
+    dst_seqs = key_sequences(dst_tp)
+    assert set(src_seqs) == set(dst_seqs)
+    for k in src_seqs:
+        assert src_seqs[k] == dst_seqs[k], f"per-key order broken for key {k}"
