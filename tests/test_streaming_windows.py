@@ -70,3 +70,52 @@ def test_append_mode_window_emission_matches_watermark_closure(spark, tmp_root):
     # so every emitted closed window must match the batch count exactly
     assert got == expected
     assert len(got) > 0
+
+
+def test_streaming_session_windows_close_under_watermark(spark, tmp_root):
+    """Session windows on a stream (beyond-reference G-ext): sessions emit
+    once the watermark passes their close (last event + gap); emitted
+    sessions match the batch session_window computation over the same rows."""
+    tp = T.create_topic(tmp_root, "sess", n_partitions=2)
+    env = wrap_events(load(spark, SF_DIR, "events")).drop("partition", "offset")
+    first = env.filter(F.col("sequence_id") < 600)
+    T.append(spark, first, tp)
+
+    src = spark.readStream.format("pulsarlike").option("path", tp).load()
+    agg = (
+        src.withWatermark("event_time", "30 seconds")
+        .groupBy(F.session_window("event_time", "30 minutes").alias("w"), "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "key", "n")
+    )
+    emitted: list = []
+
+    def grab(batch, _bid):
+        emitted.extend(batch.collect())
+
+    def run_once():
+        q = (
+            agg.writeStream.foreachBatch(grab).outputMode("append")
+            .option("checkpointLocation", tmp_root + "/ck_sess")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    assert emitted == []
+    T.append(spark, env.filter(F.col("sequence_id").between(600, 699)), tp)
+    run_once()
+    assert len(emitted) > 0
+
+    import datetime as dt
+
+    wm = first.agg(F.max("event_time")).collect()[0][0] - dt.timedelta(seconds=30)
+    expected_df = (
+        first.groupBy(F.session_window("event_time", "30 minutes").alias("w"), "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("w.end") <= F.lit(wm))
+        .select(F.col("w.start").alias("ws"), "key", "n")
+    )
+    expected = {(r["ws"], r["key"]): r["n"] for r in expected_df.collect()}
+    got = {(r["ws"], r["key"]): r["n"] for r in emitted}
+    assert got == expected
