@@ -33,10 +33,14 @@ def _md5int(c: Column) -> Column:
 
 
 def shingles(text: Column, k: int = SHINGLE_K) -> Column:
-    """Distinct k-word shingles of lowercased text (built-in array ops only)."""
+    """Distinct k-word shingles of lowercased text (built-in array ops only).
+
+    Documents shorter than k words fall back to one whole-document shingle
+    (Spark's sequence(1, 0) would DESCEND and emit index 0 — a real bug
+    hypothesis found on no-whitespace inputs)."""
     ws = F.split(F.lower(F.trim(text)), r"\s+")
     n = F.size(ws)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, k))))
 
 
@@ -70,7 +74,7 @@ def base_hashes(sh: Column) -> Column:
 # DuckDB fragments mirroring the Spark expressions above
 _D_WORDS = r"string_split_regex(lower(trim(text)), '\s+')"
 _D_SHINGLES = (
-    f"list_distinct(list_transform(generate_series(1, greatest(len({_D_WORDS}) - 2, 0)),"
+    f"list_distinct(list_transform(generate_series(1, greatest(len({_D_WORDS}) - 2, 1)),"
     f" i -> array_to_string({_D_WORDS}[i:i+2], ' ')))"
 )
 

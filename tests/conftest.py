@@ -8,6 +8,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = "/root/testdata/sf0.001"
 
 
+_SPARK = None  # populated by the session fixture; used by hypothesis tests
+# (hypothesis @given can't take pytest fixtures directly)
+
+
 @pytest.fixture(scope="session")
 def spark():
     from pulsar_3_2_codedump_spark.session import get_spark
@@ -16,6 +20,8 @@ def spark():
     s = get_spark("tests", cpus=8)
     s.conf.set("spark.sql.shuffle.partitions", "8")
     register(s)
+    global _SPARK
+    _SPARK = s
     yield s
 
 

@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) for the algebraic invariants the engine
+relies on at scale: compaction idempotence, dedup stability, salted-agg
+equivalence, minhash determinism. Each property runs a real Spark job per
+example, so example counts are kept small and inputs tiny."""
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),      # key
+        st.integers(min_value=0, max_value=999),    # seq (may collide)
+        st.floats(min_value=0, max_value=100, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _env_df(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["k", "seq", "v"])
+    pdf = pdf.drop_duplicates(subset=["k", "seq"])  # (key, seq) is an identity
+    df = spark.createDataFrame(pdf)
+    return df.select(
+        F.col("k").cast("string").alias("key"),
+        F.col("seq").cast("long").alias("sequence_id"),
+        F.col("v").cast("double").alias("value"),
+        (F.col("k") % 2).cast("int").alias("partition"),
+        F.col("seq").cast("long").alias("offset"),
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=ROWS)
+def test_compaction_is_idempotent_and_one_row_per_key(spark, rows):
+    from pulsar_3_2_codedump_spark.operators.compaction import latest_per_key
+
+    df = _env_df(spark, rows)
+    once = latest_per_key(df)
+    twice = latest_per_key(once)
+    assert once.count() == df.select("key").distinct().count()
+    assert once.exceptAll(twice).count() == 0 and twice.exceptAll(once).count() == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=ROWS)
+def test_dedup_replay_is_noop(spark, rows):
+    df = _env_df(spark, rows).withColumn("producer_name", F.lit("p"))
+    replayed = df.unionByName(df.limit(10))
+    deduped = replayed.dropDuplicates(["producer_name", "sequence_id"])
+    assert deduped.count() == df.count()
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=ROWS)
+def test_salted_agg_equals_plain_agg(spark, rows):
+    from pulsar_3_2_codedump_spark.operators.skew import salted_count_sum
+
+    df = _env_df(spark, rows)
+    salted = salted_count_sum(df, "key", "value", unique_col="sequence_id", salt=4)
+    plain = df.groupBy("key").agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    s = {(r["key"], r["n"], round(r["total"], 6)) for r in salted.collect()}
+    p = {(r["key"], r["n"], round(r["total"], 6)) for r in plain.collect()}
+    assert s == p
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=st.lists(st.text(alphabet="abcdefg ", min_size=10, max_size=40), min_size=2, max_size=10))
+def test_minhash_signature_deterministic_and_permutation_invariant(spark, texts):
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import (
+        base_hashes,
+        minhash_signature,
+        shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sig = df.select(
+        "doc_id",
+        shingles(F.col("text")).alias("sh"),
+    ).withColumn("hs", base_hashes(F.col("sh")))
+    out = sig.select("doc_id", *minhash_signature(F.col("hs")))
+    a = {r["doc_id"]: tuple(r[f"h{j}"] for j in range(8)) for r in out.collect()}
+    b = {r["doc_id"]: tuple(r[f"h{j}"] for j in range(8)) for r in out.collect()}
+    assert a == b  # deterministic across executions
+    # identical text ⇒ identical signature regardless of doc id
+    for i, ti in enumerate(texts):
+        for j, tj in enumerate(texts):
+            if ti == tj:
+                assert a[i] == a[j]
