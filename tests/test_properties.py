@@ -47,7 +47,14 @@ def test_compaction_is_idempotent_and_one_row_per_key(spark, rows):
 @settings(max_examples=8, deadline=None)
 @given(rows=ROWS)
 def test_dedup_replay_is_noop(spark, rows):
-    df = _env_df(spark, rows).withColumn("producer_name", F.lit("p"))
+    # one producer ⇒ sequence_id is unique across ALL its messages
+    # (MessageDeduplication's invariant), so dedupe the generator on seq alone
+    pdf = pd.DataFrame(rows, columns=["k", "seq", "v"]).drop_duplicates(subset=["seq"])
+    df = spark.createDataFrame(pdf).select(
+        F.col("k").cast("string").alias("key"),
+        F.col("seq").cast("long").alias("sequence_id"),
+        F.col("v").cast("double").alias("value"),
+    ).withColumn("producer_name", F.lit("p"))
     replayed = df.unionByName(df.limit(10))
     deduped = replayed.dropDuplicates(["producer_name", "sequence_id"])
     assert deduped.count() == df.count()
