@@ -215,3 +215,81 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.desc("total_occurrences"), F.asc("term"))
         .limit(20)
     )
+
+
+@query(
+    "document_chunking",
+    section="2.N-text",
+    doc="Training-data chunking: split each document into fixed-size token "
+    "windows (size 8, stride 6 → 2-token overlap), keeping the tail chunk. "
+    "Pure array ops (sequence + slice), no Python.",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT doc_id, CAST(s AS BIGINT) AS chunk_id,
+               array_to_string(ws[(s * 6 + 1):(s * 6 + 8)], ' ') AS chunk,
+               least(len(ws) - s * 6, 8) AS n_tokens
+        FROM tok, UNNEST(generate_series(0, CAST(ceil(greatest(len(ws) - 8, 0) / 6.0) AS BIGINT))) AS t(s)
+    """,
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    size, stride = 8, 6
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ws = words(F.col("text"))
+    n_chunks_minus1 = F.ceil(F.greatest(F.size(ws) - size, F.lit(0)) / stride)
+    chunk_ids = F.sequence(F.lit(0), n_chunks_minus1)
+    tok = docs.select("doc_id", ws.alias("ws"), F.explode(chunk_ids).alias("chunk_id"))
+    return tok.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", F.slice("ws", F.col("chunk_id") * stride + 1, size)).alias("chunk"),
+        F.least(F.size("ws") - F.col("chunk_id") * stride, F.lit(size)).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+
+
+@query(
+    "sequence_packing",
+    section="2.N-text",
+    doc="Context-window packing: assign documents (in doc_id order per source) "
+    "to training sequences of capacity 64 tokens — bin boundary whenever the "
+    "running token total crosses a multiple of capacity (contiguous greedy "
+    "packing, the standard streaming-friendly packer).",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id, source,
+                   len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+            FROM documents
+        ),
+        runs AS (
+            SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS cum
+            FROM tok
+        )
+        SELECT source, CAST((cum - n_tokens) // 64 AS BIGINT) AS pack_id,
+               COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM runs GROUP BY 1, 2
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    cap = 64
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", token_count(F.col("text")).alias("n_tokens"))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    runs = tok.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        runs.withColumn("pack_id", F.floor((F.col("cum") - F.col("n_tokens")) / cap))
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
