@@ -317,3 +317,63 @@ def read_topics(spark: SparkSession, root: str, pattern: str = ".*") -> DataFram
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+def merge_small_segments(
+    spark: SparkSession, topic_path: str, target_rows: int = 100_000
+) -> int:
+    """Background segment merge — the ledger-roll/small-file compactor
+    (ManagedLedgerImpl.rollCurrentLedgerIfFull:1794 rolls ledgers at a size
+    target; high-frequency micro-batch appends produce the inverse problem,
+    many small segments, which at 100 TB wrecks scan planning and footer
+    overhead).
+
+    Greedily coalesces ADJACENT segments per partition into runs of up to
+    ``target_rows``, rewrites each run as one segment (offsets are stored in
+    the rows, so the merged file is just their concatenation), and commits
+    the manifest atomically. Readers are unaffected mid-merge: they hold the
+    old manifest and old files are deleted only after the commit point.
+    Returns the number of segments eliminated.
+    """
+    import shutil
+
+    manifest = read_manifest(topic_path)
+    eliminated = 0
+    to_delete: list[str] = []
+    for p, segs in manifest["segments"].items():
+        segs = sorted(segs, key=lambda s: s["start"])
+        runs: list[list[dict]] = []
+        cur: list[dict] = []
+        cur_rows = 0
+        for s in segs:
+            if cur and cur_rows + s["count"] > target_rows:
+                runs.append(cur)
+                cur, cur_rows = [], 0
+            cur.append(s)
+            cur_rows += s["count"]
+        if cur:
+            runs.append(cur)
+        new_segs = []
+        for run in runs:
+            if len(run) == 1:
+                new_segs.append(run[0])
+                continue
+            start = run[0]["start"]
+            count = sum(s["count"] for s in run)
+            paths = [os.path.join(topic_path, f"partition={p}", s["path"]) for s in run]
+            merged = spark.read.schema(ENVELOPE_SCHEMA).parquet(*paths)
+            seg_name = f"seg-{start:020d}-{count}-merged"
+            tmp = os.path.join(topic_path, f"partition={p}", f"_merge_{uuid.uuid4().hex[:8]}")
+            # keep row order = offset order inside the merged segment
+            merged.repartition(1).sortWithinPartitions("offset").write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            os.replace(tmp, os.path.join(topic_path, f"partition={p}", seg_name))
+            new_segs.append({"start": int(start), "count": int(count), "path": seg_name})
+            to_delete.extend(paths)
+            eliminated += len(run) - 1
+        manifest["segments"][p] = new_segs
+    _write_manifest_atomic(topic_path, manifest)  # commit point
+    for path in to_delete:
+        shutil.rmtree(path, ignore_errors=True)
+    return eliminated

@@ -123,3 +123,34 @@ def test_pattern_topic_discovery_and_union(spark, tmp_root):
     df = T.read_topics(spark, tmp_root, r"orders-.*")
     assert df.count() == 200
     assert {r["topic"] for r in df.select("topic").distinct().collect()} == {"orders-a", "orders-b"}
+
+
+def test_merge_small_segments_preserves_data(spark, tmp_root):
+    """Ledger-roll analogue: many small appended segments coalesce into few,
+    bytes-identical data, offsets intact, old files gone after commit."""
+    tp = T.create_topic(tmp_root, "t7", n_partitions=2)
+    env = _env(spark)
+    for i in range(5):  # 5 ascending appends → 5 segments per partition
+        T.append(
+            spark, env.filter(F.col("sequence_id").between(i * 200, i * 200 + 199)), tp
+        )
+    before = T.read_topic(spark, tp)
+    before_rows = {(r["partition"], r["offset"], r["sequence_id"]) for r in before.collect()}
+    m_before = T.read_manifest(tp)
+    assert all(len(segs) == 5 for segs in m_before["segments"].values())
+
+    eliminated = T.merge_small_segments(spark, tp, target_rows=10_000)
+    assert eliminated == 8  # 5→1 per partition
+
+    m_after = T.read_manifest(tp)
+    assert all(len(segs) == 1 for segs in m_after["segments"].values())
+    after = T.read_topic(spark, tp)
+    after_rows = {(r["partition"], r["offset"], r["sequence_id"]) for r in after.collect()}
+    assert after_rows == before_rows
+    # streaming source still reads the merged topic correctly
+    df = spark.read.format("pulsarlike").option("path", tp).load()
+    assert df.count() == len(before_rows)
+    # appends continue cleanly after a merge
+    extra = env.limit(0)
+    ends = T.end_offsets(m_after)
+    assert T.append(spark, env.withColumn("producer_name", F.lit("p9")).limit(7), tp)
