@@ -411,3 +411,21 @@ def offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(15)
         .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
     )
+
+
+@query(
+    "approx_percentile_sketch",
+    section="2.M-agg",
+    doc="approx_percentile (mergeable sketch) — the 100 TB substitute for exact "
+    "percentiles (partial+final agg instead of per-group value buffering). "
+    "Engine-specific estimates → rows-only check; exactness covered by "
+    "q:stats_summary.",
+    oracle=None,
+)
+def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
