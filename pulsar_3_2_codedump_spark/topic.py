@@ -135,27 +135,33 @@ def append(
         .select(*cols)
     )
 
-    # stage files: one new segment per partition, named by start offset
+    # stage files: one new segment per partition, named by start offset.
+    # persist the staged frame so the write, the per-partition stats, and the
+    # producer high-water marks share ONE computation of the routing/offset
+    # pipeline instead of three.
     batch_id = uuid.uuid4().hex[:12]
     stage_dir = os.path.join(topic_path, f"_staging_{batch_id}")
-    staged.write.mode("overwrite").partitionBy("partition").parquet(stage_dir)
-
-    # gather per-partition stats for the manifest from the staged files
-    stats = (
-        spark.read.schema(ENVELOPE_SCHEMA).parquet(stage_dir)
-        .groupBy("partition")
-        .agg(
-            F.min("offset").alias("start"),
-            F.count(F.lit(1)).alias("count"),
-            F.max("publish_time").alias("max_pt"),
+    staged = staged.persist()
+    try:
+        staged.write.mode("overwrite").partitionBy("partition").parquet(stage_dir)
+        stats = (
+            staged.groupBy("partition")
+            .agg(
+                F.min("offset").alias("start"),
+                F.count(F.lit(1)).alias("count"),
+                F.max("publish_time").alias("max_pt"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    new_marks = {
-        r["producer_name"]: r["hwm"]
-        for r in staged.groupBy("producer_name").agg(F.max("sequence_id").alias("hwm")).collect()
-        if r["producer_name"] is not None
-    }
+        new_marks = {
+            r["producer_name"]: r["hwm"]
+            for r in staged.groupBy("producer_name")
+            .agg(F.max("sequence_id").alias("hwm"))
+            .collect()
+            if r["producer_name"] is not None
+        }
+    finally:
+        staged.unpersist()
 
     # move staged partition dirs into place as committed segments
     import shutil
