@@ -30,8 +30,8 @@ from pulsar_3_2_codedump_spark.queries import query
                ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
                ROUND(median(l_quantity), 4)                   AS med_qty,
                ROUND(stddev_samp(l_extendedprice), 4)         AS sd_price,
-               ROUND(corr(l_quantity, l_extendedprice), 6)    AS qty_price_corr,
-               ROUND(covar_samp(l_discount, l_tax), 6)        AS disc_tax_cov
+               ROUND(corr(l_quantity, l_extendedprice), 6) + 0 AS qty_price_corr,
+               ROUND(covar_samp(l_discount, l_tax), 6) + 0     AS disc_tax_cov
         FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -39,15 +39,17 @@ def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_3_2_codedump_spark.catalog import fanout
 
     # exact percentiles buffer per-group values in the aggregator — fan the
-    # single-row-group scan out so partial aggregation runs on all cores
+    # single-row-group scan out so partial aggregation runs on all cores.
+    # corr/covar can round to IEEE -0.0 in one engine and +0.0 in the other;
+    # "+ 0.0" (here and in the oracle) normalizes the sign of zero.
     li = fanout(load(spark, sf_dir, "lineitem"))
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
         F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
         F.round(F.median("l_quantity"), 4).alias("med_qty"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_cov"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias("qty_price_corr"),
+        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0)).alias("disc_tax_cov"),
     )
 
 

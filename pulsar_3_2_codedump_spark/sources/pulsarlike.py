@@ -87,9 +87,13 @@ def _write_manifest_atomic(path: str, manifest: dict) -> None:
 
 
 def _end_offsets(manifest: dict) -> dict[str, int]:
+    # max(live-segment end, persisted next_offset) — offsets never regress
+    # after a retention trim drops every segment (mirrors topic.end_offsets)
+    nxt = manifest.get("next_offset", {})
     out = {}
     for p, segs in manifest["segments"].items():
-        out[p] = max((s["start"] + s["count"] for s in segs), default=0)
+        live = max((s["start"] + s["count"] for s in segs), default=0)
+        out[p] = max(live, int(nxt.get(p, 0)))
     return out
 
 
@@ -195,9 +199,24 @@ class _SegmentScanMixin:
     def read(self, partition):
         manifest = self._manifest()
         if isinstance(partition, SnapshotPartition):
+            import pyarrow.compute as pc
+
             target = _arrow_schema()
             snap = pq.read_table(os.path.join(self.path, partition.rel_path))
-            yield from snap.select(target.names).cast(target).to_batches()
+            tbl = snap.select(target.names).cast(target)
+            # re-apply consumed pushed filters (offset range / partition
+            # equality) — the snapshot is NOT offset-pruned at listing time,
+            # and Spark will not re-check filters we claimed in pushFilters
+            lo = getattr(self, "_lo", 0)
+            hi = getattr(self, "_hi", None)
+            only = getattr(self, "_only_partition", None)
+            if lo:
+                tbl = tbl.filter(pc.greater_equal(tbl.column("offset"), lo))
+            if hi is not None:
+                tbl = tbl.filter(pc.less(tbl.column("offset"), hi))
+            if only is not None:
+                tbl = tbl.filter(pc.equal(tbl.column("partition"), only))
+            yield from tbl.to_batches()
             return
         p = partition.partition
         for seg in sorted(manifest["segments"][p], key=lambda s: s["start"]):
@@ -365,12 +384,17 @@ class PulsarLikeStreamWriter(DataSourceStreamWriter):
         tc = TaskContext.get()
         task = f"{tc.partitionId()}-{uuid.uuid4().hex[:8]}" if tc else uuid.uuid4().hex[:8]
         rows_by_part: dict[int, list] = {}
+        from pulsar_3_2_codedump_spark.hashing import route_partition
+
         for row in iterator:
             d = row.asDict(recursive=False)
             p = d.get("partition")
             if p is None:
-                key = d.get("key") or ""
-                p = hash(key) % n_part  # keyless → spread; keyed routing should pre-set partition
+                # deterministic routing, bit-identical to the batch path's
+                # pmod(xxhash64(key), N) (topic.append) — builtin hash() is
+                # PYTHONHASHSEED-randomized per worker and would scatter a
+                # key across partitions between executors/restarts
+                p = route_partition(d.get("key"), n_part)
             rows_by_part.setdefault(int(p), []).append(d)
 
         staged: dict[int, list] = {}
@@ -414,6 +438,9 @@ class PulsarLikeStreamWriter(DataSourceStreamWriter):
                 )
                 ends[str(p)] = base + count
         done.append(batchId)
+        nxt = manifest.setdefault("next_offset", {})
+        for p, e in ends.items():
+            nxt[str(p)] = max(int(nxt.get(str(p), 0)), int(e))
         _write_manifest_atomic(self.path, manifest)
 
     def abort(self, messages, batchId: int) -> None:

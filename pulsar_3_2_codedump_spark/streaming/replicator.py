@@ -99,8 +99,14 @@ def process_with_dlq(
                 ),
             )
             dlq = failed.filter(F.col("rc") + 1 >= max_redeliver)
-            T.append(sess, retry.drop("offset", "rc"), retry_topic)
-            T.append(sess, dlq.drop("offset", "rc"), dlq_topic)
+            # dedup=False: retried rows keep their original (producer_name,
+            # sequence_id), so producer-seq dedup would silently drop every
+            # redelivery after the first one set the high-water mark — the
+            # message would never climb the retry ladder nor reach the DLQ.
+            # Idempotency under micro-batch replay is provided by foreachBatch
+            # checkpoint semantics, not by the producer marks.
+            T.append(sess, retry.drop("offset", "rc"), retry_topic, dedup=False)
+            T.append(sess, dlq.drop("offset", "rc"), dlq_topic, dedup=False)
         finally:
             b.unpersist()
 

@@ -71,16 +71,25 @@ def create_topic(root: str, name: str, n_partitions: int = 4) -> str:
             # per-producer dedup high-water marks (MessageDeduplication analogue)
             "producer_seq": {},
             "compaction_horizon": {str(p): -1 for p in range(n_partitions)},
+            # persisted per-partition high-water mark: offsets never regress
+            # even if retention trims every live segment (the reference never
+            # reuses positions after internalTrimLedgers)
+            "next_offset": {str(p): 0 for p in range(n_partitions)},
         },
     )
     return topic_path
 
 
 def end_offsets(manifest: dict) -> dict[int, int]:
-    """Exclusive end offset per partition (== next offset to assign)."""
+    """Exclusive end offset per partition (== next offset to assign).
+
+    max(live-segment end, persisted next_offset) so a full retention trim of
+    a partition cannot reset the high-water mark and reissue offsets."""
+    nxt = manifest.get("next_offset", {})
     out = {}
     for p, segs in manifest["segments"].items():
-        out[int(p)] = max((s["start"] + s["count"] for s in segs), default=0)
+        live = max((s["start"] + s["count"] for s in segs), default=0)
+        out[int(p)] = max(live, int(nxt.get(p, 0)))
     return out
 
 
@@ -181,8 +190,27 @@ def append(
         prev = int(manifest["producer_seq"].get(prod, -1))
         manifest["producer_seq"][prod] = max(prev, int(hwm))
 
+    new_ends = end_offsets(manifest)
+    manifest["next_offset"] = {str(p): int(e) for p, e in new_ends.items()}
     _write_manifest_atomic(topic_path, manifest)  # the commit point
-    return end_offsets(manifest)
+    return new_ends
+
+
+def _materialize_offsets(df: DataFrame) -> DataFrame:
+    """Stream-sink segments store rows in append order WITHOUT an offset
+    column — the base offset is assigned at commit and encoded in the segment
+    file name ``seg-<start>-<count>`` (offset stamping is broker-side, not
+    producer-side: AppendIndexMetadataInterceptor). Stamp
+    ``offset = start + row position`` at read; batch-appended segments carry
+    materialized offsets which the coalesce keeps. Fully distributed — uses
+    the parquet ``_metadata.row_index`` hidden column, no driver pass."""
+    seg_start = F.when(
+        F.col("_metadata.file_name").startswith("seg-"),
+        F.element_at(F.split(F.col("_metadata.file_name"), "-"), 2).try_cast("long"),
+    )
+    return df.withColumn(
+        "offset", F.coalesce(F.col("offset"), seg_start + F.col("_metadata.row_index"))
+    )
 
 
 def read_topic(
@@ -207,7 +235,9 @@ def read_topic(
             paths.append(os.path.join(topic_path, f"partition={p}", s["path"]))
     if not paths:
         return spark.createDataFrame([], ENVELOPE_SCHEMA)
-    df = spark.read.schema(ENVELOPE_SCHEMA).option("basePath", topic_path).parquet(*paths)
+    df = _materialize_offsets(
+        spark.read.schema(ENVELOPE_SCHEMA).option("basePath", topic_path).parquet(*paths)
+    )
     if start_offsets:
         lo_df = F.broadcast(
             spark.createDataFrame(list(start_offsets.items()), "partition int, __lo long")
@@ -231,6 +261,10 @@ def trim_retention(spark: SparkSession, topic_path: str, min_offset: dict[int, i
     import shutil
 
     manifest = read_manifest(topic_path)
+    # persist the high-water mark BEFORE dropping segments so offsets never
+    # regress even when a partition's every segment is trimmed (§ADVICE r1)
+    ends = end_offsets(manifest)
+    manifest["next_offset"] = {str(p): int(e) for p, e in ends.items()}
     dropped = 0
     for p, segs in manifest["segments"].items():
         keep = []
@@ -367,7 +401,14 @@ def merge_small_segments(
             start = run[0]["start"]
             count = sum(s["count"] for s in run)
             paths = [os.path.join(topic_path, f"partition={p}", s["path"]) for s in run]
-            merged = spark.read.schema(ENVELOPE_SCHEMA).parquet(*paths)
+            # stamp offsets for stream-sink segments (no inline offset column);
+            # drop partition before writing — segment data files never store
+            # it, the partition=<p> directory supplies it at read
+            merged = _materialize_offsets(
+                spark.read.schema(ENVELOPE_SCHEMA)
+                .option("basePath", topic_path)
+                .parquet(*paths)
+            ).drop("partition")
             seg_name = f"seg-{start:020d}-{count}-merged"
             tmp = os.path.join(topic_path, f"partition={p}", f"_merge_{uuid.uuid4().hex[:8]}")
             # keep row order = offset order inside the merged segment

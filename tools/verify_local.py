@@ -33,7 +33,8 @@ def canon_cell(v):
         if math.isnan(v):
             return "nan"
         if v == 0:
-            return "0"
+            # the driver's hash distinguishes IEEE -0.0 from +0.0 (r1 lesson)
+            return "-0" if math.copysign(1.0, v) < 0 else "0"
         return f"{v:.9g}"
     if isinstance(v, (int,)):
         return str(v)
