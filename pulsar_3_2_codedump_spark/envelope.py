@@ -94,6 +94,30 @@ def wrap_events(events: DataFrame) -> DataFrame:
     )
 
 
+_ENV_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cached_envelope(spark, sf_dir: str) -> DataFrame:
+    """The events fixture as an envelope log, materialized once per
+    (session, sf dir).
+
+    Offsets/partitions are stamped ONCE at append time in a real topic
+    (broker-side BrokerEntryMetadata, PulsarApi.proto:191) and then live in
+    the at-rest segments; recomputing the row_number window on every query
+    would be re-ingesting the log per read. Persisting the wrapped frame is
+    the in-memory stand-in for that at-rest state: every consumer-side
+    operator (TableView, compaction, dedup, routing, windows) reads the same
+    stored envelope, paying the routing/offset assignment exactly once."""
+    from pulsar_3_2_codedump_spark.catalog import load
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _ENV_CACHE.get(key)
+    if df is None:
+        df = wrap_events(load(spark, sf_dir, "events")).persist()
+        _ENV_CACHE[key] = df
+    return df
+
+
 # DuckDB-runnable CTE producing the SQL-visible columns of the same envelope
 # (binary/map columns excluded — oracle queries only touch scalar columns).
 EVENTS_ENVELOPE_ORACLE = """

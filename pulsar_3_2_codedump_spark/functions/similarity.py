@@ -244,6 +244,111 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_K = 8  # coarse-quantizer cells
+IVF_TOP_K = 3
+
+
+def ivf_index(spark: SparkSession, emb: DataFrame, k: int = IVF_K, seed: int = 7):
+    """IVF coarse quantizer: KMeans over the embedding column (pyspark.ml).
+
+    Returns (assigned, centroids_df): every corpus vector tagged with its
+    nearest-centroid ``cell``, plus the tiny (cell, centroid) table. At scale
+    the model is trained on a sample and ``assigned`` is written back as a
+    partition column, so a probe only scans nprobe/k of the corpus files —
+    the same file-pruning story as topic offset segmentation."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    # each KMeans iteration is a Spark job: fit on few, densely-packed
+    # partitions (at real scale: fit on a SAMPLE, assign the full corpus —
+    # the assignment transform below is a single embarrassingly-parallel map)
+    fit_input = vecs.coalesce(4).persist()
+    model = KMeans(
+        k=k, seed=seed, maxIter=8, initMode="random",
+        featuresCol="features", predictionCol="cell",
+    ).fit(fit_input)
+    fit_input.unpersist()
+    assigned = model.transform(vecs).select("vec_id", "cell")
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_ann_search(
+    spark: SparkSession,
+    emb: DataFrame,
+    queries: DataFrame,
+    nprobe: int,
+    top_k: int = IVF_TOP_K,
+    k_cells: int = IVF_K,
+) -> DataFrame:
+    """Probe-ranked IVF search, fully declarative (no driver loop):
+    queries × centroids (broadcast) → rank cells per query → keep nprobe →
+    join the probe set against the cell-assigned corpus → exact cosine →
+    top-k window. The corpus×corpus product never forms; the scanned
+    fraction is nprobe/k_cells."""
+    assigned, centroids = ivf_index(spark, emb, k=k_cells)
+    corpus = emb.join(assigned, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "cell"
+    )
+    cell_rank = W.partitionBy("query_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("cell_cos", cosine(F.col("q_emb").cast("array<double>"), F.col("centroid")))
+        .withColumn("cr", F.row_number().over(cell_rank))
+        .filter(F.col("cr") <= nprobe)
+        .select("query_id", "q_emb", "cell")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine_sim"), "rank")
+    )
+
+
+@query(
+    "ivf_ann_topk",
+    section="2.N-sim",
+    doc=f"IVF ANN: KMeans coarse quantizer ({IVF_K} cells), probe-ranked search. "
+    f"Registered with nprobe={IVF_K} (all cells) so the result is exactly "
+    f"brute-force top-{IVF_TOP_K} — hash-verifiable regardless of clustering; "
+    "tests/test_functions_ml.py asserts recall + candidate pruning at nprobe=2, "
+    "the actual scale configuration.",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                   WHERE vec_id % {QUERY_STRIDE} = 0),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   {_D_DOT} / ({_D_NORM_Q} * {_D_NORM_C}) AS cos
+            FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine_sim, rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+        WHERE rank <= {IVF_TOP_K}
+    """,
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivf_ann_search(spark, emb, queries, nprobe=IVF_K)
+
+
 @query(
     "approx_distinct_sketch",
     section="2.M-agg",

@@ -43,13 +43,20 @@ def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corr/covar can round to IEEE -0.0 in one engine and +0.0 in the other;
     # "+ 0.0" (here and in the oracle) normalizes the sign of zero.
     li = fanout(load(spark, sf_dir, "lineitem"))
+    # one percentile buffer for both price quantiles (each percentile() agg
+    # otherwise collects the full column per group independently)
+    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)))
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+        pcts.alias("__pcts"),
         F.round(F.median("l_quantity"), 4).alias("med_qty"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
         (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias("qty_price_corr"),
         (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0)).alias("disc_tax_cov"),
+    ).select(
+        "l_returnflag",
+        F.round(F.col("__pcts")[0], 4).alias("p50_price"),
+        F.round(F.col("__pcts")[1], 4).alias("p95_price"),
+        "med_qty", "sd_price", "qty_price_corr", "disc_tax_cov",
     )
 
 
@@ -259,9 +266,9 @@ def first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def schema_decode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
-    from pulsar_3_2_codedump_spark.envelope import wrap_events
+    from pulsar_3_2_codedump_spark.envelope import cached_envelope
 
-    env = wrap_events(load(spark, sf_dir, "events"))
+    env = cached_envelope(spark, sf_dir)
     schema = T.StructType([T.StructField("k", T.LongType(), True)])
     decoded = env.withColumn("data", F.from_json(F.col("value").cast("string"), schema))
     return (

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
 from pulsar_3_2_codedump_spark.catalog import load
-from pulsar_3_2_codedump_spark.envelope import EVENTS_ENVELOPE_ORACLE, wrap_events
+from pulsar_3_2_codedump_spark.envelope import EVENTS_ENVELOPE_ORACLE, cached_envelope
 from pulsar_3_2_codedump_spark.queries import query
 
 _ENV = f"WITH envelope AS ({EVENTS_ENVELOPE_ORACLE})"
@@ -89,7 +89,7 @@ def strategic_compact(env: DataFrame, rank_expr, payload_cols) -> DataFrame:
     """,
 )
 def tableview_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = wrap_events(load(spark, sf_dir, "events"))
+    env = cached_envelope(spark, sf_dir)
     ev = load(spark, sf_dir, "events").select(
         F.col("event_id").alias("sequence_id"), "event_type", F.col("value").alias("ev_value")
     )
@@ -120,7 +120,7 @@ def tableview_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def compaction_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = wrap_events(load(spark, sf_dir, "events"))
+    env = cached_envelope(spark, sf_dir)
     kept = compact(env, tombstone=F.col("properties")["event_type"] == "error")
     return kept.select(
         "key",
@@ -146,7 +146,7 @@ def compaction_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def strategic_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = wrap_events(load(spark, sf_dir, "events"))
+    env = cached_envelope(spark, sf_dir)
     ev = load(spark, sf_dir, "events").select("event_id", F.col("value").alias("ev_value"))
     enriched = env.join(ev, env.sequence_id == ev.event_id).withColumn(
         "rank_expr", F.col("ev_value") + F.col("sequence_id") * F.lit(1e-9)
@@ -173,7 +173,7 @@ def strategic_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def compacted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = wrap_events(load(spark, sf_dir, "events"))
+    env = cached_envelope(spark, sf_dir)
     horizon = 500
     snapshot = latest_per_key(env.filter(F.col("offset") <= horizon))
     tail = env.filter(F.col("offset") > horizon)

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pulsar_3_2_codedump_spark.catalog import load
-from pulsar_3_2_codedump_spark.envelope import EVENTS_ENVELOPE_ORACLE, wrap_events
+from pulsar_3_2_codedump_spark.envelope import EVENTS_ENVELOPE_ORACLE, cached_envelope
 from pulsar_3_2_codedump_spark.queries import query
 
 _ENV = f"WITH envelope AS ({EVENTS_ENVELOPE_ORACLE})"
@@ -51,7 +51,7 @@ def dedup_highest_sequence(env: DataFrame) -> DataFrame:
     """,
 )
 def dedup_producer_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = wrap_events(load(spark, sf_dir, "events"))
+    env = cached_envelope(spark, sf_dir)
     # replay duplicates: every 10th message is "sent twice" (simulating a
     # producer retry after a dropped receipt) — dedup must collapse them
     dup = env.filter(F.col("sequence_id") % 10 == 0)

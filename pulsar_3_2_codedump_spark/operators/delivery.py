@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pulsar_3_2_codedump_spark.catalog import load
-from pulsar_3_2_codedump_spark.envelope import EVENTS_ENVELOPE_ORACLE, wrap_events
+from pulsar_3_2_codedump_spark.envelope import EVENTS_ENVELOPE_ORACLE, cached_envelope
 from pulsar_3_2_codedump_spark.queries import query
 
 _ENV = f"WITH envelope AS ({EVENTS_ENVELOPE_ORACLE})"
@@ -60,7 +60,7 @@ def split_dlq(env: DataFrame, redelivery_count, max_redeliver: int = MAX_REDELIV
     """,
 )
 def dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = wrap_events(load(spark, sf_dir, "events")).filter(
+    env = cached_envelope(spark, sf_dir).filter(
         F.col("properties")["event_type"] == "error"
     )
     retry, dlq = split_dlq(env, F.col("sequence_id") % 5)
@@ -93,7 +93,7 @@ def dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def txn_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = wrap_events(load(spark, sf_dir, "events"))
+    env = cached_envelope(spark, sf_dir)
     txn = F.floor(F.col("sequence_id") / 50)
     return (
         env.withColumn("txn_id", txn)
@@ -121,7 +121,7 @@ def txn_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def replicator_loop_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = wrap_events(load(spark, sf_dir, "events"))
+    env = cached_envelope(spark, sf_dir)
     out = env.filter(F.col("replicated_from").isNull()).withColumn(
         "replicated_from", F.lit("cluster-a")
     )
@@ -144,7 +144,7 @@ def replicator_loop_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def batch_receive_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = wrap_events(load(spark, sf_dir, "events"))
+    env = cached_envelope(spark, sf_dir)
     return (
         env.withColumn("batch_id", F.floor(F.col("offset") / 100))
         .groupBy("partition", "batch_id")

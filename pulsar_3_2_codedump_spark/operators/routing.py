@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pulsar_3_2_codedump_spark.catalog import load
-from pulsar_3_2_codedump_spark.envelope import EVENTS_ENVELOPE_ORACLE, wrap_events
+from pulsar_3_2_codedump_spark.envelope import EVENTS_ENVELOPE_ORACLE, cached_envelope, wrap_events
 from pulsar_3_2_codedump_spark.queries import query
 
 _ENV = f"WITH envelope AS ({EVENTS_ENVELOPE_ORACLE})"
@@ -65,7 +65,7 @@ def key_shared_bucket(key_col, n_consumers: int):
     """,
 )
 def routing_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = wrap_events(load(spark, sf_dir, "events"))
+    env = cached_envelope(spark, sf_dir)
     return env.groupBy("partition").agg(
         F.count(F.lit(1)).alias("n_messages"), F.countDistinct("key").alias("n_keys")
     )
@@ -86,7 +86,7 @@ def routing_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def key_shared_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = wrap_events(load(spark, sf_dir, "events"))
+    env = cached_envelope(spark, sf_dir)
     return (
         env.withColumn("consumer", key_shared_bucket(F.col("key"), 4))
         .groupBy("consumer")
@@ -138,7 +138,7 @@ def entry_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multi_topic_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = wrap_events(load(spark, sf_dir, "events"))
+    env = cached_envelope(spark, sf_dir)
     a = env.filter(F.col("partition") < 4).withColumn("topic", F.lit("topic-a"))
     b = env.filter(F.col("partition") >= 4).withColumn("topic", F.lit("topic-b"))
     return (
@@ -174,7 +174,7 @@ def key_shared_sticky(key_col, ranges: list[tuple[int, int, int]]):
     """,
 )
 def key_shared_sticky_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = wrap_events(load(spark, sf_dir, "events"))
+    env = cached_envelope(spark, sf_dir)
     sel = key_shared_sticky(F.col("key"), [(0, 32767, 0), (32768, 65535, 1)])
     return (
         env.withColumn("consumer", sel)

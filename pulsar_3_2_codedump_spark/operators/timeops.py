@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pulsar_3_2_codedump_spark.catalog import load
-from pulsar_3_2_codedump_spark.envelope import EVENTS_ENVELOPE_ORACLE, wrap_events
+from pulsar_3_2_codedump_spark.envelope import EVENTS_ENVELOPE_ORACLE, cached_envelope
 from pulsar_3_2_codedump_spark.queries import query
 
 _ENV = f"WITH envelope AS ({EVENTS_ENVELOPE_ORACLE})"
@@ -54,7 +54,7 @@ def visible_as_of(env: DataFrame, as_of: str) -> DataFrame:
     """,
 )
 def delayed_delivery_due(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = wrap_events(load(spark, sf_dir, "events"))
+    env = cached_envelope(spark, sf_dir)
     return (
         visible_as_of(env, _AS_OF)
         .groupBy("partition")
@@ -76,7 +76,7 @@ def delayed_delivery_due(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = wrap_events(load(spark, sf_dir, "events"))
+    env = cached_envelope(spark, sf_dir)
     horizon = env.agg((F.max("publish_time") - F.expr("INTERVAL 7 DAY")).alias("h"))
     return (
         env.join(F.broadcast(horizon))
@@ -101,7 +101,7 @@ def ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def seek_by_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = wrap_events(load(spark, sf_dir, "events"))
+    env = cached_envelope(spark, sf_dir)
     return (
         env.filter(F.col("publish_time") >= F.lit(_AS_OF).cast("timestamp"))
         .groupBy("partition")
@@ -122,7 +122,7 @@ def seek_by_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def last_message_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = wrap_events(load(spark, sf_dir, "events"))
+    env = cached_envelope(spark, sf_dir)
     return env.groupBy("partition").agg(
         F.max("offset").alias("last_offset"),
         F.max_by("sequence_id", "offset").alias("last_sequence_id"),
@@ -142,7 +142,7 @@ def last_message_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def seek_reset_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = wrap_events(load(spark, sf_dir, "events"))
+    env = cached_envelope(spark, sf_dir)
     return (
         env.filter(F.col("offset") >= 100)
         .groupBy("partition")

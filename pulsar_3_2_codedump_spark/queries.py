@@ -58,7 +58,8 @@ PRIORITY_ORDER = [
     "stats_summary",
     # §2.N dedup / similarity / text / multimodal (first-class per BASELINE)
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash_fingerprint",
-    "cosine_topk", "lsh_bucket_stats", "lsh_ann_topk", "embedding_cosine_neardup",
+    "cosine_topk", "lsh_bucket_stats", "lsh_ann_topk", "ivf_ann_topk",
+    "embedding_cosine_neardup",
     "text_token_stats", "text_quality_score", "language_id", "doc_fingerprints",
     "bpe_regex_tokens", "top_terms", "document_chunking", "sequence_packing",
     "multimodal_metadata", "multimodal_features",
@@ -76,7 +77,6 @@ PRIORITY_ORDER = [
     "entry_filter_pushdown", "multi_topic_union", "salted_hot_key_agg",
     # §2.M flagships
     "pricing_summary", "shipping_priority", "asof_join_prior_view",
-    "monthly_rollup",
 ]
 
 

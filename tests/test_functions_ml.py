@@ -91,3 +91,58 @@ def test_media_metadata_prunes_blob(spark):
     agg = media.groupBy(F.col("meta.format")).agg(F.sum("meta.n_bytes"))
     plan = agg._jdf.queryExecution().optimizedPlan().toString()
     assert "blob" not in plan.split("Aggregate")[0]  # blob pruned before agg
+
+
+def test_ivf_ann_full_probe_equals_brute_force(spark):
+    """nprobe = all cells ⇒ IVF search is exactly brute-force top-k (every
+    corpus vector lives in exactly one cell), independent of clustering."""
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        IVF_K, QUERY_STRIDE, ivf_ann_search,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ivf = ivf_ann_search(spark, emb, queries, nprobe=IVF_K).collect()
+    # brute force over the same queries
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    from pyspark.sql.window import Window as W
+
+    scored = (
+        F.broadcast(queries)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    bf = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine_sim"), "rank")
+        .collect()
+    )
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, bf))
+
+
+def test_ivf_ann_nprobe_prunes_and_keeps_recall(spark):
+    """nprobe=2 of 8 cells: candidate set shrinks to ~nprobe/k of the corpus
+    while recall vs brute force stays high (clustered data ⇒ neighbors
+    co-locate in probed cells)."""
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        IVF_K, QUERY_STRIDE, ivf_ann_search,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    full = {(r["query_id"], r["neighbor_id"]) for r in ivf_ann_search(spark, emb, queries, nprobe=IVF_K).collect()}
+    pruned = ivf_ann_search(spark, emb, queries, nprobe=2).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in pruned}
+    recall = len(got & full) / len(full)
+    assert recall >= 0.5, f"recall {recall} too low"
+    # every result's rank list is still dense per query
+    by_q = {}
+    for r in pruned:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
