@@ -92,6 +92,7 @@ def load_all() -> dict[str, Query]:
         routing,
         skew,
         timeops,
+        tpch_extra,
         windows,
     )
     from pulsar_3_2_codedump_spark.functions import (  # noqa: F401
