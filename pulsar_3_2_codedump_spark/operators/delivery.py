@@ -154,3 +154,29 @@ def batch_receive_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("offset").alias("last_offset"),
         )
     )
+
+
+@query(
+    "ack_holes_redelivery",
+    section="2.J3",
+    doc="Individual acks / ack-holes (ManagedCursorImpl.java:131,199,1842): "
+    "consumers ack all but every 97th message (scattered holes); a cumulative "
+    "ack moves markDelete to offset 10 per partition. The redelivery set is "
+    "the log minus the cursor — two broadcast joins against condensed range "
+    "METADATA, never per-message driver state.",
+    oracle=f"""
+        {_ENV}
+        SELECT partition, "offset", key, sequence_id
+        FROM envelope
+        WHERE "offset" > 10 AND sequence_id % 97 = 0
+    """,
+)
+def ack_holes_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark import subscriptions as S
+
+    env = cached_envelope(spark, sf_dir)
+    acks = env.filter(F.col("sequence_id") % 97 != 0).select("partition", "offset")
+    state = S.ack_individual(S.new_ack_state(), S.condense_ranges(acks))
+    for p in list(state):
+        S.ack_cumulative(state, p, 10)
+    return S.unacked(spark, env, state).select("partition", "offset", "key", "sequence_id")

@@ -70,6 +70,7 @@ PRIORITY_ORDER = [
     "delayed_delivery_due",
     # delivery semantics (§2.J/K/L)
     "dlq_routing", "txn_visibility", "replicator_loop_guard", "batch_receive_policy",
+    "ack_holes_redelivery",
     # the Pulsar spine (§2.A/B/C/D/E)
     "tableview_latest", "compaction_tombstones", "strategic_compaction",
     "compacted_read", "dedup_producer_sequence", "routing_partition_counts",

@@ -50,6 +50,147 @@ def key_shared(spark: SparkSession, topic_path: str, n_consumers: int) -> list[D
     return shared(spark, topic_path, n_consumers)
 
 
+# ---------------------------------------------------------------------------
+# Individual acks / ack-holes (SURVEY §2.J3)
+#
+# Reference: a cursor is markDeletePosition (everything ≤ it is acked,
+# ManagedCursorImpl.java:131) plus individualDeletedMessages — a compact
+# range set of positions acked BEYOND the mark (ManagedCursorImpl.java:199).
+# Acks that close the gap above the mark advance it
+# (setAcknowledgedPosition, ManagedCursorImpl.java:1842); the persisted
+# range count is capped (managedLedgerMaxUnackedRangesToPersist = 10000,
+# ServiceConfiguration.java:2073) — overflow ranges are forgotten and those
+# messages redelivered (at-least-once).
+#
+# Spark re-expression: the range set is METADATA (small), the log is DATA
+# (huge). Condensing acked ids → ranges is a distributed gap-and-island
+# aggregation; the redelivery scan is the log minus two broadcast-joined
+# metadata frames. Nothing driver-side ever touches per-message state —
+# only the condensed ranges, same as the reference's cursor.
+# ---------------------------------------------------------------------------
+
+
+def condense_ranges(acks: DataFrame) -> DataFrame:
+    """(partition, offset) acked ids → contiguous (partition, lo, hi) ranges.
+
+    Distributed gap-and-island: one shuffle on partition; the output is
+    cursor metadata (bounded by the number of ack holes, not messages)."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("partition").orderBy("offset")
+    gap = F.when(F.col("offset") - F.lag("offset", 1).over(w) == 1, 0).otherwise(1)
+    return (
+        acks.select("partition", "offset")
+        .dropDuplicates()
+        .withColumn("island", F.sum(gap).over(w))
+        .groupBy("partition", "island")
+        .agg(F.min("offset").alias("lo"), F.max("offset").alias("hi"))
+        .drop("island")
+    )
+
+
+def _merge_ranges(ranges: list[list[int]]) -> list[list[int]]:
+    """Merge overlapping/adjacent [lo, hi] ranges (pure metadata op)."""
+    out: list[list[int]] = []
+    for lo, hi in sorted(ranges):
+        if out and lo <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return out
+
+
+def new_ack_state() -> dict:
+    """Empty cursor: per-partition {"mark_delete": -1, "ranges": [[lo,hi],…]}."""
+    return {}
+
+
+def ack_individual(
+    state: dict, new_ranges: DataFrame | list, max_ranges: int | None = 10000
+) -> dict:
+    """Apply individually-acked ranges to cursor state (mutates and returns).
+
+    ``new_ranges`` is either a condensed ranges DataFrame (from
+    condense_ranges) or a [(partition, lo, hi), …] list. Ranges contiguous
+    with the mark advance it (hole closing, ManagedCursorImpl.java:1842);
+    beyond ``max_ranges`` holes per partition the HIGHEST ranges are
+    forgotten → redelivered, the reference's persist-cap semantics."""
+    if isinstance(new_ranges, DataFrame):
+        new_ranges = [(r["partition"], r["lo"], r["hi"]) for r in new_ranges.collect()]
+    per_part: dict[int, list[list[int]]] = {}
+    for p, lo, hi in new_ranges:
+        per_part.setdefault(int(p), []).append([int(lo), int(hi)])
+    for p, ranges in per_part.items():
+        cur = state.setdefault(p, {"mark_delete": -1, "ranges": []})
+        merged = _merge_ranges(cur["ranges"] + ranges)
+        # drop ranges already below the mark, advance through the contiguous run
+        merged = [r for r in merged if r[1] > cur["mark_delete"]]
+        while merged and merged[0][0] <= cur["mark_delete"] + 1:
+            cur["mark_delete"] = merged.pop(0)[1]
+        if max_ranges is not None and len(merged) > max_ranges:
+            merged = merged[:max_ranges]
+        cur["ranges"] = merged
+    return state
+
+
+def ack_cumulative(state: dict, partition: int, offset: int) -> dict:
+    """Cumulative ack: move the mark, drop subsumed holes (mutates)."""
+    cur = state.setdefault(int(partition), {"mark_delete": -1, "ranges": []})
+    if offset > cur["mark_delete"]:
+        cur["mark_delete"] = int(offset)
+    cur["ranges"] = [r for r in cur["ranges"] if r[1] > cur["mark_delete"]]
+    # the mark may now touch the first surviving range — close the hole
+    while cur["ranges"] and cur["ranges"][0][0] <= cur["mark_delete"] + 1:
+        cur["mark_delete"] = max(cur["mark_delete"], cur["ranges"].pop(0)[1])
+    return state
+
+
+def save_ack_state(state: dict, path: str) -> None:
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({str(k): v for k, v in state.items()}, f)
+    os.replace(tmp, path)  # atomic, like the cursor's metadata-store write
+
+
+def load_ack_state(path: str) -> dict:
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return new_ack_state()
+    with open(path) as f:
+        return {int(k): v for k, v in json.load(f).items()}
+
+
+def unacked(spark: SparkSession, env: DataFrame, state: dict) -> DataFrame:
+    """The redelivery set: log rows not covered by the cursor.
+
+    Two broadcast joins against cursor METADATA: offset > mark_delete per
+    partition, then anti range-join on the hole-free acked ranges. The
+    range anti-join is a BroadcastNestedLoopJoin on purpose — the build
+    side is bounded by max_ranges (10k), never by data volume."""
+    md_rows = [(p, s["mark_delete"]) for p, s in state.items()]
+    rng_rows = [(p, lo, hi) for p, s in state.items() for lo, hi in s["ranges"]]
+    md = spark.createDataFrame(md_rows or [(-1, -1)], "partition int, mark_delete long")
+    out = (
+        env.join(F.broadcast(md), "partition", "left")
+        .filter(F.col("offset") > F.coalesce(F.col("mark_delete"), F.lit(-1)))
+        .drop("mark_delete")
+    )
+    if rng_rows:
+        rng = spark.createDataFrame(rng_rows, "rp int, lo long, hi long")
+        out = out.join(
+            F.broadcast(rng),
+            (F.col("partition") == F.col("rp"))
+            & F.col("offset").between(F.col("lo"), F.col("hi")),
+            "left_anti",
+        )
+    return out
+
+
 def subscription_position(checkpoint_dir: str) -> dict[str, int] | None:
     """Inspect a subscription's committed cursor (markDeletePosition analogue)
     from the Structured Streaming offset log."""

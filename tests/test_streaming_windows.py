@@ -119,3 +119,50 @@ def test_streaming_session_windows_close_under_watermark(spark, tmp_root):
     expected = {(r["ws"], r["key"]): r["n"] for r in expected_df.collect()}
     got = {(r["ws"], r["key"]): r["n"] for r in emitted}
     assert got == expected
+
+
+def test_streaming_sliding_windows_emit_on_watermark_closure(spark, tmp_root):
+    """Sliding windows (G2: slidingIntervalDurationMs, WindowConfig.java:33-39)
+    on a stream: each event lands in window_len/slide overlapping windows;
+    append-mode emission under the watermark matches the batch computation."""
+    tp = T.create_topic(tmp_root, "slide", n_partitions=2)
+    env = wrap_events(load(spark, SF_DIR, "events")).drop("partition", "offset")
+    first = env.filter(F.col("sequence_id") < 600)
+    T.append(spark, first, tp)
+
+    src = spark.readStream.format("pulsarlike").option("path", tp).load()
+    agg = (
+        src.withWatermark("event_time", LAG)
+        .groupBy(F.window("event_time", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    emitted: list = []
+
+    def grab(batch, _bid):
+        emitted.extend(batch.collect())
+
+    def run_once():
+        q = (
+            agg.writeStream.foreachBatch(grab).outputMode("append")
+            .option("checkpointLocation", tmp_root + "/ck_slide")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    assert emitted == []
+    T.append(spark, env.filter(F.col("sequence_id").between(600, 699)), tp)
+    run_once()
+    assert len(emitted) > 0
+
+    wm = first.agg(F.max("event_time")).collect()[0][0] - dt.timedelta(seconds=30)
+    expected_df = (
+        first.groupBy(F.window("event_time", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("w.end") <= F.lit(wm))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    expected = {(r["ws"],): r["n"] for r in expected_df.collect()}
+    got = {(r["ws"],): r["n"] for r in emitted}
+    assert got == expected
