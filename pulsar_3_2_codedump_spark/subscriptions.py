@@ -191,6 +191,59 @@ def unacked(spark: SparkSession, env: DataFrame, state: dict) -> DataFrame:
     return out
 
 
+def covered(spark: SparkSession, env: DataFrame, state: dict) -> DataFrame:
+    """The acked set: rows at/below the mark plus rows inside acked ranges
+    (complement of ``unacked``; same broadcast-metadata plan shape)."""
+    md_rows = [(p, s["mark_delete"]) for p, s in state.items()]
+    rng_rows = [(p, lo, hi) for p, s in state.items() for lo, hi in s["ranges"]]
+    md = spark.createDataFrame(md_rows or [(-1, -1)], "partition int, mark_delete long")
+    below = (
+        env.join(F.broadcast(md), "partition")
+        .filter(F.col("offset") <= F.col("mark_delete"))
+        .drop("mark_delete")
+    )
+    if not rng_rows:
+        return below
+    rng = spark.createDataFrame(rng_rows, "rp int, lo long, hi long")
+    in_ranges = env.join(
+        F.broadcast(rng),
+        (F.col("partition") == F.col("rp"))
+        & F.col("offset").between(F.col("lo"), F.col("hi")),
+        "left_semi",
+    )
+    return below.unionByName(in_ranges)
+
+
+def translate_cursor(
+    spark: SparkSession, src_env: DataFrame, dst_env: DataFrame, src_state: dict
+) -> dict:
+    """Replicated-subscription cursor sync (SURVEY §2.L2).
+
+    Reference: ReplicatedSubscriptionsController writes periodic snapshot
+    markers correlating cluster positions (PulsarMarkers.proto:44-68);
+    moving a subscription across clusters snaps to the newest snapshot at
+    or before the acked position — a coarse approximation bounded by
+    snapshot frequency.
+
+    Spark re-expression is EXACT, not snapshot-coarse: replicated copies
+    preserve message identity (producer_name, sequence_id) — the replicator
+    carries them verbatim (PersistentReplicator.java:291 analogue in
+    streaming/replicator.replicate). The src cursor's acked set semi-joins
+    onto the dst log by identity, condenses to dst-native ranges, and
+    becomes a dst cursor covering exactly the same messages, even when the
+    two clusters partition/ordered the log differently.
+
+    Scale: one shuffle of each log on the identity key — the honest cost of
+    exact cross-cluster sync. The reference's marker scheme avoids the join
+    at the price of coarse positions; with at-least-once delivery both are
+    correct, ours redelivers strictly less."""
+    acked_ids = covered(spark, src_env, src_state).select("producer_name", "sequence_id")
+    dst_acked = dst_env.join(
+        acked_ids, ["producer_name", "sequence_id"], "left_semi"
+    ).select("partition", "offset")
+    return ack_individual(new_ack_state(), condense_ranges(dst_acked))
+
+
 def subscription_position(checkpoint_dir: str) -> dict[str, int] | None:
     """Inspect a subscription's committed cursor (markDeletePosition analogue)
     from the Structured Streaming offset log."""

@@ -69,3 +69,40 @@ def test_unacked_is_log_minus_cursor(spark):
 def test_unacked_empty_state_returns_everything(spark):
     env = spark.createDataFrame([(0, 0), (0, 1)], "partition int, offset long")
     assert _ids(S.unacked(spark, env, S.new_ack_state())) == {(0, 0), (0, 1)}
+
+
+def test_translate_cursor_preserves_unacked_set_across_repartition(spark, tmp_root):
+    """L2 replicated subscriptions: a cursor translated to a replica topic
+    with DIFFERENT partitioning covers exactly the same messages — the
+    unacked (redelivery) identity sets coincide (the invariant the
+    reference's snapshot markers only approximate)."""
+    from pulsar_3_2_codedump_spark import topic as T
+    from pulsar_3_2_codedump_spark.catalog import load
+    from pulsar_3_2_codedump_spark.envelope import wrap_events
+    from tests.conftest import SF_DIR
+
+    rows = (
+        wrap_events(load(spark, SF_DIR, "events"))
+        .filter(F.col("sequence_id") < 400)
+        .drop("partition", "offset")
+    )
+    src_tp = T.create_topic(tmp_root, "cluster_a", n_partitions=2)
+    dst_tp = T.create_topic(tmp_root, "cluster_b", n_partitions=3)
+    T.append(spark, rows, src_tp)
+    T.append(spark, rows, dst_tp)
+    src_env = T.read_topic(spark, src_tp)
+    dst_env = T.read_topic(spark, dst_tp)
+
+    acks = src_env.filter(F.col("sequence_id") % 5 != 0).select("partition", "offset")
+    src_state = S.ack_individual(S.new_ack_state(), S.condense_ranges(acks))
+
+    dst_state = S.translate_cursor(spark, src_env, dst_env, src_state)
+
+    def idset(env, st):
+        return {
+            r["sequence_id"] for r in S.unacked(spark, env, st).select("sequence_id").collect()
+        }
+
+    src_unacked = idset(src_env, src_state)
+    assert src_unacked == {s for s in range(400) if s % 5 == 0}
+    assert idset(dst_env, dst_state) == src_unacked
