@@ -336,15 +336,73 @@ class PulsarLikeStreamReader(_SegmentScanMixin, DataSourceStreamReader):
             }
         return {str(k): int(v) for k, v in json.loads(mode).items()}
 
+    def _cursor_file(self) -> str | None:
+        """Named durable cursor under the topic dir (option 'subscription') —
+        the broker-side subscription state of the reference
+        (PersistentSubscription + ManagedCursorImpl:131). The JSON holds both
+        cursor positions a managed cursor tracks: ``read`` (readPosition —
+        next entry to fetch, advanced when a micro-batch is planned) and
+        ``ack`` (markDeletePosition — cumulative ack, advanced by commit()).
+        Needed for flow control across query restarts: the Python DataSource
+        latestOffset() never sees the checkpoint-restored start, so a capped
+        reader must recover its own position from somewhere durable. The
+        read position is persisted at planning time because under
+        Trigger.AvailableNow a run executes one batch and stops before the
+        lazy source-commit (which Spark issues at the NEXT batch's
+        construction) ever fires."""
+        sub = self.options.get("subscription")
+        if not sub:
+            return None
+        import re as _re
+
+        safe = _re.sub(r"[^A-Za-z0-9._-]", "_", sub)
+        return os.path.join(self.path, "_subscriptions", safe + ".json")
+
+    def _durable_cursor(self, kind: str = "read") -> dict | None:
+        f = self._cursor_file()
+        if f and os.path.exists(f):
+            with open(f) as fh:
+                state = json.load(fh)
+            pos = state.get(kind)
+            if pos is not None:
+                return {str(k): int(v) for k, v in pos.items()}
+        return None
+
+    def _persist_cursor(self, kind: str, pos: dict) -> None:
+        """Max-merge ``pos`` into the named cursor — positions never regress
+        (a replayed/restarted batch must not rewind the durable cursor)."""
+        f = self._cursor_file()
+        if not f:
+            return
+        os.makedirs(os.path.dirname(f), exist_ok=True)
+        state: dict = {}
+        if os.path.exists(f):
+            with open(f) as fh:
+                state = json.load(fh)
+        cur = state.get(kind) or {}
+        state[kind] = {
+            p: max(int(pos.get(p, 0)), int(cur.get(p, 0)))
+            for p in set(map(str, pos)) | set(map(str, cur))
+        }
+        tmp = f + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, f)
+
     def latestOffset(self) -> dict:
         manifest = self._manifest()
         ends = _end_offsets(manifest)
         max_rec = self.options.get("maxrecordspertrigger")
         if max_rec:
             cap = int(max_rec)
-            cur = getattr(self, "_last_end", None) or self.initialOffset()
+            cur = (
+                getattr(self, "_last_end", None)
+                or self._durable_cursor("read")
+                or self.initialOffset()
+            )
             ends = {p: min(e, cur.get(p, 0) + cap) for p, e in ends.items()}
         self._last_end = ends
+        self._persist_cursor("read", ends)
         return ends
 
     def partitions(self, start: dict, end: dict):
@@ -355,9 +413,12 @@ class PulsarLikeStreamReader(_SegmentScanMixin, DataSourceStreamReader):
         ]
 
     def commit(self, end: dict) -> None:
-        # cumulative ack — checkpoint already persisted by Spark; nothing to do
-        # (a broker would move markDeletePosition here)
-        pass
+        # cumulative ack: Spark's checkpoint is the consumer-side state; a
+        # named subscription ALSO moves the broker-side markDeletePosition.
+        # NOTE Spark issues this lazily when constructing the NEXT batch, so
+        # under availableNow single-batch runs it may never fire — the read
+        # position persisted in latestOffset() carries restart flow control.
+        self._persist_cursor("ack", {str(k): int(v) for k, v in end.items()})
 
 
 @dataclass

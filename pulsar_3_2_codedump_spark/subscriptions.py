@@ -244,6 +244,33 @@ def translate_cursor(
     return ack_individual(new_ack_state(), condense_ranges(dst_acked))
 
 
+def drain_available_now(
+    start_query, checkpoint_dir: str, topic_path: str, max_rounds: int = 1000
+) -> int:
+    """Bounded catch-up read (F7/J2): loop availableNow passes until the
+    subscription's cursor reaches the topic's current end offsets.
+
+    Spark's Python DataSource API has no SupportsTriggerAvailableNow hook,
+    so Trigger.AvailableNow falls back to ONE micro-batch — which, under
+    maxRecordsPerTrigger flow control, leaves backlog. This helper is the
+    drain loop: each round resumes from the same checkpoint (same
+    subscription), so the sequence of capped batches is exactly what a
+    native AvailableNow admission would have planned. Returns the number
+    of rounds run. ``start_query`` must start and return a
+    StreamingQuery wired to trigger(availableNow=True) and
+    ``checkpoint_dir``."""
+    from pulsar_3_2_codedump_spark import topic as T
+
+    for rounds in range(1, max_rounds + 1):
+        q = start_query()
+        q.awaitTermination()
+        ends = T.end_offsets(T.read_manifest(topic_path))
+        pos = subscription_position(checkpoint_dir) or {}
+        if all(int(pos.get(str(p), pos.get(p, 0)) or 0) >= e for p, e in ends.items()):
+            return rounds
+    raise RuntimeError(f"topic not drained after {max_rounds} availableNow rounds")
+
+
 def subscription_position(checkpoint_dir: str) -> dict[str, int] | None:
     """Inspect a subscription's committed cursor (markDeletePosition analogue)
     from the Structured Streaming offset log."""

@@ -69,3 +69,33 @@ def test_failover_resumes_from_same_checkpoint(spark, tmp_root):
     T.append(spark, extra, tp)
     consume_once()
     assert len(seen) == 1050
+
+
+def test_drain_available_now_loops_capped_batches_to_end(spark, tmp_root):
+    """maxRecordsPerTrigger + availableNow single-batch fallback leaves
+    backlog; drain_available_now loops rounds until the cursor reaches the
+    end offsets — every message delivered exactly once, in >1 round."""
+    tp = _topic(spark, tmp_root, parts=2)
+    ck = tmp_root + "/drain_ck"
+    seen: list = []
+
+    def grab(batch, _bid):
+        seen.extend(batch.collect())
+
+    def start():
+        return (
+            spark.readStream.format("pulsarlike")
+            .option("path", tp)
+            .option("subscription", "drain-sub")  # durable broker-side cursor
+            .option("maxRecordsPerTrigger", "150")
+            .load()
+            .writeStream.foreachBatch(grab)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    rounds = S.drain_available_now(start, ck, tp)
+    assert rounds > 1  # flow control actually bit
+    assert len(seen) == 1000
+    assert len({(r["partition"], r["offset"]) for r in seen}) == 1000  # exactly once
