@@ -117,8 +117,8 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataF
     "for the byte-size stats — they live in the metadata struct).",
     oracle="""
         SELECT 'text/plain' AS format, COUNT(*) AS n_media,
-               SUM(octet_length(encode(text))) AS total_bytes,
-               MAX(octet_length(encode(text))) AS max_bytes
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
         FROM documents
     """,
 )

@@ -52,7 +52,7 @@ def doc_fingerprint(text: Column) -> Column:
     oracle=r"""
         SELECT source,
                COUNT(*)                                            AS n_docs,
-               SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS total_tokens,
+               CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS total_tokens,
                ROUND(AVG(len(string_split_regex(lower(trim(text)), '\s+'))), 4) AS avg_tokens,
                MAX(n_chars)                                        AS max_chars
         FROM documents GROUP BY source
@@ -178,8 +178,8 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "whitespace: per-source token counts under both tokenizers.",
     oracle=r"""
         SELECT source,
-               SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpe_tokens,
-               SUM(len(string_split_regex(lower(trim(text)), '\s+')))                AS ws_tokens
+               CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+               CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT)                AS ws_tokens
         FROM documents GROUP BY source
     """,
 )
@@ -270,7 +270,7 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM tok
         )
         SELECT source, CAST((cum - n_tokens) // 64 AS BIGINT) AS pack_id,
-               COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens,
+               COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         FROM runs GROUP BY 1, 2
     """,

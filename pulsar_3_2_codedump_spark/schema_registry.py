@@ -109,21 +109,32 @@ def register_schema(
     return version
 
 
-def get_schema(topic_path: str, version: int | None = None) -> T.StructType:
-    """version=None → latest (AUTO_CONSUME resolution, AutoConsumeSchema.java:123)."""
+def get_schema_entry(topic_path: str, version: int | None = None) -> tuple[T.StructType, str]:
+    """(schema, format) — version=None → latest (AUTO_CONSUME resolution,
+    AutoConsumeSchema.java:123)."""
     log = _load_log(topic_path)
     if not log:
         raise LookupError(f"no schemas registered for {topic_path}")
     entry = log[-1] if version is None else log[version]
-    return T.StructType.fromJson(entry["schema"])
+    return T.StructType.fromJson(entry["schema"]), entry.get("type", "JSON")
+
+
+def get_schema(topic_path: str, version: int | None = None) -> T.StructType:
+    return get_schema_entry(topic_path, version)[0]
 
 
 def decode_value(
     env: DataFrame, topic_path: str, version: int | None = None, out_col: str = "data"
 ) -> DataFrame:
     """Schema-decode the envelope's binary value → typed struct column
-    (consumer-side schema decode, ConsumerImpl message path)."""
-    schema = get_schema(topic_path, version)
+    (consumer-side schema decode, ConsumerImpl message path). Dispatches on the
+    registered format (SchemaType.java): JSON → from_json (JVM codegen);
+    AVRO → the Arrow-batched spec codec (functions/avro_codec.py)."""
+    schema, fmt = get_schema_entry(topic_path, version)
+    if fmt == "AVRO":
+        from pulsar_3_2_codedump_spark.functions.avro_codec import avro_decode
+
+        return avro_decode(env, schema, value_col="value", out_col=out_col)
     return env.withColumn(out_col, F.from_json(F.col("value").cast("string"), schema))
 
 
