@@ -15,18 +15,31 @@ Reference:
 Spark re-expression: all three are ``foreachBatch`` multi-sink writes — one
 micro-batch dataframe split by a predicate, each side appended atomically to
 its destination topic. foreachBatch is the supported multi-output pattern
-(no native side outputs in Structured Streaming); the per-batch append is
-the same atomic manifest commit the sink uses, so each destination is still
-exactly-once under replay (idempotent by producer/sequence dedup).
+(no native side outputs in Structured Streaming) but is only AT-LEAST-once:
+a crash after an append and before the streaming checkpoint commit replays
+the whole micro-batch. Every append here therefore carries a
+``batch_token`` = hash(checkpoint) + batch id, recorded inside the
+destination topic's atomic manifest commit (topic.append) — the replayed
+append is a no-op, restoring exactly-once per destination
+(TopicTransactionBuffer.java:258 all-or-nothing analogue).
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pulsar_3_2_codedump_spark import topic as T
+
+
+def _token(checkpoint: str, tag: str, batch_id: int) -> str:
+    """Replay-stable idempotency token for one logical foreachBatch write:
+    same (checkpoint, tag, batch id) → same token, so a replayed batch after
+    a crash-before-checkpoint-commit is skipped by topic.append."""
+    h = hashlib.md5(checkpoint.encode()).hexdigest()[:10]
+    return f"{h}:{tag}:{batch_id}"
 
 
 def replicate(
@@ -47,7 +60,10 @@ def replicate(
             .withColumn("replicated_from", F.lit(cluster_name))
             .drop("offset")  # destination assigns its own offsets
         )
-        T.append(batch.sparkSession, out, dst_topic)
+        T.append(
+            batch.sparkSession, out, dst_topic,
+            batch_token=_token(checkpoint, "repl", batch_id),
+        )
 
     writer = src.writeStream.foreachBatch(copy_batch).option("checkpointLocation", checkpoint)
     if trigger_available_now:
@@ -87,7 +103,10 @@ def process_with_dlq(
         b = batch.withColumn("rc", rc).persist()
         try:
             ok = b.filter(~is_failure)
-            T.append(sess, process(ok).drop("offset", "rc"), out_topic)
+            T.append(
+                sess, process(ok).drop("offset", "rc"), out_topic,
+                batch_token=_token(checkpoint, "ok", batch_id),
+            )
             failed = b.filter(is_failure)
             retry = failed.filter(F.col("rc") + 1 < max_redeliver).withColumn(
                 "properties",
@@ -103,10 +122,18 @@ def process_with_dlq(
             # sequence_id), so producer-seq dedup would silently drop every
             # redelivery after the first one set the high-water mark — the
             # message would never climb the retry ladder nor reach the DLQ.
-            # Idempotency under micro-batch replay is provided by foreachBatch
-            # checkpoint semantics, not by the producer marks.
-            T.append(sess, retry.drop("offset", "rc"), retry_topic, dedup=False)
-            T.append(sess, dlq.drop("offset", "rc"), dlq_topic, dedup=False)
+            # Replay idempotency comes from the batch_token instead: each
+            # destination records the token in its manifest commit, so a
+            # crash between these appends and the checkpoint commit replays
+            # the batch but re-appends nothing already committed.
+            T.append(
+                sess, retry.drop("offset", "rc"), retry_topic, dedup=False,
+                batch_token=_token(checkpoint, "retry", batch_id),
+            )
+            T.append(
+                sess, dlq.drop("offset", "rc"), dlq_topic, dedup=False,
+                batch_token=_token(checkpoint, "dlq", batch_id),
+            )
         finally:
             b.unpersist()
 
@@ -161,7 +188,10 @@ def windowed_with_late_side_output(
             wm = _load_wm()
             if wm is not None:
                 late = b.filter(F.col("event_time") < F.lit(wm) - F.expr(lag_expr))
-                T.append(sess, late.drop("offset"), late_topic)
+                T.append(
+                    sess, late.drop("offset"), late_topic,
+                    batch_token=_token(checkpoint, "late", batch_id),
+                )
                 on_time = b.filter(~(F.col("event_time") < F.lit(wm) - F.expr(lag_expr)))
             else:
                 on_time = b
@@ -180,12 +210,19 @@ def windowed_with_late_side_output(
                     F.col("w.start").alias("event_time"),
                     F.col("w.start").alias("publish_time"),
                     F.lit("window-agg").alias("producer_name"),
-                    F.monotonically_increasing_id().alias("sequence_id"),
+                    # deterministic replay-stable sequence id (a replayed
+                    # batch re-derives identical ids; monotonically_
+                    # increasing_id differs per run and would defeat any
+                    # identity-based dedup downstream)
+                    F.xxhash64(F.col("etype"), F.col("w.start")).alias("sequence_id"),
                     F.lit(None).cast("timestamp").alias("deliver_at"),
                     F.lit(None).cast("string").alias("replicated_from"),
                 )
             )
-            T.append(sess, agg, agg_sink_topic, dedup=False)
+            T.append(
+                sess, agg, agg_sink_topic, dedup=False,
+                batch_token=_token(checkpoint, "agg", batch_id),
+            )
             if mx is not None and (wm is None or mx > wm):
                 _store_wm(mx)
         finally:

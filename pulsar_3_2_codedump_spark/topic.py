@@ -98,14 +98,28 @@ def append(
     df: DataFrame,
     topic_path: str,
     dedup: bool = True,
+    batch_token: str | None = None,
 ) -> dict[int, int]:
     """Append envelope rows to the topic: route → assign offsets → write
     segments → atomically commit the manifest. Returns new end offsets.
 
     ``df`` must carry the envelope columns except offset (which is assigned
     here); ``partition`` may be pre-set or is derived from the key hash.
+
+    ``batch_token``: caller-supplied idempotency token recorded in the SAME
+    atomic manifest commit as the segments. A replayed append with an
+    already-committed token is a no-op. This closes the foreachBatch
+    exactly-once hole (foreachBatch is at-least-once: a crash after append
+    but before the streaming checkpoint commit replays the micro-batch —
+    reference semantics TopicTransactionBuffer.java:258 all-or-nothing;
+    mirror of the stream sink's committed_stream_batches idempotency,
+    sources/pulsarlike.py commit()). Tokens must be stable across replays of
+    the same logical batch (e.g. hash(checkpoint) + batch_id) and unique
+    across logical writes to this topic.
     """
     manifest = read_manifest(topic_path)
+    if batch_token is not None and batch_token in manifest.get("committed_batch_tokens", []):
+        return end_offsets(manifest)
     n_part = manifest["n_partitions"]
     ends = end_offsets(manifest)
 
@@ -113,6 +127,17 @@ def append(
     if "partition" not in df.columns:
         df = df.withColumn(
             "partition", F.pmod(F.xxhash64(F.col("key")), F.lit(n_part)).cast("int")
+        )
+    else:
+        # rows copied from another topic may carry ITS partition numbering;
+        # anything outside this topic's range re-routes by key hash (the
+        # producer's router always targets the destination's partitions,
+        # RoundRobinPartitionMessageRouterImpl.java:74-84)
+        df = df.withColumn(
+            "partition",
+            F.when(
+                F.col("partition").between(0, n_part - 1), F.col("partition")
+            ).otherwise(F.pmod(F.xxhash64(F.col("key")), F.lit(n_part)).cast("int")),
         )
 
     if dedup and manifest["producer_seq"]:
@@ -189,6 +214,14 @@ def append(
     for prod, hwm in new_marks.items():
         prev = int(manifest["producer_seq"].get(prod, -1))
         manifest["producer_seq"][prod] = max(prev, int(hwm))
+
+    if batch_token is not None:
+        toks = manifest.setdefault("committed_batch_tokens", [])
+        toks.append(batch_token)
+        # bounded replay horizon: Structured Streaming replays at most the
+        # last uncommitted batch per query; 512 tokens is orders of magnitude
+        # beyond any concurrent-writer replay window
+        del toks[:-512]
 
     new_ends = end_offsets(manifest)
     manifest["next_offset"] = {str(p): int(e) for p, e in new_ends.items()}
