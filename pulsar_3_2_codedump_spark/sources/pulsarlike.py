@@ -470,7 +470,11 @@ class PulsarLikeStreamWriter(DataSourceStreamWriter):
             tbl = pa.table(arrays, names=[f.name for f in _DATA_FIELDS])
             fname = f"stage-{task}-p{p}.parquet"
             pq.write_table(tbl, os.path.join(stage_dir, fname))
-            staged[p] = [fname, len(rows)]
+            # publish-time bounds (unix micros) for the manifest time index
+            # used by seek-by-timestamp (PersistentMessageFinder.java:57)
+            mm = pa.compute.min_max(tbl.column("publish_time").cast(pa.timestamp("us")))
+            lo, hi = mm["min"].value, mm["max"].value
+            staged[p] = [fname, len(rows), lo, hi]
         return SegmentCommit(partition_counts=json.dumps(staged))
 
     def commit(self, messages, batchId: int) -> None:
@@ -487,16 +491,19 @@ class PulsarLikeStreamWriter(DataSourceStreamWriter):
         for msg in messages:
             if msg is None:
                 continue
-            for p_str, (fname, count) in sorted(json.loads(msg.partition_counts).items()):
+            for p_str, entry in sorted(json.loads(msg.partition_counts).items()):
+                fname, count = entry[0], entry[1]
+                pt_bounds = entry[2:4] if len(entry) >= 4 else (None, None)
                 p = int(p_str)
                 base = ends.get(str(p), ends.get(p, 0))
                 seg_name = f"seg-{base:020d}-{count}"
                 pdir = os.path.join(self.path, f"partition={p}")
                 os.makedirs(pdir, exist_ok=True)
                 shutil.move(os.path.join(stage_dir, fname), os.path.join(pdir, seg_name))
-                manifest["segments"].setdefault(str(p), []).append(
-                    {"start": int(base), "count": int(count), "path": seg_name}
-                )
+                seg = {"start": int(base), "count": int(count), "path": seg_name}
+                if pt_bounds[0] is not None:
+                    seg["min_pt"], seg["max_pt"] = int(pt_bounds[0]), int(pt_bounds[1])
+                manifest["segments"].setdefault(str(p), []).append(seg)
                 ends[str(p)] = base + count
         done.append(batchId)
         nxt = manifest.setdefault("next_offset", {})

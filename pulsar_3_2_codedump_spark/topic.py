@@ -183,7 +183,12 @@ def append(
             .agg(
                 F.min("offset").alias("start"),
                 F.count(F.lit(1)).alias("count"),
-                F.max("publish_time").alias("max_pt"),
+                # per-segment publish-time bounds (unix micros) — the
+                # manifest-level time index seek-by-timestamp binary-searches
+                # (PersistentMessageFinder.java:57 / OpFindNewest) so a
+                # timestamp seek never scans data files
+                F.unix_micros(F.min("publish_time")).alias("min_pt"),
+                F.unix_micros(F.max("publish_time")).alias("max_pt"),
             )
             .collect()
         )
@@ -206,9 +211,11 @@ def append(
         src = os.path.join(stage_dir, f"partition={p}")
         dst = os.path.join(topic_path, f"partition={p}", seg_name)
         shutil.move(src, dst)
-        manifest["segments"][str(p)].append(
-            {"start": int(start), "count": int(count), "path": seg_name}
-        )
+        entry = {"start": int(start), "count": int(count), "path": seg_name}
+        if row["min_pt"] is not None:
+            entry["min_pt"] = int(row["min_pt"])
+            entry["max_pt"] = int(row["max_pt"])
+        manifest["segments"][str(p)].append(entry)
     shutil.rmtree(stage_dir, ignore_errors=True)
 
     for prod, hwm in new_marks.items():
@@ -449,7 +456,12 @@ def merge_small_segments(
                 "overwrite"
             ).parquet(tmp)
             os.replace(tmp, os.path.join(topic_path, f"partition={p}", seg_name))
-            new_segs.append({"start": int(start), "count": int(count), "path": seg_name})
+            entry = {"start": int(start), "count": int(count), "path": seg_name}
+            bounds = [(s.get("min_pt"), s.get("max_pt")) for s in run]
+            if all(lo is not None and hi is not None for lo, hi in bounds):
+                entry["min_pt"] = min(lo for lo, _ in bounds)
+                entry["max_pt"] = max(hi for _, hi in bounds)
+            new_segs.append(entry)
             to_delete.extend(paths)
             eliminated += len(run) - 1
         manifest["segments"][p] = new_segs
