@@ -139,6 +139,27 @@ EVENTS_ENVELOPE_ORACLE = """
 """
 
 
+def conform_envelope(df: DataFrame) -> DataFrame:
+    """Cast every envelope column the frame carries to its declared
+    ENVELOPE_SCHEMA type.
+
+    External sources routinely hand us near-miss types — a DATE or
+    TIMESTAMP_NTZ mapped into ``publish_time`` by ``io.ingest_external``, an
+    INT sequence id from a CSV — and downstream code (the manifest time
+    index's ``unix_micros``, the Arrow stream writer) assumes the declared
+    types. The broker performs the same normalization when it stamps
+    MessageMetadata on the wire (PulsarApi.proto:106-166): whatever the
+    client supplied, the at-rest form is canonical. Applied once at the
+    append boundary so the batch and streaming writers agree."""
+    types = {f.name: f.dataType for f in ENVELOPE_SCHEMA.fields}
+    return df.select(
+        *[
+            F.col(c).cast(types[c]).alias(c) if c in types else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def wrap_table(
     df: DataFrame,
     key_col: str,

@@ -36,7 +36,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
-from pulsar_3_2_codedump_spark.envelope import ENVELOPE_SCHEMA
+from pulsar_3_2_codedump_spark.envelope import ENVELOPE_SCHEMA, conform_envelope
 
 MANIFEST = "manifest.json"
 
@@ -122,6 +122,11 @@ def append(
         return end_offsets(manifest)
     n_part = manifest["n_partitions"]
     ends = end_offsets(manifest)
+
+    # external sources can hand near-miss types (TIMESTAMP_NTZ publish_time
+    # from a mapped date column, int sequence ids); canonicalize before any
+    # arithmetic — unix_micros below requires true TIMESTAMP
+    df = conform_envelope(df)
 
     cols = [f.name for f in ENVELOPE_SCHEMA.fields]
     if "partition" not in df.columns:
