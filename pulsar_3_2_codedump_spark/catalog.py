@@ -22,17 +22,43 @@ TABLES = [
 ]
 
 
+def _conform_timestamps(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to session-local TIMESTAMP.
+
+    The driver regenerates fixtures with ``isAdjustedToUTC=false`` parquet
+    timestamps, which PySpark 4.x (inferTimestampNTZ) reads as
+    ``TimestampNTZType`` — a type ``unix_micros``/watermarks reject.  The
+    session timezone is pinned to UTC (session.py), so the cast is
+    value-preserving and the DuckDB oracle (which reads the same parquet
+    naively) still hash-matches.  One projection, applied at the read
+    boundary — nothing downstream ever sees NTZ."""
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    if not ntz:
+        return df
+    return df.select(
+        *[F.col(c).cast("timestamp").alias(c) if c in ntz else F.col(c) for c in df.columns]
+    )
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table; normalizes nanosecond parquet timestamps
-    (events.ts is TIMESTAMP(NANOS), which Spark only reads as long) down to
-    microseconds, matching what DuckDB's reader does."""
+    """Read one fixture table; normalizes timestamp representations the
+    fixtures have shipped with across driver versions — nanosecond
+    TIMESTAMP(NANOS) (readable only as long) and tz-naive TIMESTAMP_NTZ —
+    down to plain session-TZ microsecond TIMESTAMP, matching what DuckDB's
+    reader produces on the same files."""
+    try:
+        # Prefer reading tz-naive parquet timestamps as TIMESTAMP directly;
+        # the cast below still guards sessions where this conf is absent/locked.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _conform_timestamps(df)
+    return _conform_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:

@@ -32,6 +32,10 @@ def get_spark(app_name: str = "pulsar_3_2_codedump_spark", cpus: int | None = No
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Fixture parquet carries isAdjustedToUTC=false timestamps; read them
+        # as session-TZ TIMESTAMP (session TZ is UTC) not TIMESTAMP_NTZ so
+        # unix_micros/watermarks work. catalog.load also casts defensively.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

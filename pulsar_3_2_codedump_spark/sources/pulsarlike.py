@@ -519,7 +519,10 @@ class PulsarLikeStreamWriter(DataSourceStreamWriter):
         for msg in messages or []:
             if msg is None:
                 continue
-            for _p, (fname, _c) in json.loads(msg.partition_counts).items():
+            # staged entries are [fname, count] or [fname, count, min_pt, max_pt]
+            # (write() at line ~477) — unpack positionally, never destructure
+            for _p, entry in json.loads(msg.partition_counts).items():
+                fname = entry[0]
                 try:
                     os.remove(os.path.join(stage_dir, fname))
                 except OSError:
