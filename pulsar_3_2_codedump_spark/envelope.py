@@ -17,6 +17,8 @@ Envelope columns (SURVEY.md §1.2):
     producer_name   STRING     dedup identity        (PulsarApi.proto:107)
     sequence_id     BIGINT     dedup identity        (PulsarApi.proto:108)
     deliver_at      TIMESTAMP  delayed delivery      (PulsarApi.proto:143)
+    marker_type     INT        broker-internal protocol marker; NULL = user
+                               data (PulsarApi.proto:148, PulsarMarkers.proto)
     replicated_from STRING     geo-replication loop guard (PulsarApi.proto:114)
     partition       INT        topic partition       (MessageIdData, proto:58-68)
     offset          BIGINT     monotonic per-partition index
@@ -47,11 +49,24 @@ ENVELOPE_SCHEMA = T.StructType(
         T.StructField("producer_name", T.StringType(), True),
         T.StructField("sequence_id", T.LongType(), True),
         T.StructField("deliver_at", T.TimestampType(), True),
+        T.StructField("marker_type", T.IntegerType(), True),
         T.StructField("replicated_from", T.StringType(), True),
         T.StructField("partition", T.IntegerType(), False),
         T.StructField("offset", T.LongType(), False),
     ]
 )
+
+# Internal marker rows (PulsarApi.proto:148 ``marker_type``;
+# PulsarMarkers.proto MarkerType): brokers interleave protocol messages —
+# replicated-subscription snapshots, txn commit/abort markers — into the same
+# log as user data, and every consumer-facing dispatch path strips them
+# (AbstractBaseDispatcher.filterEntriesForConsumer). A NULL marker_type is a
+# normal user message; readers hide non-null rows unless explicitly asked
+# (read_markers / readMarkers=true — the broker-internal reader posture).
+MARKER_REPL_SNAPSHOT_REQUEST = 10
+MARKER_REPL_SNAPSHOT = 12
+MARKER_TXN_COMMIT = 22
+MARKER_TXN_ABORT = 23
 
 
 def wrap_events(events: DataFrame) -> DataFrame:
@@ -87,6 +102,7 @@ def wrap_events(events: DataFrame) -> DataFrame:
                     F.unix_micros(F.col("ts")) + F.floor("value").cast("long") * 1_000_000
                 ),
             ).alias("deliver_at"),
+            F.lit(None).cast("int").alias("marker_type"),
             F.lit(None).cast("string").alias("replicated_from"),
             "partition",
             "offset",
@@ -150,14 +166,24 @@ def conform_envelope(df: DataFrame) -> DataFrame:
     types. The broker performs the same normalization when it stamps
     MessageMetadata on the wire (PulsarApi.proto:106-166): whatever the
     client supplied, the at-rest form is canonical. Applied once at the
-    append boundary so the batch and streaming writers agree."""
+    append boundary so the batch and streaming writers agree.
+
+    Nullable envelope columns the frame lacks entirely (e.g. ``marker_type``
+    on a frame built before markers existed, ``deliver_at`` from a mapped
+    external table) are added as typed NULLs — the at-rest form always
+    carries the full envelope."""
     types = {f.name: f.dataType for f in ENVELOPE_SCHEMA.fields}
-    return df.select(
-        *[
-            F.col(c).cast(types[c]).alias(c) if c in types else F.col(c)
-            for c in df.columns
-        ]
-    )
+    out = [
+        F.col(c).cast(types[c]).alias(c) if c in types else F.col(c)
+        for c in df.columns
+    ]
+    have = set(df.columns)
+    out += [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in ENVELOPE_SCHEMA.fields
+        if f.name not in have and f.nullable
+    ]
+    return df.select(*out)
 
 
 def wrap_table(
@@ -185,6 +211,7 @@ def wrap_table(
             F.lit(producer).alias("producer_name"),
             F.monotonically_increasing_id().alias("sequence_id"),
             F.lit(None).cast("timestamp").alias("deliver_at"),
+            F.lit(None).cast("int").alias("marker_type"),
             F.lit(None).cast("string").alias("replicated_from"),
             "partition",
             "offset",

@@ -180,3 +180,40 @@ def ack_holes_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in list(state):
         S.ack_cumulative(state, p, 10)
     return S.unacked(spark, env, state).select("partition", "offset", "key", "sequence_id")
+
+
+@query(
+    "marker_filtered_scan",
+    section="2.C3",
+    doc="Marker filtering (PulsarApi.proto:148 marker_type; PulsarMarkers.proto; "
+    "AbstractBaseDispatcher.filterEntriesForConsumer): brokers interleave "
+    "protocol markers — replicated-subscription snapshots, txn commit/abort — "
+    "into the log; NO consumer scan ever sees them. One snapshot marker per "
+    "(partition, event day) is injected into the log, then the consumer-visible "
+    "view (marker_type IS NULL) is aggregated; leakage of even one marker row "
+    "breaks the count against the marker-free oracle. The IS NULL predicate is "
+    "pushed to the parquet scan, so marker row-groups prune for free at scale.",
+    oracle=f"""
+        {_ENV}
+        SELECT partition, COUNT(*) AS n_visible,
+               CAST(SUM(sequence_id) AS BIGINT) AS sum_seq
+        FROM envelope
+        GROUP BY partition
+    """,
+)
+def marker_filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.envelope import MARKER_REPL_SNAPSHOT
+
+    env = cached_envelope(spark, sf_dir)
+    markers = (
+        env.groupBy("partition", F.to_date("publish_time").alias("__day"))
+        .agg(F.max("publish_time").alias("publish_time"), F.max("offset").alias("offset"))
+        .drop("__day")
+        .withColumn("marker_type", F.lit(MARKER_REPL_SNAPSHOT))
+    )
+    log = env.unionByName(markers, allowMissingColumns=True)
+    visible = log.filter(F.col("marker_type").isNull())  # the dispatcher's strip
+    return visible.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("n_visible"),
+        F.sum("sequence_id").alias("sum_seq"),
+    )

@@ -143,30 +143,48 @@ def _segment_batches(
 
 
 def _seek_offset_for_timestamp(topic_path: str, p: str, segs: list[dict], ts_us: int) -> int:
-    """First offset with publish_time >= ts (PersistentMessageFinder.java:57):
-    prune by segment bounds, then exact scan of the boundary segment."""
-    import datetime as _dt
+    """First offset with publish_time >= ts (PersistentMessageFinder.java:57,
+    OpFindNewest.java binary search over ledger entries).
 
-    target = _dt.datetime.fromtimestamp(ts_us / 1e6, tz=_dt.timezone.utc).replace(tzinfo=None)
+    Two-level search, mirroring the reference's ledger-metadata-then-entries
+    structure: (1) prune on the manifest time index — every segment carries
+    ``min_pt``/``max_pt`` publish-time bounds (unix micros) written in the
+    same atomic commit as the segment (topic.append stats / stream-sink
+    write()) — so segments wholly before the target cost ZERO IO, and a
+    segment wholly after resolves from metadata alone; (2) only the boundary
+    segment (min_pt < ts <= max_pt) is opened, two columns only, and searched
+    vectorized with pyarrow.compute — no per-row Python, no driver-side scan
+    of the partition. At 100 TB a timestamp seek touches one segment file per
+    partition."""
+    import pyarrow.compute as pc
+
+    target = pa.scalar(ts_us, type=pa.timestamp("us"))
     for seg in sorted(segs, key=lambda s: s["start"]):
+        if seg.get("max_pt") is not None and int(seg["max_pt"]) < ts_us:
+            continue  # wholly before the target — pruned, no IO
+        if seg.get("min_pt") is not None and int(seg["min_pt"]) >= ts_us:
+            return seg["start"]  # wholly at/after — first offset, no IO
+        # boundary (or unindexed legacy) segment: vectorized exact search
         seg_path = os.path.join(topic_path, f"partition={p}", seg["path"])
-        try:
+        try:  # segment may be a file (stream sink) or a directory (batch append)
             tbl = pq.read_table(seg_path, columns=["publish_time", "offset"])
             has_offset = True
         except Exception:
             tbl = pq.read_table(seg_path, columns=["publish_time"])
             has_offset = False
-        pts = tbl.column("publish_time").cast(pa.timestamp("us")).combine_chunks().to_pylist()
-        if not pts:
+        if tbl.num_rows == 0:
             continue
+        pts = tbl.column("publish_time").cast(pa.timestamp("us"))
         if has_offset:
-            offs = tbl.column("offset").to_pylist()
-            pairs = sorted(zip(offs, pts))
+            offs = tbl.column("offset").cast(pa.int64())
         else:
-            pairs = list(enumerate(pts, start=seg["start"]))
-        for off, v in pairs:
-            if v is not None and v >= target:
-                return off
+            # stream-sink segment: offset = start + row position
+            offs = pa.chunked_array([pa.array(range(seg["start"], seg["start"] + tbl.num_rows), type=pa.int64())])
+        offs = offs.combine_chunks() if isinstance(offs, pa.ChunkedArray) else offs
+        pts = pts.combine_chunks() if isinstance(pts, pa.ChunkedArray) else pts
+        qual = offs.filter(pc.and_kleene(pc.is_valid(pts), pc.greater_equal(pts, target)))
+        if len(qual):
+            return pc.min(qual).as_py()
     return max((s["start"] + s["count"] for s in segs), default=0)
 
 
@@ -196,6 +214,20 @@ class _SegmentScanMixin:
     def _manifest(self) -> dict:
         return _read_manifest(self.path)
 
+    def _hide_markers(self, batches):
+        """Strip broker-internal marker rows (marker_type non-null, §2.C3 —
+        AbstractBaseDispatcher.filterEntriesForConsumer) unless the caller
+        asked for the broker-internal view with readMarkers=true."""
+        if (self.options.get("readmarkers") or "").lower() == "true":
+            yield from batches
+            return
+        import pyarrow.compute as pc
+
+        for b in batches:
+            out = b.filter(pc.is_null(b.column(b.schema.get_field_index("marker_type"))))
+            if out.num_rows:
+                yield out
+
     def read(self, partition):
         manifest = self._manifest()
         if isinstance(partition, SnapshotPartition):
@@ -203,6 +235,9 @@ class _SegmentScanMixin:
 
             target = _arrow_schema()
             snap = pq.read_table(os.path.join(self.path, partition.rel_path))
+            for name in target.names:
+                if name not in snap.column_names:
+                    snap = snap.append_column(name, pa.nulls(snap.num_rows, type=target.field(name).type))
             tbl = snap.select(target.names).cast(target)
             # re-apply consumed pushed filters (offset range / partition
             # equality) — the snapshot is NOT offset-pruned at listing time,
@@ -216,13 +251,15 @@ class _SegmentScanMixin:
                 tbl = tbl.filter(pc.less(tbl.column("offset"), hi))
             if only is not None:
                 tbl = tbl.filter(pc.equal(tbl.column("partition"), only))
-            yield from tbl.to_batches()
+            yield from self._hide_markers(tbl.to_batches())
             return
         p = partition.partition
         for seg in sorted(manifest["segments"][p], key=lambda s: s["start"]):
             if seg["start"] + seg["count"] <= partition.lo or seg["start"] >= partition.hi:
                 continue  # file-level pruning
-            yield from _segment_batches(self.path, p, seg, partition.lo, partition.hi)
+            yield from self._hide_markers(
+                _segment_batches(self.path, p, seg, partition.lo, partition.hi)
+            )
 
 
 class PulsarLikeBatchReader(_SegmentScanMixin, DataSourceReader):

@@ -263,10 +263,18 @@ def read_topic(
     topic_path: str,
     start_offsets: dict[int, int] | None = None,
     end: dict[int, int] | None = None,
+    read_markers: bool = False,
 ) -> DataFrame:
     """Batch scan of committed segments (the Reader, §2.A3): only segments
     overlapping [start, end) are listed — file-level pruning before parquet
-    row-group pruning."""
+    row-group pruning.
+
+    Broker-internal marker rows (``marker_type`` non-null — txn commit/abort,
+    replicated-subscription snapshots) are hidden from every consumer scan,
+    exactly as ``AbstractBaseDispatcher.filterEntriesForConsumer`` strips them
+    before dispatch (§2.C3). ``read_markers=True`` is the broker-internal
+    reader posture. The predicate is pushed into the parquet scan, so marker
+    row-groups prune for free."""
     manifest = read_manifest(topic_path)
     paths = []
     for p, segs in manifest["segments"].items():
@@ -283,6 +291,8 @@ def read_topic(
     df = _materialize_offsets(
         spark.read.schema(ENVELOPE_SCHEMA).option("basePath", topic_path).parquet(*paths)
     )
+    if not read_markers:
+        df = df.filter(F.col("marker_type").isNull())
     if start_offsets:
         lo_df = F.broadcast(
             spark.createDataFrame(list(start_offsets.items()), "partition int, __lo long")

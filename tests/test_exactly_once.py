@@ -119,3 +119,53 @@ def test_windowed_agg_replay_after_crash_no_duplicates(spark, tmp_root):
     # window identity, not monotonically_increasing_id)
     seqs2 = {(r["key"], r["sequence_id"]) for r in replay.select("key", "sequence_id").collect()}
     assert seqs2 == seqs
+
+
+def test_stream_sink_abort_and_replay_with_time_bounds(spark, tmp_root):
+    """VERDICT r4 item 2: staged commit entries carry publish-time bounds
+    [fname, count, min_pt, max_pt]; abort() and the idempotent replayed-batch
+    commit() path must clean them up positionally instead of destructuring
+    2-tuples (the crash-recovery path the exactly-once contract protects)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import Row
+
+    from pulsar_3_2_codedump_spark.sources import pulsarlike as PL
+
+    tp = T.create_topic(tmp_root, "sink", n_partitions=1)
+    base = dt.datetime(2024, 5, 1)
+
+    def rows():
+        return iter(
+            Row(
+                key=str(i), value=None, properties=None,
+                event_time=base + dt.timedelta(seconds=i),
+                publish_time=base + dt.timedelta(seconds=i),
+                producer_name="p", sequence_id=i, deliver_at=None,
+                marker_type=None, replicated_from=None, partition=0,
+            )
+            for i in range(5)
+        )
+
+    writer = PL.PulsarLikeStreamWriter({"path": tp}, None)
+    import json as _json
+
+    msg = writer.write(rows())
+    entry = _json.loads(msg.partition_counts)["0"]
+    assert len(entry) == 4 and entry[2] is not None  # bounds staged
+
+    # abort must remove the staged file without raising
+    writer.abort([msg], 0)
+    assert os.listdir(os.path.join(tp, "_stream_staging")) == []
+
+    # commit, then replay the same batch id — idempotent skip + cleanup
+    msg2 = writer.write(rows())
+    writer.commit([msg2], 1)
+    segs = T.read_manifest(tp)["segments"]["0"]
+    assert len(segs) == 1 and segs[0]["min_pt"] is not None
+    assert T.read_topic(spark, tp).count() == 5
+    msg3 = writer.write(rows())  # the replayed attempt's stage
+    writer.commit([msg3], 1)  # same batchId → no-op append, cleanup only
+    assert T.read_topic(spark, tp).count() == 5
+    assert os.listdir(os.path.join(tp, "_stream_staging")) == []

@@ -1,0 +1,155 @@
+"""§2.C3 marker filtering + the indexed seek-by-timestamp read path.
+
+Reference: PulsarApi.proto:148 (MessageMetadata.marker_type),
+PulsarMarkers.proto (MarkerType enum), and
+AbstractBaseDispatcher.filterEntriesForConsumer — markers are log entries
+(they occupy positions) but are never dispatched to consumers.
+Seek: PersistentMessageFinder.java:57 / OpFindNewest.java — a timestamp seek
+binary-searches ledger METADATA and opens only the boundary ledger.
+"""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pulsar_3_2_codedump_spark import topic as T
+from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.envelope import (
+    MARKER_REPL_SNAPSHOT,
+    MARKER_TXN_COMMIT,
+    wrap_events,
+)
+from pulsar_3_2_codedump_spark.sources import pulsarlike as PL
+from tests.conftest import SF_DIR
+
+
+def _env(spark, limit=120):
+    return (
+        wrap_events(load(spark, SF_DIR, "events"))
+        .filter(F.col("sequence_id") < limit)
+        .drop("partition", "offset")
+    )
+
+
+def _topic_with_markers(spark, tmp_root, n_markers=6):
+    tp = T.create_topic(tmp_root, "marked", n_partitions=2)
+    data = _env(spark)
+    T.append(spark, data, tp, dedup=False)
+    markers = (
+        data.limit(n_markers)
+        .withColumn("marker_type", F.lit(MARKER_TXN_COMMIT))
+        .withColumn("producer_name", F.lit("__txn_marker"))
+    )
+    T.append(spark, markers, tp, dedup=False)
+    return tp, data.count(), n_markers
+
+
+def test_read_topic_hides_markers(spark, tmp_root):
+    tp, n_data, n_markers = _topic_with_markers(spark, tmp_root)
+    assert T.read_topic(spark, tp).count() == n_data
+    assert T.read_topic(spark, tp).filter(F.col("marker_type").isNotNull()).count() == 0
+    # broker-internal view sees both; markers still occupy log positions
+    full = T.read_topic(spark, tp, read_markers=True)
+    assert full.count() == n_data + n_markers
+    assert full.filter(F.col("marker_type") == MARKER_TXN_COMMIT).count() == n_markers
+
+
+def test_pulsarlike_reader_hides_markers(spark, tmp_root):
+    tp, n_data, n_markers = _topic_with_markers(spark, tmp_root)
+    df = spark.read.format("pulsarlike").option("path", tp).load()
+    assert df.count() == n_data
+    assert df.filter(F.col("marker_type").isNotNull()).count() == 0
+    internal = (
+        spark.read.format("pulsarlike").option("path", tp)
+        .option("readMarkers", "true").load()
+    )
+    assert internal.count() == n_data + n_markers
+
+
+def test_compaction_drops_markers(spark, tmp_root):
+    tp, n_data, _ = _topic_with_markers(spark, tmp_root)
+    T.compact_topic(spark, tp)
+    snap = T.read_topic_compacted(spark, tp)
+    assert snap.filter(F.col("marker_type").isNotNull()).count() == 0
+
+
+def test_seek_by_timestamp_opens_only_boundary_segment(spark, tmp_root, monkeypatch):
+    """The manifest min_pt/max_pt index must prune: a seek into a
+    multi-segment partition opens exactly ONE data file (the boundary
+    segment); a seek before all data opens ZERO."""
+    tp = T.create_topic(tmp_root, "seek", n_partitions=1)
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    # three appends → three segments with disjoint publish-time ranges
+    for day in range(3):
+        rows = [
+            (str(i), base + dt.timedelta(days=day, minutes=i), f"p-{day}", i)
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(
+            rows, "key string, publish_time timestamp, producer_name string, sequence_id long"
+        ).withColumn("event_time", F.col("publish_time")).withColumn(
+            "partition", F.lit(0)
+        )
+        T.append(spark, df, tp, dedup=False)
+    manifest = PL._read_manifest(tp)
+    segs = manifest["segments"]["0"]
+    assert len(segs) == 3 and all("min_pt" in s for s in segs)
+
+    opened = []
+    real_read = PL.pq.read_table
+
+    def counting_read(path, *a, **kw):
+        opened.append(path)
+        return real_read(path, *a, **kw)
+
+    monkeypatch.setattr(PL.pq, "read_table", counting_read)
+
+    # target inside day-1's range → only the day-1 segment is opened
+    ts_us = int((base + dt.timedelta(days=1, minutes=5)).timestamp() * 1e6)
+    off = PL._seek_offset_for_timestamp(tp, "0", segs, ts_us)
+    assert off == 15  # 10 rows of day 0 + 5 of day 1
+    assert len(opened) == 1
+
+    # target before everything → offset 0 with zero files opened
+    opened.clear()
+    ts_us = int((base - dt.timedelta(days=1)).timestamp() * 1e6)
+    assert PL._seek_offset_for_timestamp(tp, "0", segs, ts_us) == 0
+    assert opened == []
+
+    # target after everything → end offset, zero files opened
+    opened.clear()
+    ts_us = int((base + dt.timedelta(days=9)).timestamp() * 1e6)
+    assert PL._seek_offset_for_timestamp(tp, "0", segs, ts_us) == 30
+    assert opened == []
+
+
+def test_stream_reader_seek_uses_index(spark, tmp_root):
+    """startingOffsets=timestamp:<iso> through the streaming source resolves
+    per-partition offsets from the manifest index."""
+    tp = T.create_topic(tmp_root, "seek2", n_partitions=1)
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    rows = [(str(i), base + dt.timedelta(minutes=i), "p", i) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "key string, publish_time timestamp, producer_name string, sequence_id long"
+    ).withColumn("event_time", F.col("publish_time")).withColumn("partition", F.lit(0))
+    T.append(spark, df, tp, dedup=False)
+    reader = PL.PulsarLikeStreamReader(
+        {"path": tp, "startingoffsets": "timestamp:2024-03-01T00:07:00+00:00"}
+    )
+    assert reader.initialOffset() == {"0": 7}
+
+
+def test_marker_injection_visible_only_with_flag(spark, tmp_root):
+    tp = T.create_topic(tmp_root, "m2", n_partitions=1)
+    data = _env(spark, 40).withColumn("partition", F.lit(0))
+    T.append(spark, data, tp, dedup=False)
+    snap_marker = (
+        data.limit(1)
+        .withColumn("marker_type", F.lit(MARKER_REPL_SNAPSHOT))
+        .withColumn("producer_name", F.lit("__repl_snapshot"))
+    )
+    T.append(spark, snap_marker, tp, dedup=False)
+    n = data.count()
+    assert T.read_topic(spark, tp).count() == n
+    ends = T.end_offsets(T.read_manifest(tp))
+    assert ends[0] == n + 1  # the marker holds a log position
