@@ -81,6 +81,95 @@ def sink_to_external(
     )
 
 
+# Embedded Derby ships in every Spark distribution (the Hive metastore's
+# default store), so the REAL spark-jdbc path is testable with no extra jars.
+# In production the same two functions take any JDBC url + driver class
+# (postgres/mysql/...), exactly like the reference's connector config
+# (pulsar-io/jdbc/core/.../JdbcSinkConfig.java jdbcUrl/tableName).
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def ingest_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    topic_path: str,
+    key_col: str,
+    event_time_col: str,
+    driver: str = DERBY_DRIVER,
+    options: dict | None = None,
+) -> dict[int, int]:
+    """JDBC source connector (§2.A8): external relational table → topic,
+    through Spark's native JVM JDBC reader (no Python in the data path).
+
+    Scale posture: pass ``partitionColumn``/``lowerBound``/``upperBound``/
+    ``numPartitions`` in ``options`` to fan the read across executors — the
+    single-connection default is the reference's one-consumer-thread
+    KafkaAbstractSource posture and does not scale past one task."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+    )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    env = wrap_table(df, key_col, event_time_col).drop("partition", "offset")
+    return T.append(spark, env, topic_path)
+
+
+def sink_jdbc(
+    spark: SparkSession,
+    topic_path: str,
+    url: str,
+    table: str,
+    checkpoint: str,
+    driver: str = DERBY_DRIVER,
+    transform=None,
+):
+    """JDBC sink connector (§2.A8, JdbcAbstractSink.java:52,180): topic →
+    relational table via foreachBatch + the JVM JDBC writer.
+
+    Delivery semantics match the reference's INSERT mode: at-least-once — a
+    micro-batch replayed after a crash between the JDBC commit and the
+    checkpoint commit re-inserts its rows. The reference upgrades to
+    effectively-once only with key-based upsert (insertMode=UPSERT,
+    JdbcSinkConfig); on engines with MERGE support do the same here inside
+    ``transform`` or use a staging table keyed by ``__batch_id`` (written
+    below for exactly that purpose)."""
+    src = spark.readStream.format("pulsarlike").option("path", topic_path).load()
+
+    def default_projection(batch: DataFrame) -> DataFrame:
+        # JDBC-compatible columns only (MAP/BINARY don't map to SQL types;
+        # the reference's JdbcAbstractSink likewise binds only schema fields)
+        return batch.select(
+            "key",
+            F.col("value").cast("string").alias("value"),
+            "event_time", "publish_time", "producer_name",
+            "sequence_id", "partition", "offset",
+        )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        out = transform(batch) if transform else default_projection(batch)
+        (
+            out.withColumn("__batch_id", F.lit(batch_id))
+            .write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("driver", driver)
+            .mode("append")
+            .save()
+        )
+
+    return (
+        src.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def nonpersistent_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """Non-persistent topic (§2.A10): best-effort in-memory dispatch, no
     storage, no replay — the rate source wearing the envelope. Consumers miss
@@ -99,6 +188,7 @@ def nonpersistent_stream(spark: SparkSession, rows_per_second: int = 100) -> Dat
         F.lit("rate-producer").alias("producer_name"),
         F.col("value").alias("sequence_id"),
         F.lit(None).cast("timestamp").alias("deliver_at"),
+        F.lit(None).cast("int").alias("marker_type"),
         F.lit(None).cast("string").alias("replicated_from"),
         (F.col("value") % 4).cast("int").alias("partition"),
         F.col("value").alias("offset"),
@@ -146,3 +236,42 @@ class InterceptorListener:
 
     def detach(self, spark: SparkSession) -> None:
         spark.streams.removeListener(self._listener)
+
+
+def _register_jdbc_query() -> None:
+    """§2.A8 driver-verified evidence: a full JDBC round-trip (Spark → Derby
+    → Spark) must reproduce the source table bit-for-bit against the DuckDB
+    oracle reading the original parquet."""
+    import tempfile
+
+    from pulsar_3_2_codedump_spark.catalog import load
+    from pulsar_3_2_codedump_spark.queries import query
+
+    @query(
+        "jdbc_roundtrip",
+        section="2.A8",
+        doc="JDBC connector round-trip (JdbcAbstractSink.java:52,180 / the "
+        "pulsar-io jdbc fleet): nation → embedded Derby via the JVM jdbc "
+        "writer → read back via the jdbc reader. Row identity is checked "
+        "against the oracle reading the original parquet — any type or value "
+        "corruption in either JDBC direction breaks the hash.",
+        oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    )
+    def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        nation = load(spark, sf_dir, "nation")
+        dbdir = tempfile.mkdtemp(prefix="pulsarlike_jdbc_")
+        url = f"jdbc:derby:{dbdir}/db;create=true"
+        (
+            nation.write.format("jdbc")
+            .option("url", url).option("dbtable", "nation_rt")
+            .option("driver", DERBY_DRIVER).mode("overwrite").save()
+        )
+        back = (
+            spark.read.format("jdbc")
+            .option("url", url).option("dbtable", "nation_rt")
+            .option("driver", DERBY_DRIVER).load()
+        )
+        return back.select("n_nationkey", "n_name", "n_regionkey")
+
+
+_register_jdbc_query()

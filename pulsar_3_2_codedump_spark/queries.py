@@ -115,6 +115,7 @@ def load_all() -> dict[str, Query]:
         similarity,
         text,
     )
+    from pulsar_3_2_codedump_spark import io  # noqa: F401  (jdbc_roundtrip)
     from pulsar_3_2_codedump_spark.operators import delivery  # noqa: F401
     from pulsar_3_2_codedump_spark.streaming import queries_streaming  # noqa: F401
 
