@@ -112,6 +112,7 @@ def load_all() -> dict[str, Query]:
         avro_codec,
         dedup_ml,
         multimodal,
+        proto_codec,
         similarity,
         text,
     )

@@ -1,0 +1,91 @@
+"""Protobuf wire-format codec (§1.3/§2.C2; SchemaType.java:56,145).
+
+Pure-python round-trip properties plus the Arrow-batched Spark path.
+"""
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F, types as T
+
+from pulsar_3_2_codedump_spark.functions.proto_codec import (
+    _EVENT_PROTO_SCHEMA,
+    decode_message,
+    encode_message,
+    proto_decode,
+    proto_encode,
+)
+
+FLAT = T.StructType(
+    [
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.StringType()),
+        T.StructField("c", T.DoubleType()),
+        T.StructField("d", T.BooleanType()),
+        T.StructField("e", T.BinaryType()),
+    ]
+)
+
+
+@given(
+    a=st.integers(min_value=-(2**63), max_value=2**63 - 1) | st.none(),
+    b=st.text(max_size=40) | st.none(),
+    c=st.floats(allow_nan=False, allow_infinity=True) | st.none(),
+    d=st.booleans() | st.none(),
+    e=st.binary(max_size=32) | st.none(),
+)
+@settings(max_examples=200, deadline=None)
+def test_roundtrip_property(a, b, c, d, e):
+    row = {"a": a, "b": b, "c": c, "d": d, "e": e}
+    out = decode_message(encode_message(row, FLAT), FLAT)
+    assert out == row
+
+
+def test_negative_int_is_ten_byte_varint():
+    # standard int64 varint: two's complement, always 10 bytes when negative
+    raw = encode_message({"a": -1, "b": None, "c": None, "d": None, "e": None}, FLAT)
+    assert len(raw) == 1 + 10  # tag + varint
+    assert decode_message(raw, FLAT)["a"] == -1
+
+
+def test_unknown_fields_skipped_backward_compat():
+    """A reader with an OLDER schema must skip fields it doesn't know —
+    the forward-compat half of ProtobufNativeSchemaCompatibilityCheck."""
+    writer = T.StructType(FLAT.fields + [T.StructField("f_new", T.StringType())])
+    raw = encode_message(
+        {"a": 7, "b": "x", "c": 1.5, "d": True, "e": b"\x00\x01", "f_new": "later"},
+        writer,
+    )
+    out = decode_message(raw, FLAT)
+    assert out == {"a": 7, "b": "x", "c": 1.5, "d": True, "e": b"\x00\x01"}
+
+
+def test_nested_message():
+    inner = T.StructType([T.StructField("x", T.LongType()), T.StructField("y", T.StringType())])
+    outer = T.StructType([T.StructField("id", T.LongType()), T.StructField("sub", inner)])
+    row = {"id": 5, "sub": {"x": -3, "y": "né"}}
+    assert decode_message(encode_message(row, outer), outer) == row
+
+
+def test_timestamp_micros():
+    sch = T.StructType([T.StructField("ts", T.TimestampType())])
+    ts = pd.Timestamp("2024-03-01 12:34:56.789123")
+    out = decode_message(encode_message({"ts": ts}, sch), sch)
+    assert out["ts"] == ts
+
+
+def test_spark_encode_decode_roundtrip(spark):
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [(1, 10, "click", 2.5, dt.datetime(2024, 1, 1, 0, 0, 1)),
+         (2, 20, "view", -0.5, dt.datetime(2024, 1, 2, 3, 4, 5)),
+         (3, 30, None, None, None)],
+        _EVENT_PROTO_SCHEMA,
+    )
+    enc = proto_encode(ev, _EVENT_PROTO_SCHEMA, out_col="payload")
+    dec = proto_decode(enc, _EVENT_PROTO_SCHEMA, in_col="payload")
+    got = sorted(tuple(r) for r in dec.collect())
+    want = sorted(tuple(r) for r in ev.collect())
+    assert got == want
