@@ -353,8 +353,8 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_distinct_sketch",
     section="2.M-agg",
     doc="Approximate distinct (HLL++ sketch): engine-specific estimates, so no "
-    "cross-engine oracle — the driver records a rows-only check; exactness is "
-    "covered by q:distinct_counts.",
+    "cross-engine oracle — the driver records a rows-only check; the relative-"
+    "error bound (<3x default rsd) is asserted in tests/test_sketches.py.",
     oracle=None,
 )
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:

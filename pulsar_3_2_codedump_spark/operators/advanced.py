@@ -427,8 +427,8 @@ def offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     section="2.M-agg",
     doc="approx_percentile (mergeable sketch) — the 100 TB substitute for exact "
     "percentiles (partial+final agg instead of per-group value buffering). "
-    "Engine-specific estimates → rows-only check; exactness covered by "
-    "q:stats_summary.",
+    "Engine-specific estimates → rows-only check; the rank-error envelope "
+    "(accuracy=10000) is asserted in tests/test_sketches.py.",
     oracle=None,
 )
 def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:

