@@ -466,7 +466,15 @@ class SegmentCommit(WriterCommitMessage):
 class PulsarLikeStreamWriter(DataSourceStreamWriter):
     """Streaming sink: executors stage parquet files; the driver commit
     assigns base offsets and atomically replaces the manifest (idempotent
-    per batchId → exactly-once)."""
+    per batchId → exactly-once).
+
+    SCALE NOTE: the Python DataSource writer API hands ``write()`` Spark Rows
+    one at a time — inherently row-at-a-time Python, fine for live tails
+    (bounded by maxRecordsPerTrigger) but NOT a bulk-ingest path. Route bulk
+    / 100 TB ingest through ``foreachBatch`` + ``topic.append`` (JVM columnar
+    write end-to-end, same atomic manifest commit, ``batch_token`` for
+    exactly-once) — measured ~0.5M rows/s on local[32] vs this sink's
+    per-row pace (see SCALE.md 'Bulk ingest')."""
 
     def __init__(self, options, schema):
         self.path = options.get("path") or options.get("topic")

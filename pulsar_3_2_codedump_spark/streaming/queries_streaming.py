@@ -39,7 +39,14 @@ def _replay_topic(spark: SparkSession, sf_dir: str, root: str, lo: int, hi: int)
 
 
 def _run_bounded(stream_df, checkpoint: str, runs_with_appends) -> list:
-    """Run an availableNow query once per growth step, collecting appended output."""
+    """Run an availableNow query once per growth step, collecting appended output.
+
+    HARNESS-ONLY: ``collect()`` into the driver is how the bounded fixture
+    replay hands the driver's comparator a deterministic result set — do NOT
+    copy this into a production pipeline. The production form of the same
+    topology writes each micro-batch back to a topic/table inside
+    ``foreachBatch`` (see streaming/replicator.py) and never materializes on
+    the driver."""
     out: list = []
 
     def grab(batch, _bid):

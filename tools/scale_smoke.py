@@ -79,6 +79,36 @@ def main() -> None:
     skewed = synthetic_envelope(spark, n, skewed=True)
     run("salted_hot_key_agg_90pct_skew", salted_count_sum(skewed, "key", "value", "sequence_id"))
 
+    # bulk ingest through the JVM path (topic.append: route → offset-assign →
+    # parquet write → manifest commit). THE way 100 TB enters a topic — the
+    # Python row-at-a-time streaming sink is for live tails only (see
+    # PulsarLikeStreamWriter docstring / SCALE.md).
+    import shutil
+    import tempfile
+
+    from pulsar_3_2_codedump_spark import topic as T
+
+    root = tempfile.mkdtemp(prefix="scale_ingest_")
+    try:
+        tp = T.create_topic(root, "bulk", n_partitions=32)
+        ingest = (
+            env.drop("offset")
+            .withColumn("event_time", F.col("publish_time"))
+            # envelope value is BINARY; the double column drove the agg ops
+            .withColumn("value", F.to_binary(F.col("sequence_id").cast("string"), F.lit("utf-8")))
+        )
+        t0 = time.time()
+        T.append(spark, ingest, tp, dedup=False)
+        dt = time.time() - t0
+        results["bulk_ingest_append_jvm"] = {
+            "sec": round(dt, 2),
+            "rows_out": n,
+            "mrows_per_sec": round(n / dt / 1e6, 1),
+        }
+        print(f"# bulk_ingest_append_jvm: {dt:.2f}s ({n/dt/1e6:.1f}M rows/s)", file=sys.stderr)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
     print(json.dumps({"metric": "scale_smoke", "rows": n, "ops": results}))
 
 
