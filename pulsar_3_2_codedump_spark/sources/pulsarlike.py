@@ -300,6 +300,13 @@ class PulsarLikeBatchReader(_SegmentScanMixin, DataSourceReader):
         ends = _end_offsets(manifest)
         start = json.loads(self.options.get("startingoffsets_json", "{}") or "{}")
         read_compacted = (self.options.get("readcompacted") or "").lower() == "true"
+        # Task granularity: a 100 TB topic partition must not become ONE scan
+        # task — split each partition's offset range into chunks of at most
+        # maxRowsPerTask rows, aligned to segment boundaries so every task
+        # still opens only its own files (the reference's dispatcher reads per
+        # ledger-entry range the same way). 1000 executors then saturate even
+        # on an 8-partition topic.
+        max_rows = int(self.options.get("maxrowspertask", 5_000_000))
         parts: list[InputPartition] = []
         if read_compacted and manifest.get("compacted_path"):
             parts.append(SnapshotPartition(manifest["compacted_path"]))
@@ -312,8 +319,22 @@ class PulsarLikeBatchReader(_SegmentScanMixin, DataSourceReader):
                 continue
             lo = max(int(start.get(p, 0)), self._lo)
             hi = end if self._hi is None else min(end, self._hi)
-            if lo < hi:
-                parts.append(RangePartition(p, lo, hi))
+            if lo >= hi:
+                continue
+            # segment-aligned chunking: accumulate whole segments until the
+            # row budget is hit, then cut a task
+            chunk_lo = lo
+            acc = 0
+            for seg in sorted(manifest["segments"].get(p, []), key=lambda s: s["start"]):
+                s_lo = max(seg["start"], lo)
+                s_hi = min(seg["start"] + seg["count"], hi)
+                if s_lo >= s_hi:
+                    continue
+                if acc and acc + (s_hi - s_lo) > max_rows:
+                    parts.append(RangePartition(p, chunk_lo, s_lo))
+                    chunk_lo, acc = s_lo, 0
+                acc += s_hi - s_lo
+            parts.append(RangePartition(p, chunk_lo, hi))
         if not parts:
             # Spark requires ≥1 partition; an empty range yields no rows
             parts.append(RangePartition(next(iter(ends), "0"), 0, 0))

@@ -153,3 +153,31 @@ def test_marker_injection_visible_only_with_flag(spark, tmp_root):
     assert T.read_topic(spark, tp).count() == n
     ends = T.end_offsets(T.read_manifest(tp))
     assert ends[0] == n + 1  # the marker holds a log position
+
+
+def test_batch_reader_splits_large_ranges(spark, tmp_root):
+    """A topic partition's scan fans out into multiple segment-aligned tasks
+    under maxRowsPerTask — one giant task per partition would serialize a
+    100 TB scan."""
+    tp = T.create_topic(tmp_root, "split", n_partitions=1)
+    data = _env(spark, 90).withColumn("partition", F.lit(0))
+    for i in range(3):  # 3 segments of 30 rows
+        T.append(
+            spark,
+            data.filter((F.col("sequence_id") >= 30 * i) & (F.col("sequence_id") < 30 * (i + 1))),
+            tp, dedup=False,
+        )
+    reader = PL.PulsarLikeBatchReader({"path": tp, "maxrowspertask": "30"})
+    parts = [p for p in reader.partitions() if isinstance(p, PL.RangePartition)]
+    assert len(parts) == 3
+    assert [(p.lo, p.hi) for p in sorted(parts, key=lambda x: x.lo)] == [(0, 30), (30, 60), (60, 90)]
+    # default budget: one task
+    reader2 = PL.PulsarLikeBatchReader({"path": tp})
+    assert len(reader2.partitions()) == 1
+    # data identity through the DataFrame API with the option set
+    df = (
+        spark.read.format("pulsarlike").option("path", tp)
+        .option("maxRowsPerTask", "30").load()
+    )
+    assert df.count() == 90
+    assert df.select("offset").distinct().count() == 90
