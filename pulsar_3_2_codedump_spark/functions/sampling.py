@@ -1,0 +1,113 @@
+"""Training-data sampling & mixture operators (SURVEY §2.N extension).
+
+A 100 TB corpus is never trained on as-is: pipelines stratify by
+language/source/quality, sample each stratum at its own rate, and compute
+mixture (upsampling) weights toward a target distribution. These are the
+operators that make that a one-pass declarative job:
+
+* ``stratified_sample`` — DETERMINISTIC per-stratum Bernoulli sampling: keep
+  a row iff ``uniform_hash(doc_id) < rate(stratum)``. The hash (md5 first 8
+  hex chars → [0,1)) is reproducible across engines and across runs — the
+  property that makes a training set auditable and resumable, unlike
+  ``df.sample`` whose seed is partition-placement dependent. One scan, no
+  shuffle, filter pushed to the parquet scan.
+* ``mixture_weights`` — per-stratum upsampling factors toward a uniform (or
+  supplied) target mix: weight = target_share / actual_share. One group-by;
+  the output is a tiny broadcastable dim used to drive weighted sampling or
+  loss weighting.
+
+Scale posture: both are single-scan + (for weights) one partial-agg shuffle
+over #strata rows. The sample predicate is a pure column expression — at
+100 TB the sampled-out rows never leave the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.queries import query
+
+# per-language sampling rates (the training-mix knob); .items() order is the
+# deterministic CASE order in both engines
+SAMPLE_RATES = {"en": 0.9, "es": 0.5, "zh": 0.25}
+DEFAULT_RATE = 0.1
+
+
+def uniform_hash01(col: Column) -> Column:
+    """Deterministic uniform [0,1) from any column: first 8 md5 hex chars /
+    2^32. Bit-identical in DuckDB: ``CAST(('0x' || SUBSTR(md5(x),1,8)) AS
+    BIGINT) / 4294967296.0`` — the cross-engine reproducibility is the whole
+    point (auditable sampling)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long") / F.lit(
+        4294967296.0
+    )
+
+
+def stratified_sample_df(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float] | None = None,
+    default_rate: float = DEFAULT_RATE,
+) -> DataFrame:
+    rates = SAMPLE_RATES if rates is None else rates
+    rate = F.lit(default_rate)
+    for k, v in reversed(list(rates.items())):
+        rate = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(rate)
+    return df.filter(uniform_hash01(F.col(id_col)) < rate)
+
+
+_RATE_SQL = "CASE lang WHEN 'en' THEN 0.9 WHEN 'es' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.1 END"
+_HASH_SQL = "CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0"
+
+
+@query(
+    "stratified_sample",
+    section="2.N-sample",
+    doc="Deterministic stratified Bernoulli sample of the documents corpus by "
+    "language (training-data mixing): keep iff md5-uniform(doc_id) < "
+    "rate(lang). The full sampled id-set must match the oracle exactly — "
+    "reproducible, auditable sampling, not seed-dependent df.sample.",
+    oracle=f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE {_HASH_SQL} < {_RATE_SQL}
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample_df(docs, "doc_id", "lang").select("doc_id", "lang", "source")
+
+
+@query(
+    "mixture_weights",
+    section="2.N-sample",
+    doc="Per-stratum mixture (upsampling) weights toward a uniform target mix "
+    "over (lang): weight = target_share / actual_share. The tiny result "
+    "broadcasts to drive weighted sampling or per-example loss weights.",
+    oracle="""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        ), tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_strata FROM counts)
+        SELECT lang, CAST(n AS BIGINT) AS n,
+               ROUND(n * 1.0 / total, 6) AS actual_share,
+               ROUND((1.0 / n_strata) / (n * 1.0 / total), 4) AS weight
+        FROM counts, tot
+    """,
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_strata")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("total"), 6).alias("actual_share"),
+            F.round((1.0 / F.col("n_strata")) / (F.col("n") / F.col("total")), 4).alias("weight"),
+        )
+    )

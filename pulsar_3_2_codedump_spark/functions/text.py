@@ -293,3 +293,49 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query(
+    "repetition_ratio",
+    section="2.N-text",
+    doc="Repetition-based quality signal (the standard degenerate-text filter "
+    "in LLM data pipelines): per document, the duplicate-token ratio "
+    "(1 - distinct/total) and the top-token frequency share. Pure JVM array "
+    "ops — one scan, no explode shuffle for the distinct ratio; the top-token "
+    "share uses aggregate() over the token array, still scan-local.",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+            FROM documents
+        ),
+        freq AS (
+            SELECT doc_id, len(t) AS n_tokens,
+                   len(list_distinct(t)) AS n_distinct,
+                   (SELECT MAX(c) FROM (
+                        SELECT COUNT(*) AS c FROM unnest(t) AS u(tok) GROUP BY tok
+                    )) AS top_cnt
+            FROM toks
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               ROUND(1.0 - n_distinct * 1.0 / n_tokens, 4) AS rep_ratio,
+               ROUND(top_cnt * 1.0 / n_tokens, 4) AS top_token_share
+        FROM freq WHERE doc_id < 200
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t = words(F.col("text"))
+    # top-token count without a shuffle: max over (count of w in t) for the
+    # DISTINCT tokens — aggregate(transform(...)) stays inside codegen
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(t),
+            lambda w: F.size(F.filter(t, lambda x: x == w)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(t)) / F.size(t), 4).alias("rep_ratio"),
+        F.round(top_cnt / F.size(t), 4).alias("top_token_share"),
+    )
