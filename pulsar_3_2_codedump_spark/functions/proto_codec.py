@@ -311,3 +311,39 @@ def protobuf_decode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 3).alias("sum_value"),
         F.max("ts").alias("max_ts"),
     )
+
+
+def check_protobuf_compatibility(reader: T.StructType, writer: T.StructType) -> None:
+    """Descriptor-level compat check
+    (ProtobufNativeSchemaCompatibilityCheck.java: a new PROTOBUF_NATIVE
+    schema is admitted iff every field NUMBER shared with the old schema
+    keeps a wire-compatible type; added fields are skipped by old readers,
+    removed fields decode as null for new readers).
+
+    Positional mapping (field i ↔ number i+1) makes this a pairwise walk.
+    Raises ``schema_registry.SchemaIncompatibleError`` on the first
+    violation; composes with ``schema_registry.check_compatibility``'s
+    strategy surface via the ``protobuf_strategy`` wrapper semantics: the
+    shared-field-number rule is symmetric, so one check covers BACKWARD,
+    FORWARD and FULL."""
+    from pulsar_3_2_codedump_spark.schema_registry import SchemaIncompatibleError
+
+    for i, (rf, wf) in enumerate(zip(reader.fields, writer.fields)):
+        num = i + 1
+        r_wt, w_wt = _wire_type_of(rf.dataType), _wire_type_of(wf.dataType)
+        if r_wt != w_wt:
+            raise SchemaIncompatibleError(
+                f"field {num} ({rf.name}): wire type changed "
+                f"{w_wt} -> {r_wt} — old payloads undecodable"
+            )
+        r_struct = isinstance(rf.dataType, T.StructType)
+        w_struct = isinstance(wf.dataType, T.StructType)
+        if r_struct != w_struct:
+            raise SchemaIncompatibleError(
+                f"field {num} ({rf.name}): message <-> scalar change is not "
+                "wire-compatible"
+            )
+        if r_struct:
+            check_protobuf_compatibility(rf.dataType, wf.dataType)
+    # fields beyond the shared prefix: added (skipped by old readers) or
+    # removed (null for new readers) — both compatible per spec

@@ -290,3 +290,86 @@ def subscription_position(checkpoint_dir: str) -> dict[str, int] | None:
         return json.loads(lines[-1])
     except (ValueError, IndexError):
         return None
+
+
+# ---------------------------------------------------------------------------
+# Marker-based replicated-subscription snapshots (§2.L2 — the reference's
+# actual mechanism, enabled by the marker_type envelope column)
+# ---------------------------------------------------------------------------
+
+
+def write_repl_snapshot(
+    spark: SparkSession, src_topic_path: str, dst_topic_path: str, snapshot_id: str
+) -> dict:
+    """ReplicatedSubscriptionsController snapshot write
+    (PulsarMarkers.proto:44-68 ReplicatedSubscriptionsSnapshot;
+    ReplicatedSubscriptionsController.java): append a REPL_SNAPSHOT marker
+    row to the SOURCE topic whose payload correlates the two clusters'
+    positions (here: both end-offset maps) at issue time. The marker holds a
+    log position like any entry but is invisible to consumers (§2.C3).
+    Returns the correlated positions it recorded."""
+    import datetime as _dt
+    import json as _json
+
+    from pulsar_3_2_codedump_spark import topic as T
+    from pulsar_3_2_codedump_spark.envelope import MARKER_REPL_SNAPSHOT
+
+    src_ends = {str(p): int(e) for p, e in T.end_offsets(T.read_manifest(src_topic_path)).items()}
+    dst_ends = {str(p): int(e) for p, e in T.end_offsets(T.read_manifest(dst_topic_path)).items()}
+    payload = {"snapshot_id": snapshot_id, "src": src_ends, "dst": dst_ends}
+    marker = spark.createDataFrame(
+        [(
+            f"__snapshot:{snapshot_id}",
+            _json.dumps(payload).encode("utf-8"),
+            {"snapshot_id": snapshot_id},
+            _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
+            "__repl_snapshot_controller",
+            0,
+            MARKER_REPL_SNAPSHOT,
+            0,
+        )],
+        "key string, value binary, properties map<string,string>, "
+        "publish_time timestamp, producer_name string, sequence_id long, "
+        "marker_type int, partition int",
+    )
+    T.append(spark, marker, src_topic_path, dedup=False)
+    return payload
+
+
+def translate_cursor_by_snapshot(
+    spark: SparkSession, src_topic_path: str, mark_delete: dict
+) -> dict | None:
+    """Snapshot-based cursor translation — the reference's coarse method
+    (ReplicatedSubscriptionsSnapshotCache.getSnapshotForPosition): pick the
+    NEWEST snapshot whose recorded source positions are all ≤ the cursor's
+    markDeletePosition and return its recorded destination positions.
+    Returns None when no snapshot qualifies (subscription starts at
+    earliest on the destination — the reference's fallback).
+
+    Bounded by snapshot frequency: everything between the chosen snapshot
+    and the true cursor is redelivered on the destination (at-least-once).
+    `translate_cursor` above is the exact identity-join alternative; this
+    one costs a metadata-scale marker scan instead of a log join.
+    """
+    import json as _json
+
+    from pulsar_3_2_codedump_spark import topic as T
+    from pulsar_3_2_codedump_spark.envelope import MARKER_REPL_SNAPSHOT
+
+    markers = (
+        T.read_topic(spark, src_topic_path, read_markers=True)
+        .filter(F.col("marker_type") == MARKER_REPL_SNAPSHOT)
+        .select("value", "offset", "partition")
+        .collect()  # control-plane rows: O(#snapshots), not O(log)
+    )
+    md = {str(p): int(v) for p, v in mark_delete.items()}
+    best, best_key = None, None
+    for row in markers:
+        snap = _json.loads(bytes(row["value"]).decode("utf-8"))
+        if all(int(e) <= md.get(p, 0) for p, e in snap["src"].items()):
+            # recency = recorded source progress (appends are monotone, so the
+            # pointwise-greatest qualifying snapshot has the greatest total)
+            key = sum(int(e) for e in snap["src"].values())
+            if best_key is None or key > best_key:
+                best, best_key = snap, key
+    return None if best is None else {p: int(e) for p, e in best["dst"].items()}

@@ -181,3 +181,46 @@ def test_batch_reader_splits_large_ranges(spark, tmp_root):
     )
     assert df.count() == 90
     assert df.select("offset").distinct().count() == 90
+
+
+def test_repl_snapshot_cursor_translation(spark, tmp_root):
+    """§2.L2 marker-based cursor sync (PulsarMarkers.proto:44-68,
+    ReplicatedSubscriptionsController): the NEWEST snapshot at-or-before the
+    markDeletePosition supplies the destination positions; snapshots are
+    invisible to normal consumers."""
+    from pulsar_3_2_codedump_spark import subscriptions as S
+
+    src = T.create_topic(tmp_root, "src-cluster", n_partitions=2)
+    dst = T.create_topic(tmp_root, "dst-cluster", n_partitions=2)
+    batch1 = _env(spark, 40)
+    T.append(spark, batch1, src, dedup=False)
+    T.append(spark, batch1, dst, dedup=False)
+    snap1 = S.write_repl_snapshot(spark, src, dst, "s1")
+
+    batch2 = (
+        wrap_events(load(spark, SF_DIR, "events"))
+        .filter((F.col("sequence_id") >= 40) & (F.col("sequence_id") < 80))
+        .drop("partition", "offset")
+    )
+    T.append(spark, batch2, src, dedup=False)
+    T.append(spark, batch2, dst, dedup=False)
+    snap2 = S.write_repl_snapshot(spark, src, dst, "s2")
+
+    src_full_ends = {str(p): e for p, e in T.end_offsets(T.read_manifest(src)).items()}
+
+    # cursor at snap1's positions → translates to snap1's dst map
+    assert S.translate_cursor_by_snapshot(spark, src, snap1["src"]) == {
+        p: int(e) for p, e in snap1["dst"].items()
+    }
+    # cursor at the full end → newest qualifying snapshot (snap2)
+    assert S.translate_cursor_by_snapshot(spark, src, src_full_ends) == {
+        p: int(e) for p, e in snap2["dst"].items()
+    }
+    # cursor before any snapshot → None (start at earliest, reference fallback)
+    assert S.translate_cursor_by_snapshot(spark, src, {"0": 0, "1": 0}) is None
+    # markers stay invisible to consumers, visible to the internal reader
+    assert T.read_topic(spark, src).filter(F.col("marker_type").isNotNull()).count() == 0
+    assert (
+        T.read_topic(spark, src, read_markers=True)
+        .filter(F.col("marker_type").isNotNull()).count() == 2
+    )

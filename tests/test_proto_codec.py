@@ -89,3 +89,34 @@ def test_spark_encode_decode_roundtrip(spark):
     got = sorted(tuple(r) for r in dec.collect())
     want = sorted(tuple(r) for r in ev.collect())
     assert got == want
+
+
+def test_protobuf_compat_check():
+    import pytest as _pytest
+
+    from pulsar_3_2_codedump_spark.functions.proto_codec import (
+        check_protobuf_compatibility,
+    )
+    from pulsar_3_2_codedump_spark.schema_registry import SchemaIncompatibleError
+
+    # added field (new number) — compatible both ways
+    wider = T.StructType(FLAT.fields + [T.StructField("f_new", T.StringType())])
+    check_protobuf_compatibility(wider, FLAT)
+    check_protobuf_compatibility(FLAT, wider)
+    # varint-family change (long -> bool) keeps the wire type — admitted,
+    # exactly as protobuf int32->bool reinterpretation is
+    relaxed = T.StructType([T.StructField("a", T.BooleanType())] + FLAT.fields[1:])
+    check_protobuf_compatibility(relaxed, FLAT)
+    # wire-type change (string -> long on field 2) — rejected
+    broken = T.StructType(
+        [FLAT.fields[0], T.StructField("b", T.LongType())] + FLAT.fields[2:]
+    )
+    with _pytest.raises(SchemaIncompatibleError):
+        check_protobuf_compatibility(broken, FLAT)
+    # scalar -> message on the same number — rejected
+    nested = T.StructType(
+        [FLAT.fields[0], T.StructField("b", T.StructType([T.StructField("x", T.StringType())]))]
+        + FLAT.fields[2:]
+    )
+    with _pytest.raises(SchemaIncompatibleError):
+        check_protobuf_compatibility(nested, FLAT)
