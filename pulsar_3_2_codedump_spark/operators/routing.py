@@ -206,3 +206,38 @@ def round_robin_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("last_seq"),
         )
     )
+
+
+def consistent_hash_ring(consumers: list[str], points_per_consumer: int = 100) -> list[tuple[int, str]]:
+    """Build the consistent-hash ring of Key_Shared AUTO_SPLIT's default
+    selector (ConsistentHashingStickyKeyConsumerSelector.java:108: each
+    consumer is hashed onto the ring at ``pointsPerConsumer`` positions;
+    a key is served by the first ring point clockwise of its hash).
+
+    Python-side ring construction (it is O(consumers × points) METADATA,
+    rebuilt only on consumer join/leave); the per-row lookup below compiles
+    to a JVM CASE over ring boundaries — no Python in the data path."""
+    import hashlib
+
+    ring: list[tuple[int, str]] = []
+    for c in consumers:
+        for i in range(points_per_consumer):
+            h = int.from_bytes(
+                hashlib.md5(f"{c}{i}".encode()).digest()[:4], "big"
+            ) % KEY_HASH_SPACE
+            ring.append((h, c))
+    # ties broken by consumer name, matching the reference's NavigableMap
+    # putIfAbsent-by-hash then name-ordered iteration
+    return sorted(ring)
+
+
+def consistent_hash_select(key_col, ring: list[tuple[int, str]]):
+    """Consumer for each key via the ring: first point with hash ≥ slot,
+    wrapping to the ring's first point. Compiled as a JVM Bucketizer-style
+    CASE chain (ring boundaries are literals), evaluated at scan speed."""
+    slot = md5_hash32(key_col) % KEY_HASH_SPACE
+    expr = F.lit(ring[0][1])  # wrap-around default
+    # walk DESCENDING so the narrowest qualifying boundary lands last
+    for h, c in reversed(ring):
+        expr = F.when(slot <= h, F.lit(c)).otherwise(expr)
+    return expr

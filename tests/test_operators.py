@@ -116,3 +116,30 @@ def test_route_by_key_colocates_keys(spark):
         .filter("np > 1")
     )
     assert spread.count() == 0
+
+
+def test_consistent_hash_ring_selector(spark):
+    """ConsistentHashingStickyKeyConsumerSelector parity: roughly balanced
+    assignment, and the consistent-hashing stability guarantee — removing a
+    consumer reassigns ONLY that consumer's keys."""
+    from pulsar_3_2_codedump_spark.operators.routing import (
+        consistent_hash_ring,
+        consistent_hash_select,
+    )
+
+    consumers = ["c0", "c1", "c2", "c3"]
+    ring4 = consistent_hash_ring(consumers, points_per_consumer=25)
+    ring3 = consistent_hash_ring(consumers[:3], points_per_consumer=25)
+    # ring3 is ring4 minus c3's points, verbatim (ring is per-consumer stable)
+    assert set(ring3) == {p for p in ring4 if p[1] != "c3"}
+
+    keys = spark.range(2000).select(F.concat(F.lit("k"), "id").alias("key"))
+    both = keys.select(
+        "key",
+        consistent_hash_select(F.col("key"), ring4).alias("with4"),
+        consistent_hash_select(F.col("key"), ring3).alias("with3"),
+    ).collect()
+    share = {c: sum(1 for r in both if r["with4"] == c) / len(both) for c in consumers}
+    assert all(0.10 < s < 0.45 for s in share.values()), share
+    moved = [r for r in both if r["with4"] != r["with3"]]
+    assert moved and all(r["with4"] == "c3" for r in moved)
