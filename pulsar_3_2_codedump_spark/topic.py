@@ -484,3 +484,90 @@ def merge_small_segments(
     for path in to_delete:
         shutil.rmtree(path, ignore_errors=True)
     return eliminated
+
+
+# ---------------------------------------------------------------------------
+# Transactional producer surface (§2.K — TransactionCoordinator +
+# TopicTransactionBuffer). Staged data lives OUTSIDE the manifest until the
+# commit point, so readers never see an open transaction; the commit/abort
+# outcome is additionally recorded as a TXN marker row in the log
+# (PulsarMarkers.proto TxnCommitMarker; filtered from consumers per §2.C3).
+# ---------------------------------------------------------------------------
+
+
+def txn_begin(topic_path: str) -> str:
+    """NEW_TXN (PulsarApi.proto:1026, TransactionCoordinator): returns the
+    txn id; staged data goes under ``_txn_<id>/`` — invisible to every
+    reader because visibility is manifest-membership (TopicTransactionBuffer
+    .java:258 all-or-nothing)."""
+    txn_id = uuid.uuid4().hex[:16]
+    os.makedirs(os.path.join(topic_path, f"_txn_{txn_id}"), exist_ok=True)
+    return txn_id
+
+
+def txn_append(spark: SparkSession, df: DataFrame, topic_path: str, txn_id: str) -> None:
+    """Produce into an open transaction: rows accumulate in the txn staging
+    dir (the transaction buffer), NOT in the manifest."""
+    stage = os.path.join(topic_path, f"_txn_{txn_id}")
+    if not os.path.isdir(stage):
+        raise ValueError(f"unknown or closed txn {txn_id}")
+    out = conform_envelope(df)
+    if "offset" in out.columns:
+        out = out.drop("offset")
+    out.write.mode("append").parquet(os.path.join(stage, f"chunk_{uuid.uuid4().hex[:8]}"))
+
+
+def _txn_marker(spark: SparkSession, txn_id: str, marker_type: int) -> DataFrame:
+    import datetime as _dt
+
+    return spark.createDataFrame(
+        [(
+            f"__txn:{txn_id}",
+            None,
+            {"txn_id": txn_id},
+            _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
+            "__txn_coordinator",
+            0,
+            marker_type,
+            0,
+        )],
+        "key string, value binary, properties map<string,string>, "
+        "publish_time timestamp, producer_name string, sequence_id long, "
+        "marker_type int, partition int",
+    )
+
+
+def txn_commit(spark: SparkSession, topic_path: str, txn_id: str) -> dict[int, int]:
+    """END_TXN commit (PulsarApi.proto:1043; TopicTransactionBuffer.java:301):
+    move the buffered rows into the log with ONE atomic manifest commit
+    (idempotent under replay via batch_token=txn id), then record the
+    TXN_COMMIT marker. Readers flip from seeing none of the txn's rows to
+    all of them at the manifest swap — nothing in between."""
+    import shutil
+
+    from pulsar_3_2_codedump_spark.envelope import MARKER_TXN_COMMIT
+
+    stage = os.path.join(topic_path, f"_txn_{txn_id}")
+    if not os.path.isdir(stage):
+        raise ValueError(f"unknown or closed txn {txn_id}")
+    chunks = [os.path.join(stage, c) for c in sorted(os.listdir(stage))]
+    if chunks:
+        buffered = spark.read.parquet(*chunks)
+        ends = append(spark, buffered, topic_path, dedup=False, batch_token=f"txn:{txn_id}")
+    else:
+        ends = end_offsets(read_manifest(topic_path))
+    append(spark, _txn_marker(spark, txn_id, MARKER_TXN_COMMIT), topic_path, dedup=False)
+    shutil.rmtree(stage, ignore_errors=True)
+    return ends
+
+
+def txn_abort(spark: SparkSession, topic_path: str, txn_id: str) -> None:
+    """END_TXN abort (TopicTransactionBuffer.java:343 discard): drop the
+    buffer, record the TXN_ABORT marker; the log never shows the rows."""
+    import shutil
+
+    from pulsar_3_2_codedump_spark.envelope import MARKER_TXN_ABORT
+
+    stage = os.path.join(topic_path, f"_txn_{txn_id}")
+    shutil.rmtree(stage, ignore_errors=True)
+    append(spark, _txn_marker(spark, txn_id, MARKER_TXN_ABORT), topic_path, dedup=False)
