@@ -102,6 +102,14 @@ def register_schema(
     (SchemaRegistryServiceImpl admission)."""
     log = _load_log(topic_path)
     existing = [T.StructType.fromJson(e["schema"]) for e in log]
+    if schema_type.upper() in ("PROTOBUF", "PROTOBUF_NATIVE") and existing:
+        # descriptor-level rule (field numbers + wire types) runs IN ADDITION
+        # to the structural strategy — ProtobufNativeSchemaCompatibilityCheck
+        from pulsar_3_2_codedump_spark.functions.proto_codec import (
+            check_protobuf_compatibility,
+        )
+
+        check_protobuf_compatibility(schema, existing[-1])
     check_compatibility(schema, existing, strategy)
     version = len(log)
     log.append({"version": version, "type": schema_type, "schema": schema.jsonValue()})
@@ -129,12 +137,20 @@ def decode_value(
     """Schema-decode the envelope's binary value → typed struct column
     (consumer-side schema decode, ConsumerImpl message path). Dispatches on the
     registered format (SchemaType.java): JSON → from_json (JVM codegen);
-    AVRO → the Arrow-batched spec codec (functions/avro_codec.py)."""
+    AVRO / PROTOBUF → the Arrow-batched spec codecs (functions/avro_codec.py,
+    functions/proto_codec.py)."""
     schema, fmt = get_schema_entry(topic_path, version)
     if fmt == "AVRO":
         from pulsar_3_2_codedump_spark.functions.avro_codec import avro_decode
 
         return avro_decode(env, schema, value_col="value", out_col=out_col)
+    if fmt in ("PROTOBUF", "PROTOBUF_NATIVE"):
+        from pulsar_3_2_codedump_spark.functions.proto_codec import proto_decode
+
+        dec = proto_decode(env, schema, in_col="value", prefix="__pb_")
+        return dec.withColumn(
+            out_col, F.struct(*[F.col("__pb_" + f.name).alias(f.name) for f in schema.fields])
+        ).drop(*["__pb_" + f.name for f in schema.fields])
     return env.withColumn(out_col, F.from_json(F.col("value").cast("string"), schema))
 
 

@@ -69,3 +69,41 @@ def test_key_value_schema_shape():
     kv = SR.key_value_schema(T.StringType(), V1)
     assert kv.fieldNames() == ["key", "value"]
     assert kv["value"].dataType == V1
+
+
+def test_registry_protobuf_roundtrip_and_compat(spark, tmp_root):
+    """PROTOBUF registered format: decode_value dispatches to the wire-format
+    codec; the descriptor compat gate rejects wire-type changes even under
+    strategy NONE's structural pass-through counterpart."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F, types as T2
+
+    from pulsar_3_2_codedump_spark import schema_registry as SR
+    from pulsar_3_2_codedump_spark import topic as T
+    from pulsar_3_2_codedump_spark.functions.proto_codec import proto_encode
+
+    tp = T.create_topic(tmp_root, "pbt", n_partitions=1)
+    sch = T2.StructType(
+        [T2.StructField("a", T2.LongType()), T2.StructField("b", T2.StringType())]
+    )
+    SR.register_schema(tp, sch, schema_type="PROTOBUF")
+    src = spark.createDataFrame([(1, "x"), (2, "y")], sch)
+    env = proto_encode(src, sch, out_col="value")
+    decoded = SR.decode_value(env, tp).select("data.a", "data.b")
+    assert sorted(tuple(r) for r in decoded.collect()) == [(1, "x"), (2, "y")]
+
+    # adding a field (new number) is admitted
+    SR.register_schema(
+        tp, T2.StructType(sch.fields + [T2.StructField("c", T2.DoubleType())]),
+        schema_type="PROTOBUF",
+    )
+    # changing field 1's wire type (long -> string) is rejected at the
+    # descriptor level regardless of the structural strategy
+    with _pytest.raises(SR.SchemaIncompatibleError):
+        SR.register_schema(
+            tp,
+            T2.StructType([T2.StructField("a", T2.StringType()), sch.fields[1]]),
+            strategy="NONE",
+            schema_type="PROTOBUF",
+        )
