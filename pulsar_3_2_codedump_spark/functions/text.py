@@ -339,3 +339,64 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) - F.size(F.array_distinct(t)) / F.size(t), 4).alias("rep_ratio"),
         F.round(top_cnt / F.size(t), 4).alias("top_token_share"),
     )
+
+
+@query(
+    "pii_scrub_stats",
+    section="2.N-text",
+    doc="PII scrubbing (standard LLM-corpus hygiene pass): detect email-like "
+    "and URL-like spans with the same regexes in both engines, replace with "
+    "sentinel tokens, report per-source hit counts and the scrubbed length "
+    "delta. The corpus fixture is PII-free, so deterministic spans are "
+    "injected (every 3rd doc gains an email, every 5th a URL) before the "
+    "scrub — the regex+replace path is genuinely exercised. Pure JVM regexp "
+    "codegen — scan-speed at 100 TB; the scrub is a projection, so it "
+    "composes with any downstream dedup/quality op.",
+    oracle=r"""
+        WITH corpus AS (
+            SELECT source,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' contact u' || doc_id || '@example.com' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' see https://ex.org/d/' || doc_id ELSE '' END AS text
+            FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+               CAST(SUM(len(regexp_extract_all(text, 'https?://[^ ]+'))) AS BIGINT) AS n_urls,
+               CAST(SUM(LENGTH(text) - LENGTH(
+                   regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       'https?://[^ ]+', '<URL>', 'g')
+               )) AS BIGINT) AS chars_removed
+        FROM corpus GROUP BY source
+    """,
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url = r"https?://[^ ]+"
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" see https://ex.org/d/"), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), url, "<URL>"
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(email), F.lit(0)))).alias("n_emails"),
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(url), F.lit(0)))).alias("n_urls"),
+        F.sum(F.length("text") - F.length(scrubbed)).alias("chars_removed"),
+    )

@@ -571,3 +571,54 @@ def txn_abort(spark: SparkSession, topic_path: str, txn_id: str) -> None:
     stage = os.path.join(topic_path, f"_txn_{txn_id}")
     shutil.rmtree(stage, ignore_errors=True)
     append(spark, _txn_marker(spark, txn_id, MARKER_TXN_ABORT), topic_path, dedup=False)
+
+
+def topic_stats(topic_path: str) -> dict:
+    """Admin stats surface (PersistentTopicsBase.getStats /
+    TopicStatsImpl): per-partition message counts, segment counts, storage
+    bytes, offset high-water marks, and per-subscription backlog — computed
+    from the manifest + cursor files ONLY (pure metadata: no data file is
+    opened, exactly like the broker serving stats from ledger metadata)."""
+    manifest = read_manifest(topic_path)
+    ends = end_offsets(manifest)
+    parts = {}
+    for p, segs in manifest["segments"].items():
+        size = 0
+        for s in segs:
+            sp = os.path.join(topic_path, f"partition={p}", s["path"])
+            if os.path.isfile(sp):
+                size += os.path.getsize(sp)
+            elif os.path.isdir(sp):
+                size += sum(
+                    os.path.getsize(os.path.join(sp, f))
+                    for f in os.listdir(sp)
+                    if os.path.isfile(os.path.join(sp, f))
+                )
+        parts[str(p)] = {
+            "n_segments": len(segs),
+            "msg_count": sum(s["count"] for s in segs),
+            "storage_bytes": size,
+            "end_offset": int(ends[int(p)]),
+        }
+    subs = {}
+    sub_dir = os.path.join(topic_path, "_subscriptions")
+    if os.path.isdir(sub_dir):
+        for f in sorted(os.listdir(sub_dir)):
+            if not f.endswith(".json"):
+                continue
+            with open(os.path.join(sub_dir, f)) as fh:
+                state = json.load(fh)
+            ack = state.get("ack") or state.get("read") or {}
+            subs[f[:-5]] = {
+                "position": {str(k): int(v) for k, v in ack.items()},
+                "backlog": sum(
+                    max(0, int(ends[int(p)]) - int(ack.get(str(p), 0))) for p in ends
+                ),
+            }
+    return {
+        "name": manifest.get("name"),
+        "n_partitions": manifest["n_partitions"],
+        "partitions": parts,
+        "subscriptions": subs,
+        "producers": {p: int(s) for p, s in manifest.get("producer_seq", {}).items()},
+    }

@@ -154,3 +154,33 @@ def test_merge_small_segments_preserves_data(spark, tmp_root):
     extra = env.limit(0)
     ends = T.end_offsets(m_after)
     assert T.append(spark, env.withColumn("producer_name", F.lit("p9")).limit(7), tp)
+
+
+def test_topic_stats_metadata_only(spark, tmp_root):
+    """Admin stats (PersistentTopicsBase.getStats analogue) come from the
+    manifest + cursor files alone — counts, storage bytes, subscription
+    backlog — with no data-file reads."""
+    from pulsar_3_2_codedump_spark.catalog import load as _load
+    from pulsar_3_2_codedump_spark.envelope import wrap_events as _wrap
+
+    tp = T.create_topic(tmp_root, "stats", n_partitions=2)
+    env = (
+        _wrap(_load(spark, SF_DIR, "events"))
+        .filter(F.col("sequence_id") < 60)
+        .drop("partition", "offset")
+    )
+    T.append(spark, env, tp, dedup=False)
+    st = T.topic_stats(tp)
+    assert st["n_partitions"] == 2
+    assert sum(p["msg_count"] for p in st["partitions"].values()) == 60
+    assert all(p["storage_bytes"] > 0 for p in st["partitions"].values())
+    ends = T.end_offsets(T.read_manifest(tp))
+    assert {int(k): v["end_offset"] for k, v in st["partitions"].items()} == ends
+
+    # a named durable cursor shows up with its backlog
+    from pulsar_3_2_codedump_spark.sources import pulsarlike as PL
+
+    reader = PL.PulsarLikeStreamReader({"path": tp, "subscription": "sub-a"})
+    reader.commit({"0": 10, "1": 5})
+    st2 = T.topic_stats(tp)
+    assert st2["subscriptions"]["sub-a"]["backlog"] == sum(ends.values()) - 15
