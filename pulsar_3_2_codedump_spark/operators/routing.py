@@ -47,9 +47,19 @@ def md5_hash32(col):
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
 
 
-def key_shared_bucket(key_col, n_consumers: int):
-    """Key_Shared AUTO_SPLIT: equal hash ranges over the 64K slot space → consumer id."""
-    slot = md5_hash32(key_col) % KEY_HASH_SPACE
+def key_shared_bucket(key_col, n_consumers: int, oracle_compat: bool = True):
+    """Key_Shared AUTO_SPLIT: equal hash ranges over the 64K slot space →
+    consumer id.
+
+    ``oracle_compat=True`` uses the md5-based 32-bit hash reproducible in
+    DuckDB SQL (the correctness-gate form). Production form
+    (``oracle_compat=False``) uses ``xxhash64`` — same assignment semantics
+    (any uniform hash), ~8× faster per `tools/scale_smoke.py` because md5 +
+    base-16 `conv` string round-trips leave codegen."""
+    if oracle_compat:
+        slot = md5_hash32(key_col) % KEY_HASH_SPACE
+    else:
+        slot = F.pmod(F.xxhash64(key_col.cast("string")), F.lit(KEY_HASH_SPACE))
     return F.floor(slot / (KEY_HASH_SPACE / n_consumers)).cast("int")
 
 

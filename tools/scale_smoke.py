@@ -73,8 +73,14 @@ def main() -> None:
         env.groupBy(F.window("publish_time", "1 hour"), F.pmod(F.col("sequence_id"), 5)).count(),
     )
     run(
-        "key_shared_histogram",
+        "key_shared_histogram_oracle_md5",
         env.withColumn("c", key_shared_bucket(F.col("key"), 16)).groupBy("c").count(),
+    )
+    run(
+        "key_shared_histogram_xxhash64",
+        env.withColumn(
+            "c", key_shared_bucket(F.col("key"), 16, oracle_compat=False)
+        ).groupBy("c").count(),
     )
     skewed = synthetic_envelope(spark, n, skewed=True)
     run("salted_hot_key_agg_90pct_skew", salted_count_sum(skewed, "key", "value", "sequence_id"))
