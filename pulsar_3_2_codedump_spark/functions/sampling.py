@@ -111,3 +111,56 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((1.0 / F.col("n_strata")) / (F.col("n") / F.col("total")), 4).alias("weight"),
         )
     )
+
+
+@query(
+    "corpus_curation_pipeline",
+    section="2.N-pipeline",
+    doc="End-to-end curation pipeline — the composition the engine exists "
+    "for: language filter → quality gates (token count, stopword ratio) → "
+    "exact dedup (md5 fingerprint, keep lowest doc_id) → per-(lang, source) "
+    "corpus stats. One declarative plan: Catalyst pushes the language filter "
+    "into the scan, the quality gates are codegen projections, dedup is one "
+    "shuffle on the 128-bit fingerprint — at 100 TB this runs as scan + one "
+    "exchange, nothing else.",
+    oracle=r"""
+        WITH gated AS (
+            SELECT doc_id, lang, source, text,
+                   len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+            FROM documents
+            WHERE lang IN ('en', 'es')
+              AND len(string_split_regex(lower(trim(text)), '\s+')) BETWEEN 10 AND 2000
+        ),
+        deduped AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY md5(lower(trim(text))) ORDER BY doc_id
+                ) AS rn
+                FROM gated
+            ) WHERE rn = 1
+        )
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               MIN(doc_id) AS first_doc
+        FROM deduped GROUP BY lang, source
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from pulsar_3_2_codedump_spark.functions.text import doc_fingerprint, token_count
+
+    docs = load(spark, sf_dir, "documents")
+    gated = (
+        docs.filter(F.col("lang").isin("en", "es"))
+        .withColumn("n_tokens", token_count(F.col("text")))
+        .filter(F.col("n_tokens").between(10, 2000))
+    )
+    w = W.partitionBy(doc_fingerprint(F.col("text"))).orderBy("doc_id")
+    deduped = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
