@@ -81,3 +81,15 @@ def test_jdbc_roundtrip_query_matches_source(spark):
     got = {tuple(r) for r in q.fn(spark, SF_DIR).collect()}
     want = {tuple(r) for r in load(spark, SF_DIR, "nation").collect()}
     assert got == want
+
+
+def test_ingest_kafka_requires_kafka_package(spark, tmp_root):
+    """No kafka package/broker in this container: the connector must fail
+    with Spark's missing-data-source error (i.e., the code path is the real
+    spark-kafka form), not some earlier bug."""
+    import pytest as _pytest
+
+    tp = T.create_topic(tmp_root, "kafka-in", n_partitions=1)
+    with _pytest.raises(Exception) as exc:
+        IO.ingest_kafka(spark, "localhost:9092", "events", tp)
+    assert "kafka" in str(exc.value).lower()
