@@ -98,3 +98,63 @@ def test_minhash_signature_deterministic_and_permutation_invariant(spark, texts)
         for j, tj in enumerate(texts):
             if ti == tj:
                 assert a[i] == a[j]
+
+
+@given(
+    segs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=8),
+        min_size=1,
+        max_size=5,
+    ),
+    target=st.integers(min_value=-100, max_value=11_000),
+    indexed=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_seek_by_timestamp_matches_bruteforce(tmp_path_factory, segs, target, indexed):
+    """The index-pruned seek (manifest min_pt/max_pt + vectorized boundary
+    search) returns exactly what a full scan would: the first offset, in
+    offset order, whose publish_time >= target — with or without the index
+    (legacy segments lack bounds)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pulsar_3_2_codedump_spark.sources.pulsarlike import _seek_offset_for_timestamp
+
+    base = 1_700_000_000_000_000  # anchor epoch micros
+    root = str(tmp_path_factory.mktemp("seekprop"))
+    os.makedirs(os.path.join(root, "partition=0"), exist_ok=True)
+    manifest_segs = []
+    flat = []  # (offset, pt_us) in offset order
+    start = 0
+    for i, pts in enumerate(segs):
+        pts_us = [base + p for p in sorted(pts)]
+        offs = list(range(start, start + len(pts_us)))
+        flat += list(zip(offs, pts_us))
+        name = f"seg-{start:020d}-{len(pts_us)}"
+        pq.write_table(
+            pa.table(
+                {
+                    "publish_time": pa.array(pts_us, type=pa.timestamp("us")),
+                    "offset": pa.array(offs, type=pa.int64()),
+                }
+            ),
+            os.path.join(root, "partition=0", name),
+        )
+        entry = {"start": start, "count": len(pts_us), "path": name}
+        if indexed:
+            entry["min_pt"], entry["max_pt"] = min(pts_us), max(pts_us)
+        manifest_segs.append(entry)
+        start += len(pts_us)
+
+    t_us = base + target
+    # brute force: first segment (offset order) holding any qualifying row,
+    # then the min qualifying offset within it
+    expect = start  # end offset when nothing qualifies
+    for seg in manifest_segs:
+        qual = [o for o, p in flat[seg["start"] : seg["start"] + seg["count"]] if p >= t_us]
+        if qual:
+            expect = min(qual)
+            break
+    assert _seek_offset_for_timestamp(root, "0", manifest_segs, t_us) == expect
