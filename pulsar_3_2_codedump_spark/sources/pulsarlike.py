@@ -546,6 +546,15 @@ class PulsarLikeStreamWriter(DataSourceStreamWriter):
     def commit(self, messages, batchId: int) -> None:
         import shutil
 
+        from pulsar_3_2_codedump_spark.topic import _topic_write_lock
+
+        with _topic_write_lock(self.path):
+            self._commit_locked(messages, batchId, shutil)
+
+    def _commit_locked(self, messages, batchId: int, shutil) -> None:
+        # writer lock held: a concurrent batch append (or another streaming
+        # query on the same topic) cannot lose this commit's segments to the
+        # manifest read-modify-write race
         manifest = _read_manifest(self.path)
         done = manifest.setdefault("committed_stream_batches", [])
         if batchId in done:

@@ -93,7 +93,52 @@ def end_offsets(manifest: dict) -> dict[int, int]:
     return out
 
 
+
+
+def _topic_write_lock(topic_path: str):
+    """Serialize manifest read-modify-write across concurrent writers.
+
+    The reference serializes appends through the owning broker
+    (PersistentTopic single-threaded per-partition publish path); with a
+    shared filesystem the equivalent is an exclusive flock over the topic's
+    commit section. Held for the whole append (including the staging write)
+    — writer-writer serialization only; READERS never take it (they see the
+    old or the new manifest, both consistent, thanks to the atomic replace).
+    On object storage, replace with a conditional-put (ETag/If-Match) CAS
+    loop on the manifest object — same protocol, no lock server needed."""
+    import contextlib
+    import fcntl
+
+    @contextlib.contextmanager
+    def _lock():
+        fd = os.open(os.path.join(topic_path, ".writer.lock"), os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    return _lock()
+
+
 def append(
+    spark: SparkSession,
+    df: DataFrame,
+    topic_path: str,
+    dedup: bool = True,
+    batch_token: str | None = None,
+) -> dict[int, int]:
+    """Concurrency-safe producer append: takes the topic writer lock
+    (``_topic_write_lock``) then runs the route → offset-assign → stage →
+    atomic-manifest-commit pipeline. Without the lock two concurrent
+    appends race on the manifest read-modify-write and the loser's segments
+    vanish from the listing (the data files survive but are unreachable)."""
+    with _topic_write_lock(topic_path):
+        return _append_unlocked(spark, df, topic_path, dedup, batch_token)
+
+
+def _append_unlocked(
     spark: SparkSession,
     df: DataFrame,
     topic_path: str,
@@ -312,9 +357,15 @@ def read_topic(
 
 def trim_retention(spark: SparkSession, topic_path: str, min_offset: dict[int, int]) -> int:
     """Retention trim (§2.F4, internalTrimLedgers): drop whole segments fully
-    below the per-partition min retained offset. Returns #segments dropped."""
+    below the per-partition min retained offset. Returns #segments dropped.
+    Takes the topic writer lock — trims race producer appends otherwise."""
     import shutil
 
+    with _topic_write_lock(topic_path):
+        return _trim_unlocked(topic_path, min_offset, shutil)
+
+
+def _trim_unlocked(topic_path, min_offset, shutil) -> int:
     manifest = read_manifest(topic_path)
     # persist the high-water mark BEFORE dropping segments so offsets never
     # regress even when a partition's every segment is trimmed (§ADVICE r1)
@@ -368,9 +419,13 @@ def compact_topic(spark: SparkSession, topic_path: str, tombstone=None) -> dict[
     shutil.rmtree(snap_dir, ignore_errors=True)
     os.replace(snap_tmp, snap_dir)
 
-    manifest["compaction_horizon"] = {str(p): int(e) for p, e in horizon.items()}
-    manifest["compacted_path"] = "compacted"
-    _write_manifest_atomic(topic_path, manifest)
+    # re-read under the writer lock: an append that landed while the
+    # snapshot job ran must not be clobbered by our stale manifest copy
+    with _topic_write_lock(topic_path):
+        manifest = read_manifest(topic_path)
+        manifest["compaction_horizon"] = {str(p): int(e) for p, e in horizon.items()}
+        manifest["compacted_path"] = "compacted"
+        _write_manifest_atomic(topic_path, manifest)
     return horizon
 
 
@@ -428,10 +483,17 @@ def merge_small_segments(
     the rows, so the merged file is just their concatenation), and commits
     the manifest atomically. Readers are unaffected mid-merge: they hold the
     old manifest and old files are deleted only after the commit point.
+    Holds the topic writer lock for the pass (background maintenance, like
+    the reference's ledger roll) so appends serialize behind it.
     Returns the number of segments eliminated.
     """
     import shutil
 
+    with _topic_write_lock(topic_path):
+        return _merge_unlocked(spark, topic_path, target_rows, shutil)
+
+
+def _merge_unlocked(spark, topic_path, target_rows, shutil) -> int:
     manifest = read_manifest(topic_path)
     eliminated = 0
     to_delete: list[str] = []

@@ -184,3 +184,27 @@ def test_topic_stats_metadata_only(spark, tmp_root):
     reader.commit({"0": 10, "1": 5})
     st2 = T.topic_stats(tp)
     assert st2["subscriptions"]["sub-a"]["backlog"] == sum(ends.values()) - 15
+
+
+def test_concurrent_appends_serialize(spark, tmp_root):
+    """Two writers appending at once must both land: the topic writer lock
+    serializes the manifest read-modify-write (the reference serializes
+    publishes through the owning broker). Without it, the loser's segments
+    are orphaned from the listing."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pulsar_3_2_codedump_spark.catalog import load as _load
+    from pulsar_3_2_codedump_spark.envelope import wrap_events as _wrap
+
+    tp = T.create_topic(tmp_root, "conc", n_partitions=2)
+    env = _wrap(_load(spark, SF_DIR, "events")).drop("partition", "offset")
+    slices = [
+        env.filter((F.col("sequence_id") >= 50 * i) & (F.col("sequence_id") < 50 * (i + 1)))
+        for i in range(4)
+    ]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(lambda df: T.append(spark, df, tp, dedup=False), slices))
+    assert T.read_topic(spark, tp).count() == 200
+    assert T.read_topic(spark, tp).select("offset", "partition").distinct().count() == 200
+    ends = T.end_offsets(T.read_manifest(tp))
+    assert sum(ends.values()) == 200
