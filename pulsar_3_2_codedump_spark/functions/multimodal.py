@@ -151,3 +151,88 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = as_media_table(load(spark, sf_dir, "documents")).filter(F.col("media_id") < 100)
     feats = extract_features(media)
     return feats.select("media_id", "n_bytes", F.round("byte_mean", 4).alias("byte_mean"))
+
+
+def frame_sample(media: DataFrame, frame_bytes: int = 64, every: int = 3) -> DataFrame:
+    """Frame sampling over opaque media blobs (the video frame-sample stage):
+    the blob is windowed into fixed-size frames and every ``every``-th frame
+    is kept — (media_id, frame_idx, n_bytes, checksum) out. Arrow-batched
+    ``mapInPandas``; with ffmpeg present the same kernel shape decodes real
+    frames behind an identical schema. Deterministic byte-window fake =
+    exact-oracle testable."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.LongType(), False),
+            T.StructField("n_bytes", T.LongType(), True),
+            T.StructField("checksum", T.LongType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                b = bytes(blob)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every):
+                    fr = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    rows.append((int(mid), i, len(fr), int(sum(fr))))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "n_bytes", "checksum"])
+
+    return media.mapInPandas(kernel, out_schema)
+
+
+def resize_bytes(media: DataFrame, stride: int = 4) -> DataFrame:
+    """Nearest-neighbor 'resize' in byte space: keep every ``stride``-th byte
+    of the blob (1-D stand-in for image downsampling; PIL swaps in behind the
+    same signature). Returns the resized blob + its metadata."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("blob", T.BinaryType(), True),
+            T.StructField("n_bytes", T.LongType(), True),
+            T.StructField("checksum", T.LongType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                small = bytes(blob)[::stride]
+                rows.append((int(mid), small, len(small), int(sum(small))))
+            yield pd.DataFrame(rows, columns=["media_id", "blob", "n_bytes", "checksum"])
+
+    return media.mapInPandas(kernel, out_schema)
+
+
+@query(
+    "multimodal_frame_sample",
+    section="2.N-mm",
+    doc="Frame sampling (video frame-sample stage shape): 64-byte frames, "
+    "every 3rd kept; per-frame byte checksum. The Arrow-batched kernel is the "
+    "real plumbing; DuckDB reproduces it with substring windows over the "
+    "encoded text, so any frame-boundary or sampling defect breaks the hash.",
+    oracle="""
+        WITH frames AS (
+            SELECT doc_id AS media_id,
+                   UNNEST(list_filter(generate_series(0,
+                        CAST(CEIL(octet_length(encode(text)) / 64.0) AS BIGINT) - 1),
+                        i -> i % 3 = 0)) AS frame_idx,
+                   text
+            FROM documents WHERE doc_id < 50
+        )
+        SELECT media_id, frame_idx,
+               CAST(octet_length(encode(substr(text, frame_idx * 64 + 1, 64))) AS BIGINT)
+                   AS n_bytes,
+               CAST(list_aggregate(list_transform(
+                        generate_series(1, length(substr(text, frame_idx * 64 + 1, 64))),
+                        i -> ascii(substr(substr(text, frame_idx * 64 + 1, 64), i, 1))),
+                    'sum') AS BIGINT) AS checksum
+        FROM frames
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = as_media_table(load(spark, sf_dir, "documents")).filter(F.col("media_id") < 50)
+    return frame_sample(media, frame_bytes=64, every=3)

@@ -146,3 +146,18 @@ def test_ivf_ann_nprobe_prunes_and_keeps_recall(spark):
     for r in pruned:
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_resize_bytes_downsamples_deterministically(spark):
+    from pulsar_3_2_codedump_spark.catalog import load
+    from pulsar_3_2_codedump_spark.functions.multimodal import as_media_table, resize_bytes
+
+    media = as_media_table(load(spark, SF_DIR, "documents")).filter(F.col("media_id") < 20)
+    out = {r["media_id"]: r for r in resize_bytes(media, stride=4).collect()}
+    src = {r["media_id"]: bytes(r["blob"]) for r in media.collect()}
+    assert set(out) == set(src)
+    for mid, blob in src.items():
+        want = blob[::4]
+        assert bytes(out[mid]["blob"]) == want
+        assert out[mid]["n_bytes"] == len(want)
+        assert out[mid]["checksum"] == sum(want)
