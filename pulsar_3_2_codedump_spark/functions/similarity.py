@@ -364,3 +364,55 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "embedding_quantization",
+    section="2.N-embed",
+    doc="Int8 scalar quantization of the embedding column — the storage/"
+    "serving form of a 100 TB vector corpus (4x smaller, SIMD-dot-product "
+    "friendly): per-vector absmax scale, q = floor(x/scale*127 + 0.5), "
+    "reported with the quantized checksum and max reconstruction error. "
+    "Pure JVM transform/aggregate — no Python in the pipeline.",
+    oracle="""
+        WITH scaled AS (
+            SELECT vec_id,
+                   len(embedding) AS n_dims,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+                   embedding
+            FROM embeddings WHERE vec_id < 200
+        )
+        SELECT vec_id, n_dims,
+               ROUND(scale, 6) AS scale_r,
+               CAST(list_aggregate(list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale * 127 + 0.5) AS BIGINT)),
+                    'sum') AS BIGINT) AS q_checksum,
+               ROUND(list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)
+                                 - FLOOR(CAST(x AS DOUBLE) / scale * 127 + 0.5)
+                                   * scale / 127))), 6) AS max_abs_err
+        FROM scaled
+    """,
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    scale = F.array_max(F.transform(x, F.abs))
+    scaled = emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        scale.alias("scale"),
+        x.alias("x"),
+    )
+    q = F.transform(F.col("x"), lambda v: F.floor(v / F.col("scale") * 127 + 0.5))
+    err = F.transform(
+        F.col("x"),
+        lambda v: F.abs(v - F.floor(v / F.col("scale") * 127 + 0.5) * F.col("scale") / 127),
+    )
+    return scaled.select(
+        "vec_id",
+        "n_dims",
+        F.round("scale", 6).alias("scale_r"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long")).alias("q_checksum"),
+        F.round(F.array_max(err), 6).alias("max_abs_err"),
+    )

@@ -70,7 +70,7 @@ PRIORITY_ORDER = [
     "marker_filtered_scan", "jdbc_roundtrip", "protobuf_decode_value",
     "streaming_delayed_delivery", "streaming_count_windows",
     "stratified_sample", "mixture_weights", "repetition_ratio", "pii_scrub_stats",
-    "corpus_curation_pipeline", "multimodal_frame_sample",
+    "corpus_curation_pipeline", "multimodal_frame_sample", "embedding_quantization",
     # (c) regression: envelope schema gained marker_type; re-check the paths
     # that read the full envelope or the topic log
     "watermark_late_data", "round_robin_routing", "avro_decode_value",
@@ -79,10 +79,10 @@ PRIORITY_ORDER = [
     "pricing_summary", "shipping_priority", "local_supplier_volume",
     "stats_summary", "exact_dedup", "minhash_lsh_dedup", "cosine_topk",
     "text_quality_score", "tumbling_window_counts", "sliding_window_counts",
-    "session_window_gaps", "count_window_tumbling", "count_window_sliding",
+    "session_window_gaps", "count_window_tumbling",
     # ---- rotation window boundary (~50) ----
     # standing-green tail (hash-verified r1-r4, code unchanged)
-    "asof_join_prior_view", "topk_orders", "window_running_revenue", "salted_hot_key_agg", "text_token_stats", "sequence_packing",
+    "count_window_sliding", "asof_join_prior_view", "topk_orders", "window_running_revenue", "salted_hot_key_agg", "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata",
     "min_acctbal_supplier_per_part", "nation_volume_shipping", "nation_market_share",
     "product_profit", "important_part_values", "priority_line_counts",
