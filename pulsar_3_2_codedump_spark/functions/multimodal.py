@@ -215,20 +215,25 @@ def resize_bytes(media: DataFrame, stride: int = 4) -> DataFrame:
     "real plumbing; DuckDB reproduces it with substring windows over the "
     "encoded text, so any frame-boundary or sampling defect breaks the hash.",
     oracle="""
-        WITH frames AS (
-            SELECT doc_id AS media_id,
-                   UNNEST(list_filter(generate_series(0,
-                        CAST(CEIL(octet_length(encode(text)) / 64.0) AS BIGINT) - 1),
-                        i -> i % 3 = 0)) AS frame_idx,
-                   text
+        -- windows the utf-8 BYTES (hex-pair arithmetic), exactly like the
+        -- kernel — char-based substr would diverge on any multibyte text
+        WITH b AS (
+            SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS nb
             FROM documents WHERE doc_id < 50
+        ),
+        frames AS (
+            SELECT media_id, hx, nb,
+                   UNNEST(list_filter(generate_series(0,
+                        CAST(CEIL(nb / 64.0) AS BIGINT) - 1),
+                        i -> i % 3 = 0)) AS frame_idx
+            FROM b
         )
         SELECT media_id, frame_idx,
-               CAST(octet_length(encode(substr(text, frame_idx * 64 + 1, 64))) AS BIGINT)
-                   AS n_bytes,
+               CAST(LEAST(64, nb - frame_idx * 64) AS BIGINT) AS n_bytes,
                CAST(list_aggregate(list_transform(
-                        generate_series(1, length(substr(text, frame_idx * 64 + 1, 64))),
-                        i -> ascii(substr(substr(text, frame_idx * 64 + 1, 64), i, 1))),
+                        generate_series(1, LEAST(64, nb - frame_idx * 64)),
+                        i -> CAST(('0x' || substr(hx, (frame_idx * 64 + i - 1) * 2 + 1, 2)) AS BIGINT)),
                     'sum') AS BIGINT) AS checksum
         FROM frames
     """,

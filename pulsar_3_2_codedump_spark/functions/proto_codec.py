@@ -260,9 +260,16 @@ def proto_decode(df: DataFrame, schema: T.StructType, in_col: str = "value", pre
         + [T.StructField(prefix + f.name, f.dataType) for f in schema.fields]
     )
 
+    nulls = {f.name: None for f in schema.fields}
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [decode_message(b, schema) for b in pdf[in_col]]
+            # null payloads (compaction tombstones, marker rows) decode to
+            # all-null fields, same as avro_decode's guard
+            decoded = [
+                decode_message(b, schema) if b is not None else dict(nulls)
+                for b in pdf[in_col]
+            ]
             out = pdf[passthrough].copy()
             dec_df = pd.DataFrame(decoded, index=pdf.index)
             for f in schema.fields:

@@ -36,12 +36,13 @@ DEFAULT_RATE = 0.1
 
 def uniform_hash01(col: Column) -> Column:
     """Deterministic uniform [0,1) from any column: first 8 md5 hex chars /
-    2^32. Bit-identical in DuckDB: ``CAST(('0x' || SUBSTR(md5(x),1,8)) AS
-    BIGINT) / 4294967296.0`` — the cross-engine reproducibility is the whole
-    point (auditable sampling)."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long") / F.lit(
-        4294967296.0
-    )
+    2^32 — the SAME md5_hash32 expression Key_Shared bucketing uses (one
+    definition to keep bit-identical). DuckDB form: ``CAST(('0x' ||
+    SUBSTR(md5(x),1,8)) AS BIGINT) / 4294967296.0`` — the cross-engine
+    reproducibility is the whole point (auditable sampling)."""
+    from pulsar_3_2_codedump_spark.operators.routing import md5_hash32
+
+    return md5_hash32(col) / F.lit(4294967296.0)
 
 
 def stratified_sample_df(

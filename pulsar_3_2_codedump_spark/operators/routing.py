@@ -246,8 +246,11 @@ def consistent_hash_select(key_col, ring: list[tuple[int, str]]):
     wrapping to the ring's first point. Compiled as a JVM Bucketizer-style
     CASE chain (ring boundaries are literals), evaluated at scan speed."""
     slot = md5_hash32(key_col) % KEY_HASH_SPACE
-    expr = F.lit(ring[0][1])  # wrap-around default
-    # walk DESCENDING so the narrowest qualifying boundary lands last
-    for h, c in reversed(ring):
-        expr = F.when(slot <= h, F.lit(c)).otherwise(expr)
-    return expr
+    # ONE flat CaseWhen (chained .when on the same builder), branches in
+    # ascending ring order so the first match is the ceiling point — a
+    # nested when().otherwise() chain builds a ring-size-deep expression
+    # tree that can overflow the analyzer at realistic ring sizes
+    expr = F.when(slot <= ring[0][0], F.lit(ring[0][1]))
+    for h, c in ring[1:]:
+        expr = expr.when(slot <= h, F.lit(c))
+    return expr.otherwise(F.lit(ring[0][1]))  # wrap around to the first point

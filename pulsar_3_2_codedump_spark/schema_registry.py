@@ -102,7 +102,11 @@ def register_schema(
     (SchemaRegistryServiceImpl admission)."""
     log = _load_log(topic_path)
     existing = [T.StructType.fromJson(e["schema"]) for e in log]
-    if schema_type.upper() in ("PROTOBUF", "PROTOBUF_NATIVE") and existing:
+    if (
+        schema_type.upper() in ("PROTOBUF", "PROTOBUF_NATIVE")
+        and existing
+        and strategy.upper() != "NONE"  # NONE (AlwaysCompatible) skips ALL checks
+    ):
         # descriptor-level rule (field numbers + wire types) runs IN ADDITION
         # to the structural strategy — ProtobufNativeSchemaCompatibilityCheck
         from pulsar_3_2_codedump_spark.functions.proto_codec import (

@@ -357,10 +357,12 @@ class PulsarLikeBatchWriter(DataSourceWriter):
         return self._delegate.write(iterator)
 
     def commit(self, messages):
-        # batch path has no replay, use a fresh pseudo batch id
-        manifest = _read_manifest(self._delegate.path)
-        next_id = -1 - len(manifest.get("committed_stream_batches", []))
-        self._delegate.commit(messages, next_id)
+        # batch writes never replay with the same id, so the idempotency
+        # ledger must not be able to collide across concurrent writers — a
+        # manifest-length-derived id computed outside the lock did exactly
+        # that (two writers both compute -1; the loser is discarded as a
+        # "replay"). A fresh uuid key is unique by construction.
+        self._delegate.commit(messages, f"batch-{uuid.uuid4().hex}")
 
     def abort(self, messages):
         self._delegate.abort(messages, -1)
@@ -543,13 +545,19 @@ class PulsarLikeStreamWriter(DataSourceStreamWriter):
             staged[p] = [fname, len(rows), lo, hi]
         return SegmentCommit(partition_counts=json.dumps(staged))
 
-    def commit(self, messages, batchId: int) -> None:
+    def commit(self, messages, batchId) -> None:
         import shutil
 
         from pulsar_3_2_codedump_spark.topic import _topic_write_lock
 
+        # Replay idempotency is keyed per SINK, not per topic: two streaming
+        # queries writing the same topic both start at batchId 0 and must not
+        # be treated as each other's replays. Pass option("sinkId", ...) to
+        # scope the ledger; single-query topics work unchanged without it.
+        sink_id = self.options.get("sinkid")
+        key = f"{sink_id}:{batchId}" if sink_id else batchId
         with _topic_write_lock(self.path):
-            self._commit_locked(messages, batchId, shutil)
+            self._commit_locked(messages, key, shutil)
 
     def _commit_locked(self, messages, batchId: int, shutil) -> None:
         # writer lock held: a concurrent batch append (or another streaming

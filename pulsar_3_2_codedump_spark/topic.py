@@ -610,15 +610,30 @@ def txn_commit(spark: SparkSession, topic_path: str, txn_id: str) -> dict[int, i
     from pulsar_3_2_codedump_spark.envelope import MARKER_TXN_COMMIT
 
     stage = os.path.join(topic_path, f"_txn_{txn_id}")
+    data_token, marker_token = f"txn:{txn_id}", f"txnmarker:{txn_id}"
     if not os.path.isdir(stage):
-        raise ValueError(f"unknown or closed txn {txn_id}")
+        # coordinator retry AFTER the buffer sweep: if this txn's commit is
+        # recorded, the whole call is an idempotent no-op (the marker append
+        # below is token-guarded too); an unknown txn is still an error
+        toks = read_manifest(topic_path).get("committed_batch_tokens", [])
+        if data_token not in toks and marker_token not in toks:
+            raise ValueError(f"unknown or closed txn {txn_id}")
+        append(
+            spark, _txn_marker(spark, txn_id, MARKER_TXN_COMMIT), topic_path,
+            dedup=False, batch_token=marker_token,
+        )
+        return end_offsets(read_manifest(topic_path))
     chunks = [os.path.join(stage, c) for c in sorted(os.listdir(stage))]
     if chunks:
         buffered = spark.read.parquet(*chunks)
-        ends = append(spark, buffered, topic_path, dedup=False, batch_token=f"txn:{txn_id}")
+        ends = append(spark, buffered, topic_path, dedup=False, batch_token=data_token)
     else:
         ends = end_offsets(read_manifest(topic_path))
-    append(spark, _txn_marker(spark, txn_id, MARKER_TXN_COMMIT), topic_path, dedup=False)
+    # marker is token-guarded so a replayed commit cannot record it twice
+    append(
+        spark, _txn_marker(spark, txn_id, MARKER_TXN_COMMIT), topic_path,
+        dedup=False, batch_token=marker_token,
+    )
     shutil.rmtree(stage, ignore_errors=True)
     return ends
 

@@ -98,12 +98,21 @@ def test_registry_protobuf_roundtrip_and_compat(spark, tmp_root):
         tp, T2.StructType(sch.fields + [T2.StructField("c", T2.DoubleType())]),
         schema_type="PROTOBUF",
     )
-    # changing field 1's wire type (long -> string) is rejected at the
-    # descriptor level regardless of the structural strategy
+    # descriptor-level value-add: RENAME field 1 and change its wire type —
+    # structural (name-keyed) BACKWARD admits it (old 'a' dropped, new
+    # nullable 'a2'), but field NUMBER 1 changed long→string on the wire,
+    # which makes old payloads undecodable → rejected
     with _pytest.raises(SR.SchemaIncompatibleError):
         SR.register_schema(
             tp,
-            T2.StructType([T2.StructField("a", T2.StringType()), sch.fields[1]]),
-            strategy="NONE",
+            T2.StructType([T2.StructField("a2", T2.StringType(), True), sch.fields[1]]),
+            strategy="BACKWARD",
             schema_type="PROTOBUF",
         )
+    # strategy NONE (AlwaysCompatible) skips every check, descriptor included
+    SR.register_schema(
+        tp,
+        T2.StructType([T2.StructField("a", T2.StringType()), sch.fields[1]]),
+        strategy="NONE",
+        schema_type="PROTOBUF",
+    )

@@ -69,3 +69,9 @@ def test_txn_commit_idempotent_replay(spark, tmp_root):
     shutil.copytree(chunks_dir + "_replay", chunks_dir)
     T.txn_commit(spark, tp, txn)
     assert T.read_topic(spark, tp).count() == n1
+    # the commit marker is token-guarded: exactly ONE even after the replay
+    internal = T.read_topic(spark, tp, read_markers=True)
+    assert internal.filter(F.col("marker_type") == MARKER_TXN_COMMIT).count() == 1
+    # a replay after the buffer sweep (no staging dir) is also a no-op
+    T.txn_commit(spark, tp, txn)
+    assert T.read_topic(spark, tp).count() == n1
