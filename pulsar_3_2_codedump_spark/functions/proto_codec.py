@@ -252,9 +252,19 @@ def proto_encode(df: DataFrame, schema: T.StructType, out_col: str = "value") ->
     return df.mapInPandas(kernel, out_schema)
 
 
-def proto_decode(df: DataFrame, schema: T.StructType, in_col: str = "value", prefix: str = "") -> DataFrame:
-    """Decode a protobuf BINARY column into typed columns (§2.C2)."""
-    passthrough = [c for c in df.columns if c != in_col]
+def proto_decode(
+    df: DataFrame,
+    schema: T.StructType,
+    in_col: str = "value",
+    prefix: str = "",
+    keep_in_col: bool = False,
+) -> DataFrame:
+    """Decode a protobuf BINARY column into typed columns (§2.C2).
+
+    ``keep_in_col=True`` keeps the raw binary column in the output alongside
+    the decoded fields (the envelope-preserving posture schema_registry
+    .decode_value needs so all formats return the same shape)."""
+    passthrough = [c for c in df.columns if keep_in_col or c != in_col]
     out_schema = T.StructType(
         [df.schema[c] for c in passthrough]
         + [T.StructField(prefix + f.name, f.dataType) for f in schema.fields]
@@ -271,7 +281,11 @@ def proto_decode(df: DataFrame, schema: T.StructType, in_col: str = "value", pre
                 for b in pdf[in_col]
             ]
             out = pdf[passthrough].copy()
-            dec_df = pd.DataFrame(decoded, index=pdf.index)
+            # explicit columns: a zero-row batch yields an empty 'decoded'
+            # list, and pd.DataFrame([]) would have no columns at all
+            dec_df = pd.DataFrame(
+                decoded, index=pdf.index, columns=[f.name for f in schema.fields]
+            )
             for f in schema.fields:
                 out[prefix + f.name] = dec_df[f.name]
             yield out
@@ -337,6 +351,18 @@ def check_protobuf_compatibility(reader: T.StructType, writer: T.StructType) -> 
 
     for i, (rf, wf) in enumerate(zip(reader.fields, writer.fields)):
         num = i + 1
+        if rf.name != wf.name:
+            # positional mapping means a shared position IS a shared field
+            # number; a name change there is a remove-and-shift (or rename),
+            # which would silently decode the OLD field's bytes into the NEW
+            # field — reject rather than remap values
+            # (ProtobufNativeSchemaCompatibilityCheck keeps numbers stable;
+            # our positional registry must therefore keep names stable too)
+            raise SchemaIncompatibleError(
+                f"field {num}: name changed {wf.name!r} -> {rf.name!r} — "
+                "removing or renaming a middle field shifts later field "
+                "numbers and remaps old payload values"
+            )
         r_wt, w_wt = _wire_type_of(rf.dataType), _wire_type_of(wf.dataType)
         if r_wt != w_wt:
             raise SchemaIncompatibleError(

@@ -286,6 +286,57 @@ def _register_jdbc_query() -> None:
 _register_jdbc_query()
 
 
+def kafka_records_to_envelope(df: DataFrame, kafka_topic: str) -> DataFrame:
+    """Pure ConsumerRecord→envelope mapping (§2.A8,
+    pulsar-io/kafka/.../KafkaAbstractSource.java:224-266 ``KafkaRecord`` —
+    key/value/timestamp/partition/offset carried into the Pulsar message).
+
+    Input is Spark's native kafka source schema (key BINARY, value BINARY,
+    topic STRING, partition INT, offset LONG, timestamp TIMESTAMP,
+    timestampType INT, optionally headers ARRAY<STRUCT<key,value>>); output is
+    envelope columns ready for ``topic.append``.
+
+    Dedup identity: producer_name is **per source partition**
+    (``kafka:<topic>:<partition>``) with sequence_id = the Kafka offset, so the
+    broker's per-producer high-water-mark dedup is sound — offsets are
+    monotonic within a Kafka partition, making repeated/overlapping ingests of
+    the same partition idempotent. (A single producer_name with a composite
+    partition<<40|offset sequence would wedge the hwm at the highest partition
+    seen and silently drop later partition-0 records.)"""
+    header_cols = []
+    if "headers" in df.columns:
+        # Kafka headers (key STRING, value BINARY) → string properties,
+        # matching KafkaAbstractSource's header passthrough posture.
+        header_cols = [
+            F.map_from_entries(
+                F.transform(
+                    F.coalesce(F.col("headers"), F.array()),
+                    lambda h: F.struct(
+                        F.concat(F.lit("kafka_header_"), h["key"]).alias("key"),
+                        h["value"].cast("string").alias("value"),
+                    ),
+                )
+            )
+        ]
+    props = F.create_map(
+        F.lit("kafka_partition"), F.col("partition").cast("string"),
+        F.lit("kafka_offset"), F.col("offset").cast("string"),
+    )
+    if header_cols:
+        props = F.map_concat(props, header_cols[0])
+    return df.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").alias("value"),
+        props.alias("properties"),
+        F.col("timestamp").alias("event_time"),
+        F.col("timestamp").alias("publish_time"),
+        F.concat(
+            F.lit(f"kafka:{kafka_topic}:"), F.col("partition").cast("string")
+        ).alias("producer_name"),
+        F.col("offset").cast("long").alias("sequence_id"),
+    )
+
+
 def ingest_kafka(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -295,11 +346,8 @@ def ingest_kafka(
 ) -> dict[int, int]:
     """Kafka source connector (§2.A8, KafkaAbstractSource.java — the
     second-most-used pulsar-io connector): batch-read a Kafka topic through
-    Spark's native kafka format and append it as envelope rows. The Kafka
-    record model maps 1:1 onto the envelope: key/value bytes, timestamp →
-    publish_time, (partition, offset) preserved as properties (this topic
-    assigns its own offsets, like a Pulsar broker re-stamping replicated
-    entries).
+    Spark's native kafka format and append it as envelope rows via the pure
+    ``kafka_records_to_envelope`` mapping (unit-tested without a broker).
 
     Requires the spark-sql-kafka package on the classpath and a reachable
     broker; neither exists in this container, so the function raises a clear
@@ -312,16 +360,8 @@ def ingest_kafka(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    env = df.select(
-        F.col("key").cast("string").alias("key"),
-        F.col("value").alias("value"),
-        F.create_map(
-            F.lit("kafka_partition"), F.col("partition").cast("string"),
-            F.lit("kafka_offset"), F.col("offset").cast("string"),
-        ).alias("properties"),
-        F.col("timestamp").alias("event_time"),
-        F.col("timestamp").alias("publish_time"),
-        F.lit(f"kafka:{kafka_topic}").alias("producer_name"),
-        (F.col("partition").cast("long") * F.lit(1 << 40) + F.col("offset")).alias("sequence_id"),
-    )
+    env = kafka_records_to_envelope(df, kafka_topic)
+    # dedup=True is deliberate here (unlike ingest_external/ingest_jdbc):
+    # (producer_name per kafka partition, sequence_id = offset) is a stable
+    # retry identity, so incremental re-ingest is exactly-once.
     return T.append(spark, env, topic_path)

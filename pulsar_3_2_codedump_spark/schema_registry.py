@@ -151,7 +151,9 @@ def decode_value(
     if fmt in ("PROTOBUF", "PROTOBUF_NATIVE"):
         from pulsar_3_2_codedump_spark.functions.proto_codec import proto_decode
 
-        dec = proto_decode(env, schema, in_col="value", prefix="__pb_")
+        # keep_in_col: PROTOBUF must return the same envelope shape as the
+        # JSON/AVRO branches (raw 'value' retained alongside the struct)
+        dec = proto_decode(env, schema, in_col="value", prefix="__pb_", keep_in_col=True)
         return dec.withColumn(
             out_col, F.struct(*[F.col("__pb_" + f.name).alias(f.name) for f in schema.fields])
         ).drop(*["__pb_" + f.name for f in schema.fields])

@@ -159,3 +159,92 @@ def streaming_count_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_session_windows",
+    section="2.G-ext-stream",
+    doc="LIVE stateful streaming: session windows (30-minute inactivity gap, "
+    "Spark native session_window state) over a two-generation bounded replay. "
+    "Deterministic, with an exact SQL oracle: the gen-1 watermark (ms-truncated "
+    "max event_time, EventTimeStatsAccum) closes every session whose end "
+    "(last event_time + gap) falls at or below it; gen-2 rows whose tentative "
+    "session [ts, ts+gap) already ended below the watermark are dropped as "
+    "late, and surviving gen-2 rows can EXTEND a gen-1 session past the "
+    "watermark, suppressing its emission this run — the oracle reproduces "
+    "drop, merge, and close with gaps-and-islands SQL.",
+    oracle=f"""
+        {_ENV},
+        wm AS (SELECT (epoch_us(MAX(event_time)) // 1000) * 1000 AS w_us
+               FROM envelope WHERE sequence_id < 300),
+        kept AS (
+            SELECT e.* FROM envelope e, wm
+            WHERE e.sequence_id < 300
+               OR (e.sequence_id < 400
+                   AND epoch_us(e.event_time) + 1800 * 1000000 >= w_us)
+        ),
+        flagged AS (
+            SELECT key, sequence_id, event_time,
+                   CASE WHEN event_time
+                             - LAG(event_time) OVER (PARTITION BY key
+                                   ORDER BY event_time, sequence_id)
+                             >= INTERVAL 30 MINUTE
+                          OR LAG(event_time) OVER (PARTITION BY key
+                                   ORDER BY event_time, sequence_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM kept
+        ),
+        sessions AS (
+            SELECT *, SUM(new_session) OVER (PARTITION BY key
+                          ORDER BY event_time, sequence_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT key,
+               STRFTIME(MIN(event_time), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(sequence_id) AS first_seq, MAX(sequence_id) AS last_seq
+        FROM sessions, wm
+        GROUP BY key, sid, w_us
+        HAVING epoch_us(MAX(event_time)) + 1800 * 1000000 < w_us
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.sources import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="ssw_")
+    try:
+        tp = _replay_topic(spark, sf_dir, root, 0, 300)
+        src = spark.readStream.format("pulsarlike").option("path", tp).load()
+        sess = (
+            src.withWatermark("event_time", "0 seconds")
+            .groupBy(F.session_window("event_time", "30 minutes").alias("w"), "key")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("sequence_id").alias("first_seq"),
+                F.max("sequence_id").alias("last_seq"),
+            )
+            .select(
+                "key",
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+                "n_events", "first_seq", "last_seq",
+            )
+        )
+
+        def grow():
+            env = (
+                wrap_events(load(spark, sf_dir, "events"))
+                .filter(F.col("sequence_id").between(300, 399))
+                .drop("partition", "offset")
+            )
+            T.append(spark, env, tp)
+
+        rows = _run_bounded(sess, root + "/ck", [None, grow])
+        return (
+            spark.createDataFrame(rows, sess.schema)
+            if rows
+            else spark.createDataFrame([], sess.schema)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -640,14 +640,32 @@ def txn_commit(spark: SparkSession, topic_path: str, txn_id: str) -> dict[int, i
 
 def txn_abort(spark: SparkSession, topic_path: str, txn_id: str) -> None:
     """END_TXN abort (TopicTransactionBuffer.java:343 discard): drop the
-    buffer, record the TXN_ABORT marker; the log never shows the rows."""
+    buffer, record the TXN_ABORT marker; the log never shows the rows.
+
+    Idempotent under coordinator replay, mirroring txn_commit: the marker
+    append is batch_token-guarded so a replayed abort records exactly one
+    marker; aborting a txn that was already COMMITTED, or one this topic has
+    never seen, raises (TransactionCoordinator rejects END_TXN with a
+    mismatched TxnAction — TransactionMetadataStoreService checks the txn
+    status before writing the end marker)."""
     import shutil
 
     from pulsar_3_2_codedump_spark.envelope import MARKER_TXN_ABORT
 
     stage = os.path.join(topic_path, f"_txn_{txn_id}")
+    abort_token = f"txnabort:{txn_id}"
+    if not os.path.isdir(stage):
+        toks = read_manifest(topic_path).get("committed_batch_tokens", [])
+        if f"txn:{txn_id}" in toks or f"txnmarker:{txn_id}" in toks:
+            raise ValueError(f"txn {txn_id} already committed; cannot abort")
+        if abort_token not in toks:
+            raise ValueError(f"unknown or closed txn {txn_id}")
+        # replayed abort: the token-guarded append below is a no-op
     shutil.rmtree(stage, ignore_errors=True)
-    append(spark, _txn_marker(spark, txn_id, MARKER_TXN_ABORT), topic_path, dedup=False)
+    append(
+        spark, _txn_marker(spark, txn_id, MARKER_TXN_ABORT), topic_path,
+        dedup=False, batch_token=abort_token,
+    )
 
 
 def topic_stats(topic_path: str) -> dict:

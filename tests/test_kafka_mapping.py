@@ -1,0 +1,115 @@
+"""Kafka ConsumerRecord → envelope mapping (§2.A8), unit-verified without a
+broker (reference: pulsar-io/kafka/.../KafkaAbstractSource.java:224-266
+KafkaRecord — key/value/timestamp/partition/offset carried into the message).
+
+The mapping is a pure DataFrame→DataFrame function, so we feed it a synthetic
+frame with Spark's EXACT kafka-source schema (key BINARY, value BINARY, topic
+STRING, partition INT, offset LONG, timestamp TIMESTAMP, timestampType INT,
+headers ARRAY<STRUCT<key STRING, value BINARY>>) and check field-for-field,
+including null keys and null headers.
+"""
+
+import datetime as dt
+
+from pyspark.sql import functions as F, types as T
+
+from pulsar_3_2_codedump_spark import topic as TP
+from pulsar_3_2_codedump_spark.io import kafka_records_to_envelope
+
+KAFKA_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField("topic", T.StringType(), True),
+        T.StructField("partition", T.IntegerType(), True),
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField("timestampType", T.IntegerType(), True),
+        T.StructField(
+            "headers",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType(), True),
+                        T.StructField("value", T.BinaryType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def _records(spark, rows):
+    return spark.createDataFrame(rows, KAFKA_SCHEMA)
+
+
+TS = dt.datetime(2024, 5, 1, 12, 0, 0)
+
+
+def test_field_for_field_mapping(spark):
+    rows = [
+        (b"k1", b"v1", "t", 0, 0, TS, 0, [("h1", b"hv1"), ("h2", None)]),
+        (None, b"v2", "t", 1, 7, TS, 0, None),  # null key, null headers
+        (b"k3", None, "t", 1, 8, TS, 0, []),  # null value (tombstone)
+    ]
+    env = kafka_records_to_envelope(_records(spark, rows), "t").orderBy(
+        "producer_name", "sequence_id"
+    )
+    got = env.collect()
+    # partition 0 offset 0
+    r = got[0]
+    assert r["key"] == "k1" and bytes(r["value"]) == b"v1"
+    assert r["producer_name"] == "kafka:t:0" and r["sequence_id"] == 0
+    assert r["event_time"] == TS and r["publish_time"] == TS
+    assert r["properties"]["kafka_partition"] == "0"
+    assert r["properties"]["kafka_offset"] == "0"
+    assert r["properties"]["kafka_header_h1"] == "hv1"
+    assert r["properties"]["kafka_header_h2"] is None
+    # null key / null headers row
+    r = got[1]
+    assert r["key"] is None and bytes(r["value"]) == b"v2"
+    assert r["producer_name"] == "kafka:t:1" and r["sequence_id"] == 7
+    assert r["properties"]["kafka_partition"] == "1"
+    assert "kafka_header_h1" not in r["properties"]
+    # tombstone value stays null
+    r = got[2]
+    assert r["key"] == "k3" and r["value"] is None and r["sequence_id"] == 8
+
+
+def test_incremental_ingest_dedup_is_per_kafka_partition(spark, tmp_root):
+    """ADVICE r5 (medium): with one producer_name and a composite
+    partition<<40|offset sequence, any ingest touching kafka partition >= 1
+    wedged the hwm so a LATER ingest of new partition-0 records was silently
+    dropped. Per-partition producer identity makes incremental ingest
+    exactly-once AND complete."""
+    tp = TP.create_topic(tmp_root, "kafka_ing", n_partitions=2)
+
+    def ingest(rows):
+        env = kafka_records_to_envelope(_records(spark, rows), "t")
+        return TP.append(spark, env, tp)  # dedup=True, same as ingest_kafka
+
+    # first ingest: partition 0 offsets 0-1, partition 1 offsets 0-2
+    ingest(
+        [(b"a", b"p0o0", "t", 0, 0, TS, 0, None),
+         (b"b", b"p0o1", "t", 0, 1, TS, 0, None),
+         (b"c", b"p1o0", "t", 1, 0, TS, 0, None),
+         (b"d", b"p1o1", "t", 1, 1, TS, 0, None),
+         (b"e", b"p1o2", "t", 1, 2, TS, 0, None)]
+    )
+    assert TP.read_topic(spark, tp).count() == 5
+    # second incremental ingest: overlap (p0o1, p1o2 replayed) + NEW p0 records
+    ingest(
+        [(b"b", b"p0o1", "t", 0, 1, TS, 0, None),  # dup — dropped by hwm
+         (b"f", b"p0o2", "t", 0, 2, TS, 0, None),  # NEW partition-0 record
+         (b"g", b"p0o3", "t", 0, 3, TS, 0, None),  # NEW partition-0 record
+         (b"e", b"p1o2", "t", 1, 2, TS, 0, None)]  # dup — dropped by hwm
+    )
+    out = TP.read_topic(spark, tp)
+    assert out.count() == 7  # 5 + 2 new, 2 dups dropped
+    vals = sorted(bytes(r["value"]).decode() for r in out.select("value").collect())
+    assert vals == ["p0o0", "p0o1", "p0o2", "p0o3", "p1o0", "p1o1", "p1o2"]
+    # per-partition producer identity recorded distinctly
+    prods = {r[0] for r in out.select("producer_name").distinct().collect()}
+    assert prods == {"kafka:t:0", "kafka:t:1"}

@@ -120,3 +120,39 @@ def test_protobuf_compat_check():
     )
     with _pytest.raises(SchemaIncompatibleError):
         check_protobuf_compatibility(nested, FLAT)
+
+
+def test_zero_row_batch_decodes(spark):
+    """A zero-row input batch must yield an empty typed frame, not a KeyError
+    (ADVICE r5: pd.DataFrame([]) has no columns without an explicit list)."""
+    ev = spark.createDataFrame([], _EVENT_PROTO_SCHEMA)
+    enc = proto_encode(ev, _EVENT_PROTO_SCHEMA, out_col="payload")
+    dec = proto_decode(enc, _EVENT_PROTO_SCHEMA, in_col="payload")
+    assert dec.count() == 0
+    assert set(f.name for f in _EVENT_PROTO_SCHEMA.fields) <= set(dec.columns)
+
+
+def test_compat_rejects_middle_field_removal_with_same_wiretype():
+    """Removing a middle field whose successor shares its wire type shifts
+    later field numbers — old payloads' bytes would silently remap into the
+    wrong column. Positional registry must reject the name shift (ADVICE r5)."""
+    import pytest as _pytest
+
+    from pulsar_3_2_codedump_spark.functions.proto_codec import (
+        check_protobuf_compatibility,
+    )
+    from pulsar_3_2_codedump_spark.schema_registry import SchemaIncompatibleError
+
+    old = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("c", T.StringType()),
+        ]
+    )
+    new = T.StructType([T.StructField("a", T.LongType()), T.StructField("c", T.StringType())])
+    with _pytest.raises(SchemaIncompatibleError):
+        check_protobuf_compatibility(new, old)
+    # trailing removal keeps shared positions name-stable — still admitted
+    trailing = T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.StringType())])
+    check_protobuf_compatibility(trailing, old)

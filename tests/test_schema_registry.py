@@ -116,3 +116,26 @@ def test_registry_protobuf_roundtrip_and_compat(spark, tmp_root):
         strategy="NONE",
         schema_type="PROTOBUF",
     )
+
+
+def test_protobuf_decode_keeps_value_column(spark, tmp_root):
+    """All three formats must return the same envelope shape: the raw 'value'
+    column survives decode_value for PROTOBUF exactly as it does for JSON and
+    AVRO (ADVICE r5: the PROTOBUF branch used to consume it)."""
+    from pyspark.sql import types as T2
+
+    from pulsar_3_2_codedump_spark.functions.proto_codec import proto_encode
+
+    tp = TP.create_topic(tmp_root, "pbkeep", n_partitions=1)
+    sch = T2.StructType(
+        [T2.StructField("a", T2.LongType()), T2.StructField("b", T2.StringType())]
+    )
+    SR.register_schema(tp, sch, schema_type="PROTOBUF")
+    src = spark.createDataFrame([(1, "x"), (2, "y")], sch)
+    env = proto_encode(src, sch, out_col="value")
+    decoded = SR.decode_value(env, tp)
+    assert "value" in decoded.columns and "data" in decoded.columns
+    # the retained binary still decodes: select envelope cols after decode
+    got = decoded.select("value", "data.a", "data.b").collect()
+    assert sorted((r["a"], r["b"]) for r in got) == [(1, "x"), (2, "y")]
+    assert all(r["value"] is not None for r in got)

@@ -75,3 +75,31 @@ def test_txn_commit_idempotent_replay(spark, tmp_root):
     # a replay after the buffer sweep (no staging dir) is also a no-op
     T.txn_commit(spark, tp, txn)
     assert T.read_topic(spark, tp).count() == n1
+
+
+def test_txn_abort_idempotent_and_validating(spark, tmp_root):
+    """Abort replay safety (ADVICE r5): a replayed abort records exactly ONE
+    marker (batch_token-guarded like commit); aborting an unknown txn or an
+    already-committed txn raises instead of appending a bogus marker."""
+    import pytest
+
+    tp = T.create_topic(tmp_root, "txn4", n_partitions=2)
+    txn = T.txn_begin(tp)
+    T.txn_append(spark, _env(spark, 0, 20), tp, txn)
+    T.txn_abort(spark, tp, txn)
+    # replayed abort (coordinator retry after the buffer sweep): no-op
+    T.txn_abort(spark, tp, txn)
+    internal = T.read_topic(spark, tp, read_markers=True)
+    assert internal.filter(F.col("marker_type") == MARKER_TXN_ABORT).count() == 1
+    # unknown txn id: rejected
+    with pytest.raises(ValueError):
+        T.txn_abort(spark, tp, "deadbeef00000000")
+    # abort AFTER a successful commit: rejected (status check, no 2nd marker)
+    txn2 = T.txn_begin(tp)
+    T.txn_append(spark, _env(spark, 20, 30), tp, txn2)
+    T.txn_commit(spark, tp, txn2)
+    with pytest.raises(ValueError):
+        T.txn_abort(spark, tp, txn2)
+    internal = T.read_topic(spark, tp, read_markers=True)
+    assert internal.filter(F.col("marker_type") == MARKER_TXN_ABORT).count() == 1
+    assert internal.filter(F.col("marker_type") == MARKER_TXN_COMMIT).count() == 1
