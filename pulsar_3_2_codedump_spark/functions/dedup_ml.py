@@ -279,3 +279,166 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
     return bits.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+@query(
+    "dedup_clusters",
+    section="2.N-dedup",
+    doc="Near-dup CLUSTERING: connected components over the MinHash-LSH "
+    "candidate graph (edges = band-bucket candidates verified exact Jaccard "
+    ">= 0.5), labels = min doc_id reachable — the canonical-document-selection "
+    "step a corpus dedup actually ships (keep one doc per component, not one "
+    "per pair). Spark side is iterative hash-to-min label propagation "
+    "(join + min-agg per round, converges in O(diameter) rounds; the "
+    "large-star/small-star variant drops that to O(log n) at 100 TB — see "
+    "SCALE.md); oracle is a DuckDB recursive-CTE transitive closure.",
+    oracle=f"""
+        WITH RECURSIVE
+        sh AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents),
+        hs AS (SELECT doc_id, sh,
+                      list_transform(sh, s -> {_d_md5int("s")}) AS hs FROM sh),
+        sig AS (SELECT doc_id, sh, {_minhash_sig_sql()} FROM hs),
+        bands AS (
+            SELECT doc_id, 0 AS band, h0 AS b1, h1 AS b2 FROM sig
+            UNION ALL SELECT doc_id, 1, h2, h3 FROM sig
+            UNION ALL SELECT doc_id, 2, h4, h5 FROM sig
+            UNION ALL SELECT doc_id, 3, h6, h7 FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.b1 = b.b1 AND a.b2 = b.b2
+             AND a.doc_id < b.doc_id
+        ),
+        edge0 AS (
+            SELECT doc_a, doc_b FROM cand
+            JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+            WHERE len(list_intersect(x.sh, y.sh)) * 1.0 /
+                  len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM edge0
+            UNION ALL SELECT doc_b, doc_a FROM edge0
+        ),
+        verts AS (SELECT DISTINCT src AS v FROM edges),
+        reach AS (
+            SELECT v, v AS l FROM verts
+            UNION
+            SELECT e.src AS v, r.l FROM reach r JOIN edges e ON e.dst = r.v
+        ),
+        labeled AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v)
+        SELECT cluster_id, COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS member_sum,
+               MAX(doc_id) AS max_doc_id
+        FROM labeled GROUP BY cluster_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference analogue: none (Pulsar has no corpus ops) — this is the
+    §2.N training-pipeline extension. Candidate generation reuses the
+    minhash_lsh_dedup pipeline (band equi-join, never all-pairs)."""
+    pairs = minhash_lsh_dedup(spark, sf_dir).filter(F.col("jaccard") >= 0.5).select(
+        "doc_a", "doc_b"
+    )
+    sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    sym = sym.persist()
+    lab = (
+        sym.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    # hash-to-min propagation: label(v) <- min(label(v), min over neighbors).
+    # Driver-side loop with a per-round convergence scalar — the canonical
+    # Spark shape for iterative graph algorithms (each round is ONE shuffle
+    # join + ONE min-agg; localCheckpoint cuts the growing lineage).
+    for _ in range(32):
+        nbr = (
+            sym.join(lab.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_lab = (
+            lab.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_lab.alias("n")
+            .join(lab.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        lab.unpersist()
+        lab = new_lab
+        if changed == 0:
+            break
+    sym.unpersist()
+    return lab.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("member_sum"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+@query(
+    "contamination_overlap",
+    section="2.N-text",
+    doc="Benchmark-contamination detection: fraction of a candidate document's "
+    "shingles that appear in any single eval-set document (src0 = the held-out "
+    "benchmark), max over eval docs with deterministic doc-id tiebreak; flag "
+    "overlap >= 0.3. The industry-standard n-gram decontamination pass — "
+    "inverted-index equi-join on shingle, never candidate x eval cross "
+    "product.",
+    oracle=f"""
+        WITH sh AS (SELECT doc_id, source, {_D_SHINGLES} AS sh FROM documents),
+        cand AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh WHERE source <> 'src0'),
+        eval AS (SELECT doc_id AS eval_doc, unnest(sh) AS shingle FROM sh
+                 WHERE source = 'src0'),
+        cinv AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM cand),
+        hits AS (
+            SELECT c.doc_id, e.eval_doc, COUNT(*) AS n_common, MIN(c.n_sh) AS n_sh
+            FROM cinv c JOIN eval e USING (shingle)
+            GROUP BY c.doc_id, e.eval_doc
+        ),
+        ranked AS (
+            SELECT doc_id, eval_doc, n_common * 1.0 / n_sh AS ov,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY n_common * 1.0 / n_sh DESC, eval_doc) AS rk
+            FROM hits
+        )
+        SELECT doc_id, eval_doc AS matched_eval_doc, ROUND(ov, 4) AS overlap
+        FROM ranked WHERE rk = 1 AND ov >= 0.3
+    """,
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fanout(load(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", "source", shingles(F.col("text")).alias("sh"))
+    cand = sh.filter(F.col("source") != "src0").select(
+        "doc_id", "sh", F.size("sh").alias("n_sh")
+    )
+    ev = (
+        sh.filter(F.col("source") == "src0")
+        .select(F.col("doc_id").alias("eval_doc"), F.explode("sh").alias("shingle"))
+    )
+    cinv = cand.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    hits = cinv.join(ev, "shingle").groupBy("doc_id", "eval_doc").agg(
+        F.count(F.lit(1)).alias("n_common"), F.min("n_sh").alias("n_sh")
+    )
+    from pyspark.sql.window import Window as W
+
+    ov = F.col("n_common") / F.col("n_sh")
+    w = W.partitionBy("doc_id").orderBy(ov.desc(), F.col("eval_doc"))
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (ov >= 0.3))
+        .select(
+            "doc_id",
+            F.col("eval_doc").alias("matched_eval_doc"),
+            F.round(ov, 4).alias("overlap"),
+        )
+    )

@@ -77,12 +77,18 @@ PRIORITY_ORDER = [
     "regexp_functions", "date_extraction", "array_functions",
     "json_properties", "schema_decode_value",
     # (b) new or changed this round (proto codec + registry decode fixes,
-    # txn abort idempotency, streaming session windows)
-    "protobuf_decode_value", "txn_visibility", "streaming_session_windows",
+    # new clustering/contamination operators, streaming session windows;
+    # dedup_clusters runs the full minhash_lsh_dedup pipeline internally, so
+    # its hash doubles as the minhash canary)
+    "protobuf_decode_value", "streaming_session_windows",
+    "dedup_clusters", "contamination_overlap",
     # (c) spine canaries — keep a green reference point in every window
-    "pricing_summary", "tableview_latest", "minhash_lsh_dedup",
+    "pricing_summary", "tableview_latest",
     # ---- rotation window boundary (50) ----
     # standing-green tail: r4/r5-hashed, code unchanged since
+    # (txn_visibility is an envelope-level simulation — the r6 txn_abort fix
+    # is outside its code path, covered by tests/test_txn.py)
+    "txn_visibility", "minhash_lsh_dedup",
     "asof_join_prior_view", "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata",
     "min_acctbal_supplier_per_part", "nation_volume_shipping", "nation_market_share",
