@@ -58,24 +58,32 @@ def try_commit(commit_dir: str, manifest: dict, expected_version: int) -> int:
     """Conditional put of version ``expected_version + 1``.
 
     Returns the new version on success; raises CasConflict if that version
-    already exists (= the head moved since the caller's read)."""
+    already exists (= the head moved since the caller's read).
+
+    The claim must be atomic WITH the content: an object PUT is
+    all-or-nothing, so a listed version is always complete. Locally that
+    means staging the bytes in a tmp file first and publishing them with
+    ``os.link`` — the hardlink either creates the target name pointing at
+    the complete content or fails with EEXIST; a concurrent ``read_head``
+    can never observe a claimed-but-empty head."""
     os.makedirs(commit_dir, exist_ok=True)
     target = os.path.join(commit_dir, f"manifest.v{expected_version + 1}.json")
-    # stage the full content first so the claimed name is complete the
-    # instant it exists (object PUTs are all-or-nothing; locally we claim
-    # with O_EXCL then hardlink-free rename INTO the claimed fd)
+    tmp = os.path.join(commit_dir, f".tmp.{uuid.uuid4().hex}.json")
+    data = json.dumps(manifest, indent=1, sort_keys=True).encode()
+    fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     try:
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise CasConflict(
-            f"version {expected_version + 1} already committed in {commit_dir}"
-        ) from None
-    try:
-        data = json.dumps(manifest, indent=1, sort_keys=True).encode()
         os.write(fd, data)
         os.fsync(fd)
     finally:
         os.close(fd)
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise CasConflict(
+            f"version {expected_version + 1} already committed in {commit_dir}"
+        ) from None
+    finally:
+        os.remove(tmp)
     return expected_version + 1
 
 

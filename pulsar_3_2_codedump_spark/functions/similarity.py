@@ -416,3 +416,107 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(q, F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long")).alias("q_checksum"),
         F.round(F.array_max(err), 6).alias("max_abs_err"),
     )
+
+
+@query(
+    "ann_recall_at_k",
+    section="2.N-sim",
+    doc="ANN quality measurement: recall@3 of the sign-bit LSH search "
+    "(4-bit buckets) against exact brute-force cosine top-3, per query. "
+    "The measure-don't-guess loop every production ANN deployment needs — "
+    "recall is computed inside the engine (a key-join of the two top-k "
+    "sets), so at 100 TB it runs as two bounded top-k plans plus a "
+    "broadcast join on the tiny per-query result sets, never a collect.",
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+                   (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+                   (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+                   (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, embedding, bucket FROM b
+              WHERE vec_id % {QUERY_STRIDE} = 0),
+        lsh_scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   {_D_DOT} / ({_D_NORM_Q} * {_D_NORM_C}) AS cos
+            FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+        ),
+        lsh_top AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, neighbor_id) AS rank
+                FROM lsh_scored) WHERE rank <= 3
+        ),
+        exact_scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   {_D_DOT} / ({_D_NORM_Q} * {_D_NORM_C}) AS cos
+            FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        ),
+        exact_top AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, neighbor_id) AS rank
+                FROM exact_scored) WHERE rank <= 3
+        )
+        SELECT e.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               ROUND(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / 3, 4) AS recall_at_3
+        FROM exact_top e LEFT JOIN lsh_top l
+          ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """,
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    k = 3
+
+    def topk(scored: DataFrame) -> DataFrame:
+        w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id")
+        )
+
+    bucketed = emb.withColumn("bucket", sign_lsh_bucket(F.col("embedding"), 4))
+    q = bucketed.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c_lsh = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "bucket"
+    )
+    lsh_top = topk(
+        F.broadcast(q)
+        .join(c_lsh, ["bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    c_all = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    exact_top = topk(
+        F.broadcast(q.drop("bucket"))
+        .join(c_all, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    hit = F.when(F.col("l_neighbor").isNotNull(), 1).otherwise(0)
+    lsh_renamed = lsh_top.select(
+        F.col("query_id").alias("l_query"), F.col("neighbor_id").alias("l_neighbor")
+    )
+    return (
+        exact_top.join(
+            lsh_renamed,
+            (F.col("l_neighbor") == F.col("neighbor_id"))
+            & (F.col("l_query") == F.col("query_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(hit).alias("n_hit"),
+            F.round(F.sum(hit) / k, 4).alias("recall_at_3"),
+        )
+    )

@@ -400,3 +400,162 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(url), F.lit(0)))).alias("n_urls"),
         F.sum(F.length("text") - F.length(scrubbed)).alias("chars_removed"),
     )
+
+
+@query(
+    "gopher_quality_rules",
+    section="2.N-text",
+    doc="Gopher-style rule filters (Rae et al. 2021, the public quality-rule "
+    "battery every LLM corpus pass runs): per source, how many documents pass "
+    "each rule — word count in [30,80], mean word length in [3,10], >=80% of "
+    "words contain an alphabetic char, >=2 stopword hits — and how many pass "
+    "ALL of them. Pure column predicates: at 100 TB this is a single scan "
+    "with map-side partial aggregation, zero extra shuffles beyond the "
+    "#sources-sized final agg.",
+    oracle=rf"""
+        WITH scored AS (
+            SELECT source,
+                   len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+                   LENGTH(REPLACE(text, ' ', ''))
+                       * 1.0 / len(string_split_regex(lower(trim(text)), '\s+')) AS mwl,
+                   len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                       w -> regexp_matches(w, '[A-Za-z]')))
+                       * 1.0 / len(string_split_regex(lower(trim(text)), '\s+')) AS alpha_frac,
+                   len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                       w -> list_contains({STOPWORDS!r}, w))) AS stop_hits
+            FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN n_tok BETWEEN 30 AND 80 THEN 1 ELSE 0 END) AS BIGINT) AS pass_wordcount,
+               CAST(SUM(CASE WHEN mwl BETWEEN 3 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS pass_meanlen,
+               CAST(SUM(CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS pass_alpha,
+               CAST(SUM(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopword,
+               CAST(SUM(CASE WHEN n_tok BETWEEN 30 AND 80 AND mwl BETWEEN 3 AND 10
+                              AND alpha_frac >= 0.8 AND stop_hits >= 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+        FROM scored GROUP BY source
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    n_tok = F.size(ws)
+    mwl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_tok
+    alpha_frac = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))) / n_tok
+    stop_hits = marker_hits(F.col("text"), STOPWORDS)
+    r_wc = n_tok.between(30, 80)
+    r_mwl = mwl.between(3, 10)
+    r_alpha = alpha_frac >= 0.8
+    r_stop = stop_hits >= 2
+    as_int = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    scored = docs.select(
+        "source",
+        as_int(r_wc).alias("p_wc"),
+        as_int(r_mwl).alias("p_mwl"),
+        as_int(r_alpha).alias("p_alpha"),
+        as_int(r_stop).alias("p_stop"),
+        as_int(r_wc & r_mwl & r_alpha & r_stop).alias("p_all"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("p_wc").alias("pass_wordcount"),
+        F.sum("p_mwl").alias("pass_meanlen"),
+        F.sum("p_alpha").alias("pass_alpha"),
+        F.sum("p_stop").alias("pass_stopword"),
+        F.sum("p_all").alias("pass_all"),
+    )
+
+
+@query(
+    "char_entropy",
+    section="2.N-text",
+    doc="Character-entropy quality signal (the cheap perplexity stand-in for "
+    "degenerate/boilerplate text): per document, Shannon entropy of the "
+    "character unigram distribution. Computed scan-local with higher-order "
+    "array functions (distinct chars x count-in-array) — no explode shuffle, "
+    "no Python; at 100 TB this runs at scan speed inside codegen.",
+    oracle="""
+        WITH cs AS (
+            SELECT doc_id, string_split(lower(text), '') AS cs
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT doc_id,
+               CAST(len(cs) AS BIGINT) AS n_chars_tok,
+               CAST(len(list_distinct(cs)) AS BIGINT) AS n_distinct_chars,
+               ROUND(-list_aggregate(list_transform(list_distinct(cs),
+                    c -> (len(list_filter(cs, x -> x = c)) * 1.0 / len(cs))
+                         * log2(len(list_filter(cs, x -> x = c)) * 1.0 / len(cs))),
+                    'sum'), 4) AS char_entropy
+        FROM cs
+    """,
+)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    cs = F.split(F.lower(F.col("text")), "")
+    n = F.size(cs)
+    dc = F.array_distinct(cs)
+    cnts = F.transform(dc, lambda ch: F.size(F.filter(cs, lambda x: x == ch)))
+    ent = -F.aggregate(
+        cnts, F.lit(0.0), lambda acc, c: acc + (c / n) * F.log2(c / n)
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_chars_tok"),
+        F.size(dc).cast("long").alias("n_distinct_chars"),
+        F.round(ent, 4).alias("char_entropy"),
+    )
+
+
+@query(
+    "perplexity_proxy",
+    section="2.N-text",
+    doc="Bigram-LM perplexity proxy (the KenLM-style quality score of public "
+    "LLM pipelines, e.g. CCNet): train a bigram model on the WHOLE corpus "
+    "(two map-side-combinable count aggs), then score each document by its "
+    "mean negative log2 conditional probability. Spark-first shape: bigrams "
+    "come from zip_with over the token array (no posexplode+window), the "
+    "model tables join back on (prev,cur) — at 100 TB the model is "
+    "vocab-bounded (far smaller than the corpus) and AQE picks broadcast "
+    "when it fits; the corpus is scanned twice, never collected.",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur
+            FROM tok, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        ),
+        cnt2 AS (SELECT prev, cur, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        cnt1 AS (SELECT prev, COUNT(*) AS c1 FROM bg GROUP BY 1)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(-log2(c2 * 1.0 / c1)), 4) AS avg_neg_log2p
+        FROM bg JOIN cnt2 USING (prev, cur) JOIN cnt1 USING (prev)
+        WHERE doc_id < 200
+        GROUP BY doc_id
+    """,
+)
+def perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    pairs = F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 1),
+        F.slice(ws, 2, F.size(ws) - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    bg = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+    cnt2 = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    cnt1 = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    scored = bg.join(cnt2, ["prev", "cur"]).join(cnt1, ["prev"])
+    return (
+        scored.filter(F.col("doc_id") < 200)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log2(F.col("c2") / F.col("c1"))), 4).alias("avg_neg_log2p"),
+        )
+    )

@@ -74,20 +74,26 @@ PRIORITY_ORDER = [
     "offset_pagination", "correlated_subquery_avg", "exists_in_subqueries",
     "forecast_revenue_change", "order_priority_check",
     "returned_item_customers", "scalar_functions", "string_library",
-    "regexp_functions", "date_extraction", "array_functions",
-    "json_properties", "schema_decode_value",
+    "schema_decode_value",
     # (b) new or changed this round (proto codec + registry decode fixes,
-    # new clustering/contamination operators, streaming session windows;
+    # new clustering/contamination operators, streaming session windows,
+    # quality-rule battery / char entropy / bigram-LM perplexity proxy /
+    # ANN recall measurement — never driver-hashed;
     # dedup_clusters runs the full minhash_lsh_dedup pipeline internally, so
     # its hash doubles as the minhash canary)
     "protobuf_decode_value", "streaming_session_windows",
     "dedup_clusters", "contamination_overlap",
+    "gopher_quality_rules", "char_entropy", "perplexity_proxy",
+    "ann_recall_at_k",
     # (c) spine canaries — keep a green reference point in every window
     "pricing_summary", "tableview_latest",
     # ---- rotation window boundary (50) ----
-    # standing-green tail: r4/r5-hashed, code unchanged since
+    # standing-green tail: r4/r5-hashed, code unchanged since — the three
+    # M-scalar entries displaced by (b)'s never-hashed additions keep their
+    # r4 hash as standing evidence
     # (txn_visibility is an envelope-level simulation — the r6 txn_abort fix
     # is outside its code path, covered by tests/test_txn.py)
+    "date_extraction", "array_functions", "json_properties", "regexp_functions",
     "txn_visibility", "minhash_lsh_dedup",
     "asof_join_prior_view", "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata",

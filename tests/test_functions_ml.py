@@ -161,3 +161,49 @@ def test_resize_bytes_downsamples_deterministically(spark):
         assert bytes(out[mid]["blob"]) == want
         assert out[mid]["n_bytes"] == len(want)
         assert out[mid]["checksum"] == sum(want)
+
+
+def test_gopher_rules_pass_all_bounded(spark):
+    from pulsar_3_2_codedump_spark.queries import load_all
+
+    out = load_all()["gopher_quality_rules"].fn(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in out) == 500
+    for r in out:
+        for rule in ("pass_wordcount", "pass_meanlen", "pass_alpha", "pass_stopword"):
+            assert 0 <= r["pass_all"] <= r[rule] <= r["n_docs"]
+    # the rule battery must actually discriminate on this corpus
+    assert any(r["pass_all"] < r["n_docs"] for r in out)
+
+
+def test_char_entropy_within_information_bounds(spark):
+    from pulsar_3_2_codedump_spark.queries import load_all
+
+    out = load_all()["char_entropy"].fn(spark, SF_DIR).collect()
+    assert len(out) == 200
+    for r in out:
+        assert r["n_distinct_chars"] <= r["n_chars_tok"]
+        # 0 <= H <= log2(#distinct symbols)
+        assert -1e-9 <= r["char_entropy"] <= math.log2(r["n_distinct_chars"]) + 1e-9
+
+
+def test_perplexity_proxy_nonnegative_and_zero_for_deterministic_context(spark):
+    from pulsar_3_2_codedump_spark.queries import load_all
+
+    out = load_all()["perplexity_proxy"].fn(spark, SF_DIR).collect()
+    assert len(out) == 200
+    assert all(r["avg_neg_log2p"] >= 0 for r in out)
+    # a context that always predicts the same next token has -log2(1) = 0:
+    # synth corpus where every bigram is unique per prev ("a b", "c d", ...)
+    # would score 0; the real corpus must not be fully deterministic
+    assert any(r["avg_neg_log2p"] > 0 for r in out)
+
+
+def test_ann_recall_at_k_invariants(spark):
+    from pulsar_3_2_codedump_spark.queries import load_all
+
+    out = load_all()["ann_recall_at_k"].fn(spark, SF_DIR).collect()
+    assert len(out) == 10  # 500 vectors / stride 50
+    for r in out:
+        assert r["n_exact"] == 3
+        assert 0 <= r["n_hit"] <= 3
+        assert abs(r["recall_at_3"] - r["n_hit"] / 3) < 5e-5
