@@ -73,8 +73,7 @@ PRIORITY_ORDER = [
     "first_last_window", "rank_distributions", "topk_orders",
     "offset_pagination", "correlated_subquery_avg", "exists_in_subqueries",
     "forecast_revenue_change", "order_priority_check",
-    "returned_item_customers", "scalar_functions", "string_library",
-    "schema_decode_value",
+    "returned_item_customers", "schema_decode_value",
     # (b) new or changed this round (proto codec + registry decode fixes,
     # new clustering/contamination operators, streaming session windows,
     # quality-rule battery / char entropy / bigram-LM perplexity proxy /
@@ -84,7 +83,7 @@ PRIORITY_ORDER = [
     "protobuf_decode_value", "streaming_session_windows",
     "dedup_clusters", "contamination_overlap",
     "gopher_quality_rules", "char_entropy", "perplexity_proxy",
-    "ann_recall_at_k",
+    "ann_recall_at_k", "streaming_dedup", "streaming_stream_stream_join",
     # (c) spine canaries — keep a green reference point in every window
     "pricing_summary", "tableview_latest",
     # ---- rotation window boundary (50) ----
@@ -94,6 +93,7 @@ PRIORITY_ORDER = [
     # (txn_visibility is an envelope-level simulation — the r6 txn_abort fix
     # is outside its code path, covered by tests/test_txn.py)
     "date_extraction", "array_functions", "json_properties", "regexp_functions",
+    "scalar_functions", "string_library",
     "txn_visibility", "minhash_lsh_dedup",
     "asof_join_prior_view", "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata",

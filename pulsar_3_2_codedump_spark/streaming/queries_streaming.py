@@ -248,3 +248,130 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_dedup",
+    section="2.E1-stream",
+    doc="LIVE stateful streaming: broker dedup as a streaming operator — "
+    "dropDuplicatesWithinWatermark on the (producer_name, sequence_id) dedup "
+    "identity (PulsarApi.proto:107-108) across TWO availableNow generations: "
+    "gen-1 appends seq<300, gen-2 re-appends seq 100..200 verbatim (the "
+    "producer-retry storm, forced past broker dedup with dedup=False) plus "
+    "fresh seq 300..400. The 30-day delay keeps every key in state for the "
+    "whole replay, so output is EXACTLY one row per distinct sequence — the "
+    "cross-run state suppresses every redelivered duplicate. At scale this "
+    "is Spark's streaming-state dedup: state is hash-partitioned on the "
+    "dedup key and the watermark bounds it; the batch analogue is the "
+    "producer high-water mark in topic.append.",
+    oracle=f"""
+        {_ENV}
+        SELECT key, producer_name, sequence_id,
+               strftime(event_time, '%Y-%m-%d %H:%M:%S.%f') AS event_time_s
+        FROM envelope WHERE sequence_id < 400
+    """,
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.sources import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="sdd_")
+    try:
+        tp = _replay_topic(spark, sf_dir, root, 0, 300)
+        src = spark.readStream.format("pulsarlike").option("path", tp).load()
+        deduped = (
+            src.withWatermark("event_time", "30 days")
+            .dropDuplicatesWithinWatermark(["producer_name", "sequence_id"])
+            .select(
+                "key", "producer_name", "sequence_id",
+                F.date_format("event_time", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                    "event_time_s"
+                ),
+            )
+        )
+
+        def grow():
+            env = wrap_events(load(spark, sf_dir, "events")).drop("partition", "offset")
+            # the retry storm: seq 100..200 appended AGAIN (dedup=False forces
+            # the duplicates into the log), plus genuinely new seq 300..400
+            T.append(
+                spark, env.filter(F.col("sequence_id").between(100, 200)), tp, dedup=False
+            )
+            T.append(spark, env.filter(F.col("sequence_id").between(300, 399)), tp)
+
+        rows = _run_bounded(deduped, root + "/ck", [None, grow])
+        return (
+            spark.createDataFrame(rows, deduped.schema)
+            if rows
+            else spark.createDataFrame([], deduped.schema)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_stream_stream_join",
+    section="2.M-join-stream",
+    doc="LIVE stream-stream interval join (beyond-ref: Spark's flagship "
+    "streaming capability the reference cannot express): clicks joined to "
+    "purchases of the same key within [click, click + 4h), both sides read "
+    "from the SAME topic as independent streaming sources with event-time "
+    "watermarks. Deterministic under bounded replay, with an exact SQL "
+    "oracle (plain interval join). At scale both sides shuffle on the join "
+    "key and the watermark bounds the buffered state to the interval width "
+    "— the standard funnel/attribution join of event pipelines.",
+    oracle=f"""
+        {_ENV},
+        c AS (SELECT key, sequence_id AS click_seq, event_time AS ct
+              FROM envelope WHERE event_type = 'click' AND sequence_id < 2000),
+        p AS (SELECT key, sequence_id AS purchase_seq, event_time AS pt
+              FROM envelope WHERE event_type = 'purchase' AND sequence_id < 2000)
+        SELECT c.key, c.click_seq, p.purchase_seq,
+               epoch_us(p.pt) - epoch_us(c.ct) AS lag_us
+        FROM c JOIN p ON c.key = p.key
+         AND p.pt >= c.ct AND p.pt <= c.ct + INTERVAL 240 MINUTE
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.sources import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="ssj_")
+    try:
+        tp = _replay_topic(spark, sf_dir, root, 0, 2000)
+
+        def side(event_type: str, key_alias: str, seq_alias: str, t_alias: str):
+            return (
+                spark.readStream.format("pulsarlike")
+                .option("path", tp)
+                .load()
+                .filter(F.col("properties")["event_type"] == event_type)
+                .select(
+                    F.col("key").alias(key_alias),
+                    F.col("sequence_id").alias(seq_alias),
+                    F.col("event_time").alias(t_alias),
+                )
+                .withWatermark(t_alias, "1 hour")
+            )
+
+        clicks = side("click", "c_key", "click_seq", "ct")
+        purchases = side("purchase", "p_key", "purchase_seq", "pt")
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "c_key = p_key AND pt >= ct AND pt <= ct + interval 240 minutes"
+            ),
+        ).select(
+            F.col("c_key").alias("key"),
+            "click_seq",
+            "purchase_seq",
+            (F.unix_micros("pt") - F.unix_micros("ct")).alias("lag_us"),
+        )
+        rows = _run_bounded(joined, root + "/ck", [None])
+        return (
+            spark.createDataFrame(rows, joined.schema)
+            if rows
+            else spark.createDataFrame([], joined.schema)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
