@@ -442,3 +442,133 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ov, 4).alias("overlap"),
         )
     )
+
+
+@query(
+    "winnowing_fingerprints",
+    section="2.N-dedup",
+    doc="Winnowing document fingerprints (Schleimer et al. 2003, the "
+    "rolling-hash local fingerprinting behind MOSS-style overlap/plagiarism "
+    "detection): hash the ORDERED word 3-shingles, slide a window of 4 "
+    "hashes, keep each window's minimum, report the distinct fingerprint "
+    "set per document (count + checksum + density). Guarantees any shared "
+    "run of >= w+k-1 words between two documents shares a fingerprint. "
+    "Scan-local higher-order array ops — one md5 pass per shingle, no "
+    "explode shuffle, codegen end to end; at 100 TB the fingerprint set "
+    "(~1/w of shingles) is what gets inverted-indexed for overlap joins.",
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id, {_D_WORDS} AS ws FROM documents WHERE doc_id < 200
+        ),
+        o AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                       i -> {_d_md5int("array_to_string(ws[i:i+2], ' ')")}) AS h
+            FROM t
+        ),
+        m AS (
+            SELECT doc_id, len(h) AS n_shingles,
+                   greatest(len(h) - 3, 1) AS n_windows,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(h) - 3, 1)),
+                       i -> list_min(h[i:i+3]))) AS fps
+            FROM o
+        )
+        SELECT doc_id,
+               CAST(n_shingles AS BIGINT) AS n_shingles,
+               CAST(n_windows AS BIGINT) AS n_windows,
+               CAST(len(fps) AS BIGINT) AS n_fingerprints,
+               CAST(list_aggregate(fps, 'sum') AS BIGINT) AS fp_checksum,
+               ROUND(len(fps) * 1.0 / n_windows, 4) AS density
+        FROM m
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, w = SHINGLE_K, 4
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(ws)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    ordered_hashes = F.transform(idx, lambda i: _md5int(F.concat_ws(" ", F.slice(ws, i, k))))
+    hashed = docs.select("doc_id", ordered_hashes.alias("h"))
+    nh = F.size(F.col("h"))
+    nw = F.greatest(nh - (w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), nw), lambda i: F.array_min(F.slice(F.col("h"), i, w))
+    )
+    return hashed.select(
+        "doc_id",
+        nh.cast("long").alias("n_shingles"),
+        nw.cast("long").alias("n_windows"),
+        F.size(F.array_distinct(mins)).cast("long").alias("n_fingerprints"),
+        F.aggregate(
+            F.array_distinct(mins), F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("fp_checksum"),
+        F.round(F.size(F.array_distinct(mins)) / nw, 4).alias("density"),
+    )
+
+
+@query(
+    "cross_corpus_dedup",
+    section="2.N-dedup",
+    doc="Cross-corpus exact dedup (dedupe a NEW crawl against the corpus you "
+    "already trained on): reference corpus = doc_id < 250, candidate corpus "
+    "= doc_id >= 250 with a deterministic injected overlap (every 4th "
+    "candidate is a verbatim copy of reference doc_id - 250 — the fixture "
+    "has no natural cross-corpus dups, so the anti-join path is exercised "
+    "non-vacuously). Reports per-source candidate counts, dropped (seen in "
+    "reference), and retained. One fingerprint hash-agg + one anti-join on "
+    "the fingerprint — at 100 TB the reference fingerprint set ships as a "
+    "bloom/broadcast filter before the shuffle anti-join.",
+    oracle="""
+        WITH ref AS (
+            SELECT md5(lower(trim(text))) AS fp FROM documents WHERE doc_id < 250
+        ),
+        cand AS (
+            SELECT c.source,
+                   md5(lower(trim(CASE WHEN c.doc_id % 4 = 0 AND r.text IS NOT NULL
+                                       THEN r.text ELSE c.text END))) AS fp
+            FROM documents c
+            LEFT JOIN documents r ON r.doc_id = c.doc_id - 250
+            WHERE c.doc_id >= 250
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(SUM(CASE WHEN fp IN (SELECT fp FROM ref) THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(SUM(CASE WHEN fp IN (SELECT fp FROM ref) THEN 0 ELSE 1 END) AS BIGINT) AS n_retained
+        FROM cand GROUP BY source
+    """,
+)
+def cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fp = lambda c: F.md5(F.lower(F.trim(c)))  # noqa: E731
+    ref = docs.filter(F.col("doc_id") < 250)
+    copies = ref.select((F.col("doc_id") + 250).alias("doc_id"), F.col("text").alias("ref_text"))
+    cand = (
+        docs.filter(F.col("doc_id") >= 250)
+        .join(copies, "doc_id", "left")
+        .select(
+            "source",
+            fp(
+                F.when(
+                    (F.col("doc_id") % 4 == 0) & F.col("ref_text").isNotNull(),
+                    F.col("ref_text"),
+                ).otherwise(F.col("text"))
+            ).alias("fp"),
+        )
+    )
+    ref_fps = ref.select(fp(F.col("text")).alias("fp")).distinct()
+    seen = F.when(F.col("rfp").isNotNull(), 1).otherwise(0)
+    return (
+        cand.join(
+            F.broadcast(ref_fps.select(F.col("fp").alias("rfp"))),
+            F.col("fp") == F.col("rfp"),
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(seen).alias("n_dropped"),
+            F.sum(1 - seen).alias("n_retained"),
+        )
+    )

@@ -63,7 +63,8 @@ PRIORITY_ORDER = [
     "ngram_jaccard_pairs", "simhash_fingerprint", "embedding_cosine_neardup",
     "language_id", "doc_fingerprints", "top_terms", "document_chunking",
     "multimodal_features",
-    # (a cont.) r1/r2-era relational / window / scalar tail
+    # (a cont.) r1/r2-era relational / window / subquery tail (last hashed
+    # r2, before the driver regenerated fixtures)
     "count_window_sliding", "salted_hot_key_agg",
     "anti_join_customers_without_orders", "semi_join_customers_with_orders",
     "outer_join_order_counts", "theta_join_acctbal", "range_join_price_bands",
@@ -71,30 +72,35 @@ PRIORITY_ORDER = [
     "grouping_sets_priority", "monthly_rollup", "conditional_pivot",
     "window_rank_parts", "window_lag_lead_orders", "window_running_revenue",
     "first_last_window", "rank_distributions", "topk_orders",
-    "offset_pagination", "correlated_subquery_avg", "exists_in_subqueries",
+    "correlated_subquery_avg", "exists_in_subqueries",
     "forecast_revenue_change", "order_priority_check",
-    "returned_item_customers", "schema_decode_value",
-    # (b) new or changed this round (proto codec + registry decode fixes,
-    # new clustering/contamination operators, streaming session windows,
-    # quality-rule battery / char entropy / bigram-LM perplexity proxy /
-    # ANN recall measurement — never driver-hashed;
-    # dedup_clusters runs the full minhash_lsh_dedup pipeline internally, so
-    # its hash doubles as the minhash canary)
-    "protobuf_decode_value", "streaming_session_windows",
-    "dedup_clusters", "contamination_overlap",
+    "returned_item_customers",
+    # (a cont.) decode path — code changed this round (schema_registry
+    # PROTOBUF envelope-shape fix, proto_codec zero-row/compat fixes), so
+    # the r5 hash predates current code
+    "schema_decode_value", "protobuf_decode_value",
+    # (b) new this round — never driver-hashed (quality-rule battery, char
+    # entropy, bigram-LM perplexity proxy, ANN recall, winnowing, cross-
+    # corpus dedup, streaming dedup/join/session windows, LSH clustering,
+    # contamination; dedup_clusters runs the full minhash_lsh_dedup pipeline
+    # internally, so its hash doubles as the minhash canary)
+    "streaming_session_windows", "dedup_clusters", "contamination_overlap",
     "gopher_quality_rules", "char_entropy", "perplexity_proxy",
     "ann_recall_at_k", "streaming_dedup", "streaming_stream_stream_join",
-    # (c) spine canaries — keep a green reference point in every window
-    "pricing_summary", "tableview_latest",
+    "winnowing_fingerprints", "cross_corpus_dedup",
+    # (c) spine canary — a green reference point in every window
+    "pricing_summary",
     # ---- rotation window boundary (50) ----
-    # standing-green tail: r4/r5-hashed, code unchanged since — the three
-    # M-scalar entries displaced by (b)'s never-hashed additions keep their
-    # r4 hash as standing evidence
+    # r7 rotation head: the six M-scalar queries displaced by (b) — r2-green,
+    # code unchanged since, the lowest-risk residue of the standing tail —
+    # then the two no-exact-oracle sketches (rows-only by design)
+    "offset_pagination", "scalar_functions", "string_library",
+    "regexp_functions", "date_extraction", "array_functions", "json_properties",
+    "approx_distinct_sketch", "approx_percentile_sketch",
+    # standing-green tail: r4/r5-hashed, code unchanged since
     # (txn_visibility is an envelope-level simulation — the r6 txn_abort fix
     # is outside its code path, covered by tests/test_txn.py)
-    "date_extraction", "array_functions", "json_properties", "regexp_functions",
-    "scalar_functions", "string_library",
-    "txn_visibility", "minhash_lsh_dedup",
+    "tableview_latest", "txn_visibility", "minhash_lsh_dedup",
     "asof_join_prior_view", "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata",
     "min_acctbal_supplier_per_part", "nation_volume_shipping", "nation_market_share",
@@ -114,7 +120,6 @@ PRIORITY_ORDER = [
     "repetition_ratio", "pii_scrub_stats", "corpus_curation_pipeline",
     "multimodal_frame_sample", "embedding_quantization", "watermark_late_data",
     "round_robin_routing", "avro_decode_value", "keyvalue_decode",
-    "approx_distinct_sketch", "approx_percentile_sketch",
     "shipping_priority", "local_supplier_volume", "stats_summary",
     "exact_dedup", "cosine_topk", "text_quality_score",
     "tumbling_window_counts", "sliding_window_counts", "session_window_gaps",

@@ -207,3 +207,42 @@ def test_ann_recall_at_k_invariants(spark):
         assert r["n_exact"] == 3
         assert 0 <= r["n_hit"] <= 3
         assert abs(r["recall_at_3"] - r["n_hit"] / 3) < 5e-5
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing's core guarantee: two docs sharing a run of >= w+k-1 words
+    share at least one fingerprint; disjoint docs share none."""
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import SHINGLE_K, _md5int
+
+    k, w = SHINGLE_K, 4
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words >= w+k-1=6
+    df = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five"),
+            (2, f"six seven {shared} eight nine ten"),
+            (3, "completely different words everywhere nothing matches here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (k - 1), F.lit(1)))
+    h = F.transform(idx, lambda i: _md5int(F.concat_ws(" ", F.slice(ws, i, k))))
+    hashed = df.select("doc_id", h.alias("h"))
+    nw = F.greatest(F.size("h") - (w - 1), F.lit(1))
+    mins = F.transform(F.sequence(F.lit(1), nw), lambda i: F.array_min(F.slice("h", i, w)))
+    fps = {r["doc_id"]: set(r["fps"]) for r in hashed.select("doc_id", F.array_distinct(mins).alias("fps")).collect()}
+    assert fps[1] & fps[2], "shared run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_cross_corpus_dedup_drops_exactly_injected_overlap(spark):
+    from pulsar_3_2_codedump_spark.queries import load_all
+
+    out = load_all()["cross_corpus_dedup"].fn(spark, SF_DIR).collect()
+    n_cand = sum(r["n_candidates"] for r in out)
+    n_dropped = sum(r["n_dropped"] for r in out)
+    assert n_cand == 250
+    # every 4th candidate (doc_id % 4 == 0, doc_id in [250, 500)) is a copy
+    assert n_dropped == len([i for i in range(250, 500) if i % 4 == 0])
+    for r in out:
+        assert r["n_dropped"] + r["n_retained"] == r["n_candidates"]
