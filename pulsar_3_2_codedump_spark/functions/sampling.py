@@ -165,3 +165,51 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@query(
+    "length_bucketing",
+    section="2.N-sampling",
+    doc="Token-length quantile bucketing (efficient-batching prep: group "
+    "similar-length documents so padding waste is bounded): exact "
+    "interpolated quartile boundaries of the token-count distribution, "
+    "bucket = number of boundaries strictly below the doc's length, "
+    "per-bucket stats. The boundary row is a single broadcast — at 100 TB "
+    "swap the exact percentile for approx_percentile (mergeable sketch) "
+    "with the same bucket assignment; the per-doc pass is scan-local.",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id, source,
+                   len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+            FROM documents
+        ),
+        b AS (SELECT quantile_cont(n_tok, [0.25, 0.5, 0.75]) AS bs FROM tok)
+        SELECT CAST(len(list_filter(bs, v -> v < n_tok)) AS BIGINT) AS bucket_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(n_tok) AS min_tokens,
+               MAX(n_tok) AS max_tokens,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+        FROM tok, b
+        GROUP BY 1
+    """,
+)
+def length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.functions.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    b = tok.agg(
+        F.percentile("n_tok", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("bs")
+    )
+    bucket = F.size(F.filter(F.col("bs"), lambda v: v < F.col("n_tok")))
+    return (
+        tok.crossJoin(F.broadcast(b))
+        .select(bucket.cast("long").alias("bucket_id"), "n_tok")
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )

@@ -506,9 +506,11 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_renamed = lsh_top.select(
         F.col("query_id").alias("l_query"), F.col("neighbor_id").alias("l_neighbor")
     )
+    # both top-k sets are (n_queries x k) rows — broadcast the LSH side so
+    # the overlap join never shuffles
     return (
         exact_top.join(
-            lsh_renamed,
+            F.broadcast(lsh_renamed),
             (F.col("l_neighbor") == F.col("neighbor_id"))
             & (F.col("l_query") == F.col("query_id")),
             "left",
@@ -518,5 +520,41 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_exact"),
             F.sum(hit).alias("n_hit"),
             F.round(F.sum(hit) / k, 4).alias("recall_at_3"),
+        )
+    )
+
+
+@query(
+    "embedding_centroids",
+    section="2.N-embed",
+    doc="Per-label embedding centroids (the class-prototype/cluster-summary "
+    "pass of embedding-space curation): element-wise mean/min/max per "
+    "(label, dimension) via posexplode + one hash-agg. At 100 TB this is "
+    "the standard N x d -> #labels x d reduction: the shuffle carries only "
+    "partial (label, dim) aggregates after map-side combine.",
+    oracle="""
+        SELECT label,
+               CAST(i AS BIGINT) AS dim,
+               ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v,
+               ROUND(MIN(CAST(embedding[i] AS DOUBLE)), 6) AS min_v,
+               ROUND(MAX(CAST(embedding[i] AS DOUBLE)), 6) AS max_v,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+        GROUP BY 1, 2
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    return (
+        expl.select("label", (F.col("pos") + 1).cast("long").alias("dim"), "v")
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("v"), 6).alias("mean_v"),
+            F.round(F.min("v"), 6).alias("min_v"),
+            F.round(F.max("v"), 6).alias("max_v"),
+            F.count(F.lit(1)).alias("n_vectors"),
         )
     )

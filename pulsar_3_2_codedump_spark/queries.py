@@ -91,9 +91,12 @@ PRIORITY_ORDER = [
     # (c) spine canary — a green reference point in every window
     "pricing_summary",
     # ---- rotation window boundary (50) ----
-    # r7 rotation head: the six M-scalar queries displaced by (b) — r2-green,
-    # code unchanged since, the lowest-risk residue of the standing tail —
-    # then the two no-exact-oracle sketches (rows-only by design)
+    # r7 rotation head: length_bucketing + embedding_centroids (new, locally
+    # verified + pytest-pinned, built after the window filled), then the six
+    # M-scalar queries displaced by (b) — r2-green, code unchanged since, the
+    # lowest-risk residue of the standing tail — then the two
+    # no-exact-oracle sketches (rows-only by design)
+    "length_bucketing", "embedding_centroids",
     "offset_pagination", "scalar_functions", "string_library",
     "regexp_functions", "date_extraction", "array_functions", "json_properties",
     "approx_distinct_sketch", "approx_percentile_sketch",

@@ -246,3 +246,27 @@ def test_cross_corpus_dedup_drops_exactly_injected_overlap(spark):
     assert n_dropped == len([i for i in range(250, 500) if i % 4 == 0])
     for r in out:
         assert r["n_dropped"] + r["n_retained"] == r["n_candidates"]
+
+
+def test_length_bucketing_contiguous_quartiles(spark):
+    from pulsar_3_2_codedump_spark.queries import load_all
+
+    out = sorted(
+        load_all()["length_bucketing"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["bucket_id"],
+    )
+    assert [r["bucket_id"] for r in out] == [0, 1, 2, 3]
+    assert sum(r["n_docs"] for r in out) == 500
+    for a, b in zip(out, out[1:]):
+        assert a["max_tokens"] <= b["min_tokens"]  # buckets are contiguous ranges
+
+
+def test_embedding_centroids_bounds(spark):
+    from pulsar_3_2_codedump_spark.queries import load_all
+
+    out = load_all()["embedding_centroids"].fn(spark, SF_DIR).collect()
+    dims = {r["dim"] for r in out}
+    assert dims == set(range(1, max(dims) + 1))  # dense 1..d, fixture-dim agnostic
+    for r in out:
+        assert r["min_v"] - 1e-9 <= r["mean_v"] <= r["max_v"] + 1e-9
+        assert r["n_vectors"] > 0

@@ -115,7 +115,102 @@ def main() -> None:
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
-    print(json.dumps({"metric": "scale_smoke", "rows": n, "ops": results}))
+    # ---- LLM text-pipeline operators on synthetic documents ----------------
+    # ~40-token docs from a 50-word vocabulary, generated distributed (no
+    # driver data). Measures the quality/fingerprint battery's throughput at
+    # millions of documents — the posture that matters for a 100 TB corpus.
+    n_docs = max(1_000_000, n // 10)
+    vocab = [f"w{i}" for i in range(47)] + ["the", "and", "of"]
+    varr = F.array(*[F.lit(w) for w in vocab])
+    docs = spark.range(0, n_docs, numPartitions=64).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(25) + F.pmod("id", 30).cast("int")),
+                lambda i: F.element_at(varr, (F.pmod(F.col("id") * i + i * i, 50) + 1).cast("int")),
+            ),
+        ).alias("text"),
+        F.concat(F.lit("src"), F.pmod("id", 20).cast("string")).alias("source"),
+    )
+
+    def run_docs(name, df):
+        t0 = time.time()
+        cnt = df.count()
+        dt = time.time() - t0
+        results[name] = {
+            "sec": round(dt, 2),
+            "rows_out": cnt,
+            "mdocs_per_sec": round(n_docs / dt / 1e6, 2),
+        }
+        print(f"# {name}: {dt:.2f}s ({cnt} out, {n_docs/dt/1e6:.2f}M docs/s)", file=sys.stderr)
+
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import _md5int
+    from pulsar_3_2_codedump_spark.functions.text import STOPWORDS, marker_hits
+
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_tok = F.size(ws)
+    gopher = docs.select(
+        "source",
+        F.when(n_tok.between(30, 80), 1).otherwise(0).alias("p_wc"),
+        F.when(
+            (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_tok).between(3, 10), 1
+        ).otherwise(0).alias("p_mwl"),
+        F.when(marker_hits(F.col("text"), STOPWORDS) >= 2, 1).otherwise(0).alias("p_stop"),
+    ).groupBy("source").agg(F.sum("p_wc").alias("wc"), F.sum("p_mwl").alias("mwl"), F.sum("p_stop").alias("st"))
+    run_docs("gopher_rules_battery", gopher)
+
+    cs = F.split(F.lower(F.col("text")), "")
+    nc = F.size(cs)
+    dc = F.array_distinct(cs)
+    cnts = F.transform(dc, lambda ch: F.size(F.filter(cs, lambda x: x == ch)))
+    ent = -F.aggregate(cnts, F.lit(0.0), lambda acc, c: acc + (c / nc) * F.log2(c / nc))
+    run_docs(
+        "char_entropy",
+        docs.select(F.round(F.avg(ent), 4).alias("mean_entropy")),
+    )
+
+    k, w = 3, 4
+    idx = F.sequence(F.lit(1), F.greatest(n_tok - (k - 1), F.lit(1)))
+    h = F.transform(idx, lambda i: _md5int(F.concat_ws(" ", F.slice(ws, i, k))))
+    hcol = F.col("h")
+    nw = F.greatest(F.size(hcol) - (w - 1), F.lit(1))
+    mins = F.transform(F.sequence(F.lit(1), nw), lambda i: F.array_min(F.slice(hcol, i, w)))
+    run_docs(
+        "winnowing_fingerprints",
+        docs.select("doc_id", h.alias("h"))
+        .select(F.sum(F.size(F.array_distinct(mins))).alias("total_fps")),
+    )
+
+    pairs = F.zip_with(
+        F.slice(ws, 1, n_tok - 1),
+        F.slice(ws, 2, n_tok - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = docs.select("doc_id", F.explode(pairs).alias("bgm"))
+    cnt2 = bg.groupBy("bgm").agg(F.count(F.lit(1)).alias("c2"))
+    prev = F.substring_index(F.col("bgm"), " ", 1)
+    cnt1 = cnt2.groupBy(prev.alias("prev")).agg(F.sum("c2").alias("c1"))
+    model = (
+        cnt2.withColumn("prev", prev)
+        .join(cnt1, ["prev"])
+        .select("bgm", (-F.log2(F.col("c2") / F.col("c1"))).alias("neg_log2p"))
+    )
+    mrow = model.agg(
+        F.map_from_entries(F.collect_list(F.struct("bgm", "neg_log2p"))).alias("lm")
+    )
+    fold = F.aggregate(
+        F.transform(pairs, lambda b: F.element_at(F.col("lm"), b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    ppl = (
+        docs.crossJoin(F.broadcast(mrow))
+        .select("doc_id", (fold / F.size(pairs)).alias("s"))
+    )
+    run_docs("perplexity_proxy_bigram_lm", ppl)
+
+    print(json.dumps({"metric": "scale_smoke", "rows": n, "n_docs": n_docs, "ops": results}))
 
 
 if __name__ == "__main__":
