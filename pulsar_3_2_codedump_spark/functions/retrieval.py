@@ -1,0 +1,233 @@
+"""Text retrieval + corpus-passage operators for training-data pipelines.
+
+Beyond-reference §2.N extensions over the ``documents`` fixture:
+
+  - **BM25 top-k retrieval** (Robertson/Sparck-Jones, the public BM25
+    formula with k1=1.2, b=0.75): per-doc term frequencies computed as pure
+    column expressions over the token array (no explode for a fixed query
+    term set), corpus statistics (N, avgdl, per-term df) as ONE tiny
+    aggregate broadcast back — the scoring pass runs at scan speed and the
+    top-k is a TakeOrdered, never a full sort.
+  - **Prefix-filtered set-similarity self-join** (PPJoin-style, Chaudhuri
+    et al. "A Primitive Operator for Similarity Joins"): the 100 TB-safe
+    form of the Jaccard near-dup join. Tokens are globally ordered by
+    ascending corpus frequency; each set keeps only a prefix of length
+    ``|s| - ceil(t*|s|) + 1``; any pair with Jaccard >= t provably shares a
+    prefix token, so the candidate join explodes prefixes (rarest tokens)
+    instead of whole sets — orders of magnitude fewer candidates than the
+    share-any-shingle join at the same exact-verify guarantee.
+  - **Repeated cross-document passages**: k-word shingles appearing in >= K
+    distinct documents — the standard boilerplate/contamination signal.
+    One explode + one hash-agg shuffle; linear.
+
+All pure `pyspark.sql.functions` (JVM codegen); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pulsar_3_2_codedump_spark.catalog import fanout, load
+from pulsar_3_2_codedump_spark.functions.dedup_ml import shingles
+from pulsar_3_2_codedump_spark.queries import query
+
+BM25_TERMS = ["spark", "window", "join", "stream"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+_D_WORDS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(ws, x -> x = '{t}')) AS tf_{i}" for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score = " + ".join(
+        f"ln(1 + (n - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * ({BM25_K1} + 1)"
+        f" / (tf_{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+        WITH w AS (SELECT doc_id, {_D_WORDS} AS ws FROM documents),
+        per AS (SELECT doc_id, len(ws) AS dl, {tf_cols} FROM w),
+        st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl, {df_cols} FROM per)
+        SELECT doc_id, ROUND({score}, 4) AS score
+        FROM per, st
+        ORDER BY ROUND({score}, 6) DESC, doc_id
+        LIMIT {BM25_TOPK}
+    """
+
+
+@query(
+    "bm25_topk",
+    section="2.N-retrieval",
+    doc=f"BM25 top-{BM25_TOPK} retrieval for a fixed query term set "
+    f"{BM25_TERMS}: per-doc tf as column expressions (no explode), corpus "
+    "stats as one broadcast scalar row, TakeOrdered top-k.",
+    oracle=_bm25_oracle(),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25(load(spark, sf_dir, "documents"), BM25_TERMS, BM25_TOPK)
+
+
+def bm25(
+    docs: DataFrame,
+    terms: list[str],
+    topk: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 core over a (doc_id, text) frame — corpus stats via one broadcast
+    scalar row; scoring is a pure column expression at scan speed."""
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    def _tf(term):
+        # NB: the lambda must be single-argument — F.filter passes the element
+        # index as a second positional arg if the callable accepts one.
+        return F.size(F.filter(ws, lambda w: w == F.lit(term)))
+
+    per = docs.select(
+        "doc_id",
+        F.size(ws).alias("dl"),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col(f"df_{i}") + F.lit(0.5)) / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        tf = F.col(f"tf_{i}")
+        term = (
+            idf
+            * tf
+            * F.lit(k1 + 1)
+            / (tf + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+        )
+        score = term if score is None else score + term
+    return (
+        per.join(F.broadcast(stats))
+        .withColumn("score6", F.round(score, 6))
+        .orderBy(F.desc("score6"), F.asc("doc_id"))
+        .limit(topk)
+        .select("doc_id", F.round(score, 4).alias("score"))
+    )
+
+
+SETSIM_T = 0.2  # Jaccard threshold
+_D_SHINGLES3 = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len({_D_WORDS}) - 2, 1)),"
+    f" i -> array_to_string({_D_WORDS}[i:i+2], ' ')))"
+)
+
+
+@query(
+    "setsim_prefix_join",
+    section="2.N-dedup",
+    doc=f"Prefix-filtered (PPJoin-style) Jaccard >= {SETSIM_T} self-join on 3-word "
+    "shingles: global ascending-frequency token order, per-set prefix of "
+    "length |s|-ceil(t*|s|)+1, candidates join only on prefix tokens, exact "
+    "Jaccard verify. Provably lossless — the oracle is the brute-force "
+    "all-pairs join, and the outputs must be identical.",
+    oracle=f"""
+        WITH sh AS (SELECT doc_id, {_D_SHINGLES3} AS sh FROM documents
+                    WHERE doc_id < 300)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                     len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+              len(list_distinct(list_concat(a.sh, b.sh))) >= {SETSIM_T}
+    """,
+)
+def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fanout(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    return prefix_jaccard_join(sh, SETSIM_T)
+
+
+def prefix_jaccard_join(sh: DataFrame, t: float) -> DataFrame:
+    """PPJoin-style lossless Jaccard >= t self-join over a (doc_id, sh) frame
+    of distinct token arrays. Candidates come only from shared PREFIX tokens
+    under the global ascending-frequency order; exact Jaccard verifies."""
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("cnt"))
+    # global order: ascending corpus frequency, shingle text as tiebreak
+    ranked = (
+        inv.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("cnt", "shingle"))).alias("os"))
+        .select("doc_id", F.transform("os", lambda s: s["shingle"]).alias("toks"))
+    )
+    plen = F.size("toks") - F.ceil(F.lit(t) * F.size("toks")).cast("int") + F.lit(1)
+    pref = ranked.select("doc_id", F.explode(F.slice("toks", 1, plen)).alias("shingle"))
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(jac >= t)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+PASSAGE_K = 5  # words per passage shingle
+PASSAGE_MIN_DOCS = 3
+_D_SHINGLES5 = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len({_D_WORDS}) - {PASSAGE_K - 1}, 1)),"
+    f" i -> array_to_string({_D_WORDS}[i:i+{PASSAGE_K - 1}], ' ')))"
+)
+
+
+@query(
+    "repeated_passages",
+    section="2.N-text",
+    doc=f"Cross-document repeated passages: {PASSAGE_K}-word shingles appearing in "
+    f">= {PASSAGE_MIN_DOCS} distinct documents (boilerplate / contamination "
+    "signal). Explode + one hash-agg shuffle; linear in corpus size.",
+    oracle=f"""
+        WITH sh AS (SELECT doc_id, {_D_SHINGLES5} AS sh FROM documents),
+        inv AS (SELECT doc_id, unnest(sh) AS passage FROM sh)
+        SELECT passage,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               MIN(doc_id)            AS first_doc
+        FROM inv GROUP BY passage
+        HAVING COUNT(DISTINCT doc_id) >= {PASSAGE_MIN_DOCS}
+    """,
+)
+def repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return passages(fanout(load(spark, sf_dir, "documents")), PASSAGE_K, PASSAGE_MIN_DOCS)
+
+
+def passages(docs: DataFrame, k: int, min_docs: int) -> DataFrame:
+    """Cross-document repeated-passage core over a (doc_id, text) frame."""
+    sh = docs.select("doc_id", shingles(F.col("text"), k).alias("sh"))
+    inv = sh.select("doc_id", F.explode("sh").alias("passage"))
+    return (
+        inv.groupBy("passage")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -1,0 +1,131 @@
+"""Behavioral event analytics: ordered funnels and cohort retention.
+
+Beyond-reference §2.N extensions over the ``events`` fixture — the two
+workhorse product-analytics shapes a stream-analytics engine is expected to
+answer over an event log (the reference's SQL surface answers them via
+`pulsar-sql` / Trino on topic storage; here they are plain DataFrame plans).
+
+Scale posture (100 TB):
+  - funnel: one hash-agg shuffle on ``user_id`` for step 1, then per-step
+    joins that stay on the same ``user_id`` key — Spark reuses the hash
+    partitioning across the chain, so the funnel is a linear sequence of
+    co-partitioned narrow joins, never a cross product. Step frames shrink
+    monotonically (funnel property), so AQE can demote later joins to
+    broadcast automatically.
+  - cohort retention: two aggregations keyed on ``user_id`` then a small
+    (cohort_week × week_offset) hash-agg — output is bounded by the
+    calendar, not the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.queries import query
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@query(
+    "funnel_conversion",
+    section="2.N-behavior",
+    doc="Ordered funnel view→click→purchase: a user completes step N at the "
+    "earliest event of that type strictly AFTER completing step N-1. "
+    "Per-user min-ts aggs + co-partitioned user_id joins — no cross product.",
+    oracle="""
+        WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+              JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+              WHERE e.event_type = 'click' GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+              JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT 1 AS step_no, 'view' AS step, COUNT(*) AS users FROM v
+        UNION ALL SELECT 2, 'click', COUNT(*) FROM c
+        UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel(load(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
+def funnel(events: DataFrame, steps: list[str]) -> DataFrame:
+    """Ordered-funnel core: step 1 completes at a user's first event of that
+    type; step N at the first event of its type strictly AFTER step N-1."""
+    prev = (
+        events.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("step_ts"))
+    )
+    counts = [prev.agg(F.count(F.lit(1)).alias("users"))]
+    for step in steps[1:]:
+        nxt = (
+            events.filter(F.col("event_type") == step)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col("step_ts"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("step_ts"))
+        )
+        counts.append(nxt.agg(F.count(F.lit(1)).alias("users")))
+        prev = nxt
+    rows = [
+        c.select(
+            F.lit(i + 1).alias("step_no"), F.lit(name).alias("step"), F.col("users")
+        )
+        for i, (name, c) in enumerate(zip(steps, counts))
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+@query(
+    "cohort_retention",
+    section="2.N-behavior",
+    doc="Weekly cohort retention: cohort = week of a user's first event; "
+    "active_users = distinct users from that cohort with any event N weeks "
+    "later. Calendar-bounded output; two user_id-keyed aggs.",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+            FROM events GROUP BY user_id
+        ),
+        act AS (
+            SELECT DISTINCT e.user_id, f.cw,
+                   datediff('day', f.cw, date_trunc('week', e.ts)) // 7 AS wk
+            FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        )
+        SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+               CAST(wk AS BIGINT) AS week_offset,
+               COUNT(*) AS active_users
+        FROM act GROUP BY cw, wk
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort(load(spark, sf_dir, "events"))
+
+
+def cohort(events: DataFrame) -> DataFrame:
+    """Weekly cohort-retention core over an (user_id, ts) event frame."""
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    act = (
+        events.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cw",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cw")) / 7
+            ).cast("long").alias("wk"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cw", "wk").agg(F.count(F.lit(1)).alias("active_users")).select(
+        F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+        F.col("wk").alias("week_offset"),
+        "active_users",
+    )

@@ -97,6 +97,8 @@ PRIORITY_ORDER = [
     # lowest-risk residue of the standing tail — then the two
     # no-exact-oracle sketches (rows-only by design)
     "length_bucketing", "embedding_centroids",
+    "bm25_topk", "setsim_prefix_join", "repeated_passages",
+    "funnel_conversion", "cohort_retention",
     "offset_pagination", "scalar_functions", "string_library",
     "regexp_functions", "date_extraction", "array_functions", "json_properties",
     "approx_distinct_sketch", "approx_percentile_sketch",
@@ -150,10 +152,12 @@ def load_all() -> dict[str, Query]:
         dedup_ml,
         multimodal,
         proto_codec,
+        retrieval,
         sampling,
         similarity,
         text,
     )
+    from pulsar_3_2_codedump_spark.operators import behavior  # noqa: F401
     from pulsar_3_2_codedump_spark import io  # noqa: F401  (jdbc_roundtrip)
     from pulsar_3_2_codedump_spark.operators import delivery  # noqa: F401
     from pulsar_3_2_codedump_spark.streaming import queries_streaming  # noqa: F401
