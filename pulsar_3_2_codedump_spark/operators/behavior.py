@@ -19,7 +19,7 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pulsar_3_2_codedump_spark.catalog import load
 from pulsar_3_2_codedump_spark.queries import query
@@ -128,4 +128,36 @@ def cohort(events: DataFrame) -> DataFrame:
         F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
         F.col("wk").alias("week_offset"),
         "active_users",
+    )
+
+
+@query(
+    "event_bigram_counts",
+    section="2.N-behavior",
+    doc="Per-user event-sequence mining: count (event_type -> next event_type) "
+    "transitions over each user's timeline (ordered by ts, event_id tiebreak). "
+    "One user_id window shuffle + one small hash-agg over type pairs.",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS prev_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        )
+        SELECT prev_type, next_type, COUNT(*) AS cnt
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    """,
+)
+def event_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )

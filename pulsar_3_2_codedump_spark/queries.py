@@ -98,7 +98,8 @@ PRIORITY_ORDER = [
     # no-exact-oracle sketches (rows-only by design)
     "length_bucketing", "embedding_centroids",
     "bm25_topk", "setsim_prefix_join", "repeated_passages",
-    "funnel_conversion", "cohort_retention",
+    "funnel_conversion", "cohort_retention", "event_bigram_counts",
+    "bpe_merge_step", "hashing_trick_features",
     "offset_pagination", "scalar_functions", "string_library",
     "regexp_functions", "date_extraction", "array_functions", "json_properties",
     "approx_distinct_sketch", "approx_percentile_sketch",
@@ -156,6 +157,7 @@ def load_all() -> dict[str, Query]:
         sampling,
         similarity,
         text,
+        tokenize_ml,
     )
     from pulsar_3_2_codedump_spark.operators import behavior  # noqa: F401
     from pulsar_3_2_codedump_spark import io  # noqa: F401  (jdbc_roundtrip)

@@ -1,0 +1,67 @@
+"""BPE merge-step, hashing-trick features, event-sequence bigrams (§2.N)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.functions.tokenize_ml import (
+    HASH_DIMS,
+    bpe_merge_step,
+    hashing_trick_features,
+)
+from pulsar_3_2_codedump_spark.operators.behavior import event_bigram_counts
+from tests.conftest import SF_DIR
+
+
+def test_bpe_pairs_count_occurrences_not_distinct(spark):
+    # "a b a b a" has pairs: (a b) x2, (b a) x2 — multiplicity matters,
+    # unlike the distinct shingles used for dedup.
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b c")], "doc_id long, text string"
+    )
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    got = {
+        r["pair"]: r["cnt"]
+        for r in df.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == {"a b": 3, "b a": 2, "b c": 1}
+
+
+def test_bpe_merge_step_fixture_invariants(spark):
+    rows = bpe_merge_step(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)  # ordered by count desc
+    assert all(len(r["pair"].split(" ")) == 2 for r in rows)
+
+
+def test_hashing_trick_preserves_token_mass(spark):
+    out = hashing_trick_features(spark, SF_DIR)
+    agg = out.agg(F.sum("cnt").alias("s"), F.max("dim").alias("mx"), F.min("dim").alias("mn")).collect()[0]
+    docs = load(spark, SF_DIR, "documents").filter(F.col("doc_id") < 300)
+    total_toks = docs.select(
+        F.sum(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))).alias("t")
+    ).collect()[0]["t"]
+    assert agg["s"] == total_toks  # hashing never drops or double-counts a token
+    assert 0 <= agg["mn"] and agg["mx"] < HASH_DIMS
+
+
+def test_event_bigram_total_is_events_minus_users(spark):
+    out = event_bigram_counts(spark, SF_DIR)
+    total = out.agg(F.sum("cnt").alias("s")).collect()[0]["s"]
+    ev = load(spark, SF_DIR, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # each user's timeline of k events yields exactly k-1 transitions
+    assert total == n_events - n_users
