@@ -280,6 +280,72 @@ def schema_decode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "schema_evolution_decode",
+    section="1.3-schema",
+    doc="Multi-version AUTO_CONSUME decode (MessageMetadata.schema_version, "
+    "AutoConsumeSchema.java): orders rows are written under schema v0 "
+    "(2 fields, even orderkeys) or v1 (adds o_orderpriority, odd orderkeys); "
+    "the consumer decodes each row with its writer schema and conforms to the "
+    "latest reader view — v0 rows surface a NULL o_orderpriority. One "
+    "filter-pushed decode branch per registered version, unioned.",
+    oracle="""
+        SELECT CAST(o_orderkey % 2 AS BIGINT) AS schema_version,
+               COUNT(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+               MAX(o_totalprice) AS max_price,
+               MIN(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END)
+                   AS min_priority
+        FROM orders GROUP BY o_orderkey % 2
+    """,
+)
+def schema_evolution_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from pulsar_3_2_codedump_spark.schema_registry import (
+        decode_multi_version,
+        register_schema,
+    )
+
+    root = tempfile.mkdtemp(prefix="schevo_")
+    try:
+        v0 = T.StructType(
+            [
+                T.StructField("o_orderkey", T.LongType(), True),
+                T.StructField("o_totalprice", T.DoubleType(), True),
+            ]
+        )
+        v1 = T.StructType(
+            v0.fields + [T.StructField("o_orderpriority", T.StringType(), True)]
+        )
+        register_schema(root, v0, schema_type="JSON")
+        register_schema(root, v1, schema_type="JSON")  # BACKWARD: add nullable
+
+        orders = load(spark, sf_dir, "orders")
+        ver = (F.col("o_orderkey") % 2).cast("long")
+        payload = F.when(
+            ver == 0, F.to_json(F.struct("o_orderkey", "o_totalprice"))
+        ).otherwise(
+            F.to_json(F.struct("o_orderkey", "o_totalprice", "o_orderpriority"))
+        )
+        env = orders.select(
+            F.to_binary(payload, F.lit("utf-8")).alias("value"),
+            ver.alias("schema_version"),
+        )
+        dec = decode_multi_version(env, root)
+        return dec.groupBy("schema_version").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("data.o_orderkey").alias("sum_key"),
+            F.max("data.o_totalprice").alias("max_price"),
+            F.min("data.o_orderpriority").alias("min_priority"),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "string_library",
     section="2.M-scalar",
     doc="String function library breadth: pad/translate/reverse/repeat/split_part/"

@@ -171,3 +171,58 @@ def key_value_schema(key_schema: T.DataType, value_schema: T.StructType) -> T.St
 def decode_auto_consume(env: DataFrame, topic_path: str) -> DataFrame:
     """AUTO_CONSUME: always the latest registered schema."""
     return decode_value(env, topic_path, version=None)
+
+
+def decode_multi_version(
+    env: DataFrame,
+    topic_path: str,
+    out_col: str = "data",
+    version_col: str = "schema_version",
+) -> DataFrame:
+    """Per-message writer-schema dispatch, conformed to the latest reader view.
+
+    The reference stamps every message with the schema version it was written
+    under (MessageMetadata.schema_version, PulsarApi.proto:127) and an
+    AUTO_CONSUME consumer decodes each message with ITS writer schema, then
+    serves it through the latest reader schema (AutoConsumeSchema.java) —
+    fields the writer didn't have come back null, fields the reader dropped
+    disappear. Spark re-expression: one filtered decode branch per registered
+    version, conformed to the reader struct, unioned. The branch count is
+    bounded by the (tiny) schema log, each branch's version predicate pushes
+    into the scan, and every branch stays whole-stage codegen — at 100 TB
+    this is a handful of parallel scans of disjoint row sets, not a per-row
+    Python dispatch.
+
+    Rows whose ``version_col`` is not in the log are dropped (the broker
+    rejects writes with unknown schema versions, so they cannot exist in a
+    well-formed topic)."""
+    log = _load_log(topic_path)
+    if not log:
+        raise LookupError(f"no schemas registered for {topic_path}")
+    reader = T.StructType.fromJson(log[-1]["schema"])
+    parts = []
+    for entry in log:
+        v = entry["version"]
+        writer = T.StructType.fromJson(entry["schema"])
+        writer_names = {f.name for f in writer.fields}
+        dec = decode_value(
+            env.filter(F.col(version_col) == v), topic_path, version=v, out_col="__mv"
+        )
+        conformed = dec.withColumn(
+            out_col,
+            F.struct(
+                *[
+                    (
+                        F.col(f"__mv.{f.name}")
+                        if f.name in writer_names
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in reader.fields
+                ]
+            ),
+        ).drop("__mv")
+        parts.append(conformed)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -375,3 +375,97 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_tableview",
+    section="2.A4-stream",
+    doc="LIVE TableView as incremental view maintenance: the reference's "
+    "TableView (TableViewImpl.java:182-214) tails a topic and upserts "
+    "latest-per-key continuously. Spark form: foreachBatch merges each "
+    "micro-batch's per-key (max sequence_id, update count) into a versioned "
+    "materialized view — read previous version, union, re-aggregate, write "
+    "next version — across TWO availableNow generations with checkpoint "
+    "continuity, so every message is observed exactly once. The merge is one "
+    "hash-agg on key per micro-batch (state ∝ #keys, not #messages); at "
+    "scale the view is a partitioned table and the merge a MERGE INTO. "
+    "Exact oracle: last sequence and update count per key over the full "
+    "replayed range.",
+    oracle=f"""
+        {_ENV}
+        SELECT key,
+               MAX(sequence_id) AS last_seq,
+               COUNT(*)         AS n_updates
+        FROM envelope WHERE sequence_id < 400
+        GROUP BY key
+    """,
+)
+def streaming_tableview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from pulsar_3_2_codedump_spark.sources import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="stv_")
+    view_schema = "key string, last_seq long, n_updates long"
+    state = {"path": None}
+    try:
+        tp = _replay_topic(spark, sf_dir, root, 0, 300)
+        src = spark.readStream.format("pulsarlike").option("path", tp).load()
+
+        def upsert(batch, _bid):
+            agg = batch.groupBy("key").agg(
+                F.max("sequence_id").alias("last_seq"),
+                F.count(F.lit(1)).alias("n_updates"),
+            )
+            cur = (
+                batch.sparkSession.read.parquet(state["path"])
+                if state["path"]
+                else batch.sparkSession.createDataFrame([], view_schema)
+            )
+            merged = (
+                cur.unionByName(agg)
+                .groupBy("key")
+                .agg(
+                    F.max("last_seq").alias("last_seq"),
+                    F.sum("n_updates").cast("long").alias("n_updates"),
+                )
+            )
+            nxt = os.path.join(root, f"view_{uuid.uuid4().hex[:8]}")
+            merged.write.mode("overwrite").parquet(nxt)
+            state["path"] = nxt
+
+        def grow():
+            env = (
+                wrap_events(load(spark, sf_dir, "events"))
+                .filter(F.col("sequence_id").between(300, 399))
+                .drop("partition", "offset")
+            )
+            T.append(spark, env, tp)
+
+        _run_bounded_foreach(src, root + "/ck", [None, grow], upsert)
+        if state["path"] is None:
+            return spark.createDataFrame([], view_schema)
+        # materialize before the tmpdir is removed
+        rows = spark.read.parquet(state["path"]).collect()
+        out = spark.createDataFrame(rows, view_schema) if rows else spark.createDataFrame([], view_schema)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _run_bounded_foreach(stream_df, checkpoint: str, runs_with_appends, sink_fn) -> None:
+    """Like _run_bounded, but with a caller-supplied foreachBatch sink
+    (incremental-view upserts instead of driver-side collection)."""
+    for append_fn in runs_with_appends:
+        if append_fn:
+            append_fn()
+        q = (
+            stream_df.writeStream.foreachBatch(sink_fn)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
