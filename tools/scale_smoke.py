@@ -210,6 +210,40 @@ def main() -> None:
     )
     run_docs("perplexity_proxy_bigram_lm", ppl)
 
+    run_docs(
+        "bpe_merge_pair_counts",
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20),
+    )
+
+    # ---- behavioral analytics on a synthetic N-row event log ---------------
+    from pyspark.sql import Window as W
+
+    from pulsar_3_2_codedump_spark.operators.behavior import funnel
+
+    types = F.array(*[F.lit(t) for t in ["view", "click", "purchase", "signup", "error"]])
+    events = spark.range(0, n, numPartitions=64).select(
+        F.pmod("id", 1_000_000).alias("user_id"),
+        F.timestamp_micros(F.lit(1704067200000000) + F.col("id") * 1000).alias("ts"),
+        F.element_at(types, (F.pmod(F.xxhash64("id"), 5) + 1).cast("int")).alias("event_type"),
+        F.col("id").alias("event_id"),
+    )
+    run("funnel_3step", funnel(events, ["view", "click", "purchase"]))
+    wnd = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run(
+        "event_bigram_counts",
+        events.select(
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(wnd).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("cnt")),
+    )
+
     print(json.dumps({"metric": "scale_smoke", "rows": n, "n_docs": n_docs, "ops": results}))
 
 
