@@ -231,3 +231,41 @@ def passages(docs: DataFrame, k: int, min_docs: int) -> DataFrame:
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+@query(
+    "ngram_novelty",
+    section="2.N-text",
+    doc="Per-document novelty: fraction of a doc's distinct 3-word shingles "
+    "that appear in NO other document (df=1 under the corpus inverted "
+    "index) — the inverse of the boilerplate signal; high-novelty docs are "
+    "the long-tail content worth keeping. Two hash-agg shuffles (df count, "
+    "per-doc rollup) — linear.",
+    oracle=f"""
+        WITH sh AS (SELECT doc_id, {_D_SHINGLES3} AS sh FROM documents),
+        inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        dfc AS (SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM inv GROUP BY shingle)
+        SELECT i.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               ROUND(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+                   AS novel_frac
+        FROM inv i JOIN dfc ON i.shingle = dfc.shingle
+        GROUP BY i.doc_id
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fanout(load(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    dfc = inv.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
+    novel = (F.col("df") == 1).cast("long")
+    return (
+        inv.join(dfc, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+            F.round(F.sum(novel) / F.count(F.lit(1)), 4).alias("novel_frac"),
+        )
+    )

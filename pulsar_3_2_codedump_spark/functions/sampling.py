@@ -213,3 +213,67 @@ def length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("total_tokens"),
         )
     )
+
+
+RESERVOIR_K = 5
+
+
+@query(
+    "reservoir_sample_per_group",
+    section="2.N-sample",
+    doc=f"Exactly-{RESERVOIR_K}-per-stratum deterministic sample: rank every doc "
+    "inside its source by md5(doc_id) (a uniform random order that is "
+    "reproducible across engines/runs, unlike a heap-based reservoir seeded "
+    "per partition) and keep the first k. The distributed equivalent of "
+    "reservoir sampling with an auditable, stable result — per-group window "
+    "rank, one shuffle on the stratum key.",
+    oracle=f"""
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents) WHERE rn <= {RESERVOIR_K}
+    """,
+)
+def reservoir_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RESERVOIR_K)
+        .select("doc_id", "source")
+    )
+
+
+IR_PIVOT = 400.0  # chars at which keep-probability saturates to 1.0
+
+
+@query(
+    "importance_resampling",
+    section="2.N-sample",
+    doc="Quality-weighted deterministic resampling: keep-probability "
+    f"p = min(n_chars/{IR_PIVOT:.0f}, 1) (longer docs up-weighted), keep iff "
+    "md5-uniform(doc_id) < p. The per-row weighted Bernoulli every "
+    "quality-classifier-driven curation pipeline runs — a pure column "
+    "predicate, zero shuffle for the filter, one small per-language agg.",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_kept,
+               ROUND(AVG(n_chars), 4) AS avg_chars_kept
+        FROM documents
+        WHERE {_HASH_SQL} < least(n_chars / {IR_PIVOT}, 1.0)
+        GROUP BY lang
+    """,
+)
+def importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    p = F.least(F.col("n_chars") / F.lit(IR_PIVOT), F.lit(1.0))
+    kept = docs.filter(uniform_hash01(F.col("doc_id")) < p)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars_kept"),
+    )

@@ -1,0 +1,55 @@
+"""Reservoir-per-group, importance resampling, n-gram novelty (§2.N)."""
+
+from pyspark.sql import functions as F
+
+from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.functions.retrieval import ngram_novelty
+from pulsar_3_2_codedump_spark.functions.sampling import (
+    IR_PIVOT,
+    RESERVOIR_K,
+    importance_resampling,
+    reservoir_sample_per_group,
+    uniform_hash01,
+)
+from tests.conftest import SF_DIR
+
+
+def test_reservoir_exactly_k_per_group_and_deterministic(spark):
+    out1 = reservoir_sample_per_group(spark, SF_DIR)
+    sizes = {r["source"]: r["n"] for r in out1.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_sources = load(spark, SF_DIR, "documents").select("source").distinct().count()
+    assert len(sizes) == n_sources
+    assert all(v == RESERVOIR_K for v in sizes.values())
+    # deterministic: a second run returns the identical id set
+    ids1 = {(r["source"], r["doc_id"]) for r in out1.collect()}
+    ids2 = {(r["source"], r["doc_id"]) for r in reservoir_sample_per_group(spark, SF_DIR).collect()}
+    assert ids1 == ids2
+
+
+def test_importance_resampling_long_docs_always_kept(spark):
+    docs = load(spark, SF_DIR, "documents")
+    kept_total = importance_resampling(spark, SF_DIR).agg(F.sum("n_kept")).collect()[0][0]
+    # every saturated-probability doc (p=1) must be kept
+    p = F.least(F.col("n_chars") / F.lit(IR_PIVOT), F.lit(1.0))
+    saturated = docs.filter(F.col("n_chars") >= IR_PIVOT).count()
+    manual = docs.filter(uniform_hash01(F.col("doc_id")) < p).count()
+    assert kept_total == manual
+    assert manual >= saturated
+
+
+def test_ngram_novelty_bounds_and_dup_docs_score_zero(spark):
+    out = ngram_novelty(spark, SF_DIR)
+    agg = out.agg(F.min("novel_frac"), F.max("novel_frac"), F.count(F.lit(1))).collect()[0]
+    assert 0.0 <= agg[0] and agg[1] <= 1.0
+    assert agg[2] == load(spark, SF_DIR, "documents").count()
+    # exact-duplicate docs share every shingle -> their df>=2 everywhere -> 0
+    docs = load(spark, SF_DIR, "documents")
+    dups = (
+        docs.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("c"), F.collect_list("doc_id").alias("ids"))
+        .filter(F.col("c") >= 2)
+        .select(F.explode("ids").alias("doc_id"))
+    )
+    dup_scores = out.join(dups, "doc_id").agg(F.max("novel_frac")).collect()[0][0]
+    if dup_scores is not None:  # fixture has dup clusters at every sf
+        assert dup_scores == 0.0
