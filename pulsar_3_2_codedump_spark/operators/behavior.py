@@ -161,3 +161,101 @@ def event_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", "next_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@query(
+    "rfm_scores",
+    section="2.N-behavior",
+    doc="RFM segmentation over purchase events: per user, recency (days since "
+    "last purchase, vs the corpus max timestamp), frequency (purchase count), "
+    "monetary (summed value); each dimension scored into NTILE(5) quintiles "
+    "with a user_id tiebreak for determinism. One user_id hash-agg + three "
+    "cheap global windows over #users rows (≪ #events).",
+    oracle="""
+        WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+        per AS (
+            SELECT user_id,
+                   datediff('day', MAX(ts), (SELECT max_ts FROM mx)) AS r_days,
+                   COUNT(*) AS f,
+                   ROUND(SUM(value), 4) AS m
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        )
+        SELECT user_id, CAST(r_days AS BIGINT) AS r_days, f, m,
+               NTILE(5) OVER (ORDER BY r_days, user_id)      AS r_score,
+               NTILE(5) OVER (ORDER BY f DESC, user_id)      AS f_score,
+               NTILE(5) OVER (ORDER BY m DESC, user_id)      AS m_score
+        FROM per
+    """,
+)
+def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    mx = events.agg(F.max("ts").alias("max_ts"))
+    per = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("f"),
+            F.round(F.sum("value"), 4).alias("m"),
+        )
+        .join(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff("max_ts", "last_ts").cast("long").alias("r_days"),
+            "f",
+            "m",
+        )
+    )
+    return per.select(
+        "user_id",
+        "r_days",
+        "f",
+        "m",
+        F.ntile(5).over(Window.orderBy("r_days", "user_id")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("f"), F.asc("user_id"))).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("m"), F.asc("user_id"))).alias("m_score"),
+    )
+
+
+@query(
+    "anomaly_zscore",
+    section="2.N-behavior",
+    doc="Daily-volume anomaly scoring: per (event_type, day) counts, z-scored "
+    "against that type's daily mean/stddev — the monitoring query every "
+    "event pipeline runs. Two hash-aggs (daily counts, per-type moments) + "
+    "a broadcast join of the tiny per-type stats row.",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY event_type, day
+        ),
+        st AS (
+            SELECT event_type, AVG(cnt) AS mu, STDDEV_SAMP(cnt) AS sigma
+            FROM daily GROUP BY event_type
+        )
+        SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.cnt,
+               ROUND((d.cnt - st.mu) / st.sigma, 4) AS z
+        FROM daily d JOIN st ON d.event_type = st.event_type
+        WHERE st.sigma > 0
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    st = daily.groupBy("event_type").agg(
+        F.avg("cnt").alias("mu"), F.stddev_samp("cnt").alias("sigma")
+    )
+    return (
+        daily.join(F.broadcast(st), "event_type")
+        .filter(F.col("sigma") > 0)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cnt",
+            F.round((F.col("cnt") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+        )
+    )

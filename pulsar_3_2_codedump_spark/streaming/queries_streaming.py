@@ -469,3 +469,78 @@ def _run_bounded_foreach(stream_df, checkpoint: str, runs_with_appends, sink_fn)
             .start()
         )
         q.awaitTermination(300)
+
+
+@query(
+    "streaming_topk",
+    section="2.G-stream",
+    doc="LIVE incremental heavy hitters: per-event-type running counts "
+    "maintained across TWO availableNow generations with the same "
+    "versioned-view merge as streaming_tableview (one tiny hash-agg per "
+    "micro-batch, state ∝ #distinct types), final top-3 by total count. "
+    "The streaming word-count topology with a bounded exact oracle. At "
+    "scale the per-batch agg is map-side combined and the merge is a "
+    "broadcast-size MERGE INTO; for unbounded key domains swap the exact "
+    "counts for a space-saving/CMS sketch (approx_distinct_sketch is the "
+    "registered sketch surface).",
+    oracle=f"""
+        {_ENV}
+        SELECT event_type, COUNT(*) AS cnt
+        FROM envelope WHERE sequence_id < 400
+        GROUP BY event_type
+        ORDER BY cnt DESC, event_type
+        LIMIT 3
+    """,
+)
+def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from pulsar_3_2_codedump_spark.sources import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="stk_")
+    view_schema = "event_type string, cnt long"
+    state = {"path": None}
+    try:
+        tp = _replay_topic(spark, sf_dir, root, 0, 300)
+        src = spark.readStream.format("pulsarlike").option("path", tp).load()
+
+        def upsert(batch, _bid):
+            agg = batch.groupBy(
+                F.col("properties")["event_type"].alias("event_type")
+            ).agg(F.count(F.lit(1)).alias("cnt"))
+            cur = (
+                batch.sparkSession.read.parquet(state["path"])
+                if state["path"]
+                else batch.sparkSession.createDataFrame([], view_schema)
+            )
+            merged = (
+                cur.unionByName(agg)
+                .groupBy("event_type")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+            nxt = os.path.join(root, f"view_{uuid.uuid4().hex[:8]}")
+            merged.write.mode("overwrite").parquet(nxt)
+            state["path"] = nxt
+
+        def grow():
+            env = (
+                wrap_events(load(spark, sf_dir, "events"))
+                .filter(F.col("sequence_id").between(300, 399))
+                .drop("partition", "offset")
+            )
+            T.append(spark, env, tp)
+
+        _run_bounded_foreach(src, root + "/ck", [None, grow], upsert)
+        if state["path"] is None:
+            return spark.createDataFrame([], view_schema)
+        rows = (
+            spark.read.parquet(state["path"])
+            .orderBy(F.desc("cnt"), F.asc("event_type"))
+            .limit(3)
+            .collect()
+        )
+        return spark.createDataFrame(rows, view_schema) if rows else spark.createDataFrame([], view_schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
