@@ -28,15 +28,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pulsar_3_2_codedump_spark.catalog import fanout, load
-from pulsar_3_2_codedump_spark.functions.dedup_ml import shingles
+from pulsar_3_2_codedump_spark.functions.dedup_ml import _D_WORDS, shingles
 from pulsar_3_2_codedump_spark.queries import query
 
 BM25_TERMS = ["spark", "window", "join", "stream"]
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 20
-
-_D_WORDS = r"string_split_regex(lower(trim(text)), '\s+')"
 
 
 def _bm25_oracle() -> str:

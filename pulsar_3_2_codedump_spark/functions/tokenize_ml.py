@@ -23,9 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pulsar_3_2_codedump_spark.catalog import fanout, load
+from pulsar_3_2_codedump_spark.functions.dedup_ml import _D_WORDS
 from pulsar_3_2_codedump_spark.queries import query
-
-_D_WORDS = r"string_split_regex(lower(trim(text)), '\s+')"
 
 BPE_TOPK = 20
 HASH_DIMS = 16

@@ -244,7 +244,7 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     daily = events.groupBy(
-        "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+        "event_type", F.to_date(F.col("ts")).alias("day")
     ).agg(F.count(F.lit(1)).alias("cnt"))
     st = daily.groupBy("event_type").agg(
         F.avg("cnt").alias("mu"), F.stddev_samp("cnt").alias("sigma")

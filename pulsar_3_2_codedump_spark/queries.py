@@ -91,10 +91,12 @@ PRIORITY_ORDER = [
     # (c) spine canary — a green reference point in every window
     "pricing_summary",
     # ---- rotation window boundary (50) ----
-    # r7 rotation head: length_bucketing + embedding_centroids (new, locally
-    # verified + pytest-pinned, built after the window filled), then the six
-    # M-scalar queries displaced by (b) — r2-green, code unchanged since, the
-    # lowest-risk residue of the standing tail — then the two
+    # r7 rotation head: everything built AFTER the r6 window filled — first
+    # length_bucketing + embedding_centroids, then the 16 r6-session
+    # additions (retrieval/tokenizer/behavior/sampling/novelty, the
+    # schema-evolution decode, and the three new streaming IVM queries) —
+    # all locally verified + pytest-pinned; then the six M-scalar queries
+    # displaced by (b) — r2-green, code unchanged since — and the two
     # no-exact-oracle sketches (rows-only by design)
     "length_bucketing", "embedding_centroids",
     "bm25_topk", "setsim_prefix_join", "repeated_passages",

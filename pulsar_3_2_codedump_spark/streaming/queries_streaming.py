@@ -27,19 +27,42 @@ from pulsar_3_2_codedump_spark.queries import query
 _ENV = f"WITH envelope AS ({EVENTS_ENVELOPE_ORACLE})"
 
 
-def _replay_topic(spark: SparkSession, sf_dir: str, root: str, lo: int, hi: int) -> str:
-    tp = T.create_topic(root, "q", n_partitions=2)
+def _append_range(
+    spark: SparkSession, sf_dir: str, tp: str, lo: int, hi: int, dedup: bool = True
+) -> None:
+    """Append the events with sequence_id in [lo, hi) to a replay topic."""
     env = (
         wrap_events(load(spark, sf_dir, "events"))
         .filter(F.col("sequence_id").between(lo, hi - 1))
         .drop("partition", "offset")
     )
-    T.append(spark, env, tp)
+    T.append(spark, env, tp, dedup=dedup)
+
+
+def _replay_topic(spark: SparkSession, sf_dir: str, root: str, lo: int, hi: int) -> str:
+    tp = T.create_topic(root, "q", n_partitions=2)
+    _append_range(spark, sf_dir, tp, lo, hi)
     return tp
 
 
+def _run_bounded_foreach(stream_df, checkpoint: str, runs_with_appends, sink_fn) -> None:
+    """Run an availableNow query once per growth step through a caller-supplied
+    foreachBatch sink (driver-side collection or incremental-view upserts)."""
+    for append_fn in runs_with_appends:
+        if append_fn:
+            append_fn()
+        q = (
+            stream_df.writeStream.foreachBatch(sink_fn)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+
 def _run_bounded(stream_df, checkpoint: str, runs_with_appends) -> list:
-    """Run an availableNow query once per growth step, collecting appended output.
+    """_run_bounded_foreach with a collect-into-driver sink.
 
     HARNESS-ONLY: ``collect()`` into the driver is how the bounded fixture
     replay hands the driver's comparator a deterministic result set — do NOT
@@ -48,22 +71,47 @@ def _run_bounded(stream_df, checkpoint: str, runs_with_appends) -> list:
     ``foreachBatch`` (see streaming/replicator.py) and never materializes on
     the driver."""
     out: list = []
-
-    def grab(batch, _bid):
-        out.extend(batch.collect())
-
-    for append_fn in runs_with_appends:
-        if append_fn:
-            append_fn()
-        q = (
-            stream_df.writeStream.foreachBatch(grab)
-            .outputMode("append")
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+    _run_bounded_foreach(
+        stream_df, checkpoint, runs_with_appends, lambda b, _bid: out.extend(b.collect())
+    )
     return out
+
+
+def _versioned_view(root: str, view_schema: str, batch_agg, merge_agg):
+    """Idempotent versioned-view merge sink for foreachBatch IVM pipelines.
+
+    foreachBatch is at-least-once: a batch whose sink ran but whose
+    checkpoint commit failed is REPLAYED with the same batch id, and a naive
+    merge would double-count it. Views are therefore written to batch-id-named
+    dirs and a replayed id is skipped — in-memory via ``last_bid`` and, across
+    a driver restart, via the completed (_SUCCESS-marked) dir already on disk.
+
+    Returns (sink_fn, state); ``state['path']`` is the latest view after the
+    run. At scale the versioned dir is a table with MERGE INTO + the same
+    batch-id high-water guard (the standard foreachBatch idempotency
+    pattern)."""
+    import os
+
+    state = {"path": None, "last_bid": -1}
+
+    def upsert(batch, bid):
+        if bid <= state["last_bid"]:
+            return  # same-process replay of an already-merged batch
+        nxt = os.path.join(root, f"view_{bid:06d}")
+        if os.path.exists(os.path.join(nxt, "_SUCCESS")):
+            state["path"], state["last_bid"] = nxt, bid  # post-restart replay
+            return
+        spark = batch.sparkSession
+        cur = (
+            spark.read.parquet(state["path"])
+            if state["path"]
+            else spark.createDataFrame([], view_schema)
+        )
+        merged = merge_agg(cur.unionByName(batch_agg(batch)))
+        merged.write.mode("overwrite").parquet(nxt)
+        state["path"], state["last_bid"] = nxt, bid
+
+    return upsert, state
 
 
 @query(
@@ -97,15 +145,7 @@ def streaming_delayed_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
         tp = _replay_topic(spark, sf_dir, root, 0, 300)
         src = spark.readStream.format("pulsarlike").option("path", tp).load()
         released = delayed_delivery(src)
-
-        def grow():
-            env = (
-                wrap_events(load(spark, sf_dir, "events"))
-                .filter(F.col("sequence_id").between(300, 399))
-                .drop("partition", "offset")
-            )
-            T.append(spark, env, tp)
-
+        grow = lambda: _append_range(spark, sf_dir, tp, 300, 400)  # noqa: E731
         rows = _run_bounded(released, root + "/ck", [None, grow])
         out = spark.createDataFrame(rows, released.schema) if rows else spark.createDataFrame([], released.schema)
         # partition is the 2-way topic routing (pmod(xxhash64)) — not
@@ -232,14 +272,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-        def grow():
-            env = (
-                wrap_events(load(spark, sf_dir, "events"))
-                .filter(F.col("sequence_id").between(300, 399))
-                .drop("partition", "offset")
-            )
-            T.append(spark, env, tp)
-
+        grow = lambda: _append_range(spark, sf_dir, tp, 300, 400)  # noqa: E731
         rows = _run_bounded(sess, root + "/ck", [None, grow])
         return (
             spark.createDataFrame(rows, sess.schema)
@@ -291,13 +324,10 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def grow():
-            env = wrap_events(load(spark, sf_dir, "events")).drop("partition", "offset")
             # the retry storm: seq 100..200 appended AGAIN (dedup=False forces
             # the duplicates into the log), plus genuinely new seq 300..400
-            T.append(
-                spark, env.filter(F.col("sequence_id").between(100, 200)), tp, dedup=False
-            )
-            T.append(spark, env.filter(F.col("sequence_id").between(300, 399)), tp)
+            _append_range(spark, sf_dir, tp, 100, 201, dedup=False)
+            _append_range(spark, sf_dir, tp, 300, 400)
 
         rows = _run_bounded(deduped, root + "/ck", [None, grow])
         return (
@@ -386,7 +416,9 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "micro-batch's per-key (max sequence_id, update count) into a versioned "
     "materialized view — read previous version, union, re-aggregate, write "
     "next version — across TWO availableNow generations with checkpoint "
-    "continuity, so every message is observed exactly once. The merge is one "
+    "continuity and a batch-id idempotency guard (foreachBatch is "
+    "at-least-once; a replayed batch id skips the merge), so every message "
+    "is merged exactly once. The merge is one "
     "hash-agg on key per micro-batch (state ∝ #keys, not #messages); at "
     "scale the view is a partitioned table and the merge a MERGE INTO. "
     "Exact oracle: last sequence and update count per key over the full "
@@ -401,74 +433,39 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def streaming_tableview(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import uuid
-
     from pulsar_3_2_codedump_spark.sources import register
 
     register(spark)
     root = tempfile.mkdtemp(prefix="stv_")
     view_schema = "key string, last_seq long, n_updates long"
-    state = {"path": None}
     try:
         tp = _replay_topic(spark, sf_dir, root, 0, 300)
         src = spark.readStream.format("pulsarlike").option("path", tp).load()
-
-        def upsert(batch, _bid):
-            agg = batch.groupBy("key").agg(
+        upsert, state = _versioned_view(
+            root,
+            view_schema,
+            lambda b: b.groupBy("key").agg(
                 F.max("sequence_id").alias("last_seq"),
                 F.count(F.lit(1)).alias("n_updates"),
-            )
-            cur = (
-                batch.sparkSession.read.parquet(state["path"])
-                if state["path"]
-                else batch.sparkSession.createDataFrame([], view_schema)
-            )
-            merged = (
-                cur.unionByName(agg)
-                .groupBy("key")
-                .agg(
-                    F.max("last_seq").alias("last_seq"),
-                    F.sum("n_updates").cast("long").alias("n_updates"),
-                )
-            )
-            nxt = os.path.join(root, f"view_{uuid.uuid4().hex[:8]}")
-            merged.write.mode("overwrite").parquet(nxt)
-            state["path"] = nxt
-
-        def grow():
-            env = (
-                wrap_events(load(spark, sf_dir, "events"))
-                .filter(F.col("sequence_id").between(300, 399))
-                .drop("partition", "offset")
-            )
-            T.append(spark, env, tp)
-
-        _run_bounded_foreach(src, root + "/ck", [None, grow], upsert)
+            ),
+            lambda u: u.groupBy("key").agg(
+                F.max("last_seq").alias("last_seq"),
+                F.sum("n_updates").cast("long").alias("n_updates"),
+            ),
+        )
+        _run_bounded_foreach(
+            src,
+            root + "/ck",
+            [None, lambda: _append_range(spark, sf_dir, tp, 300, 400)],
+            upsert,
+        )
         if state["path"] is None:
             return spark.createDataFrame([], view_schema)
         # materialize before the tmpdir is removed
         rows = spark.read.parquet(state["path"]).collect()
-        out = spark.createDataFrame(rows, view_schema) if rows else spark.createDataFrame([], view_schema)
-        return out
+        return spark.createDataFrame(rows, view_schema) if rows else spark.createDataFrame([], view_schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-
-
-def _run_bounded_foreach(stream_df, checkpoint: str, runs_with_appends, sink_fn) -> None:
-    """Like _run_bounded, but with a caller-supplied foreachBatch sink
-    (incremental-view upserts instead of driver-side collection)."""
-    for append_fn in runs_with_appends:
-        if append_fn:
-            append_fn()
-        q = (
-            stream_df.writeStream.foreachBatch(sink_fn)
-            .outputMode("append")
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
 
 
 @query(
@@ -493,46 +490,28 @@ def _run_bounded_foreach(stream_df, checkpoint: str, runs_with_appends, sink_fn)
     """,
 )
 def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import uuid
-
     from pulsar_3_2_codedump_spark.sources import register
 
     register(spark)
     root = tempfile.mkdtemp(prefix="stk_")
     view_schema = "event_type string, cnt long"
-    state = {"path": None}
     try:
         tp = _replay_topic(spark, sf_dir, root, 0, 300)
         src = spark.readStream.format("pulsarlike").option("path", tp).load()
-
-        def upsert(batch, _bid):
-            agg = batch.groupBy(
+        upsert, state = _versioned_view(
+            root,
+            view_schema,
+            lambda b: b.groupBy(
                 F.col("properties")["event_type"].alias("event_type")
-            ).agg(F.count(F.lit(1)).alias("cnt"))
-            cur = (
-                batch.sparkSession.read.parquet(state["path"])
-                if state["path"]
-                else batch.sparkSession.createDataFrame([], view_schema)
-            )
-            merged = (
-                cur.unionByName(agg)
-                .groupBy("event_type")
-                .agg(F.sum("cnt").cast("long").alias("cnt"))
-            )
-            nxt = os.path.join(root, f"view_{uuid.uuid4().hex[:8]}")
-            merged.write.mode("overwrite").parquet(nxt)
-            state["path"] = nxt
-
-        def grow():
-            env = (
-                wrap_events(load(spark, sf_dir, "events"))
-                .filter(F.col("sequence_id").between(300, 399))
-                .drop("partition", "offset")
-            )
-            T.append(spark, env, tp)
-
-        _run_bounded_foreach(src, root + "/ck", [None, grow], upsert)
+            ).agg(F.count(F.lit(1)).alias("cnt")),
+            lambda u: u.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("cnt")),
+        )
+        _run_bounded_foreach(
+            src,
+            root + "/ck",
+            [None, lambda: _append_range(spark, sf_dir, tp, 300, 400)],
+            upsert,
+        )
         if state["path"] is None:
             return spark.createDataFrame([], view_schema)
         rows = (
