@@ -158,3 +158,62 @@ def test_seek_by_timestamp_matches_bruteforce(tmp_path_factory, segs, target, in
             expect = min(qual)
             break
     assert _seek_offset_for_timestamp(root, "0", manifest_segs, t_us) == expect
+
+
+# random tiny corpora: 3-8 docs of 3-12 tokens from an 8-word vocabulary —
+# small vocab forces heavy shingle sharing, the adversarial case for the
+# prefix filter's losslessness claim
+_VOCAB = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+CORPUS = st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=3, max_size=12).map(" ".join),
+    min_size=3,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(texts=CORPUS, t=st.sampled_from([0.2, 0.5, 0.8]))
+def test_prefix_jaccard_join_is_lossless(spark, texts, t):
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import shingles
+    from pulsar_3_2_codedump_spark.functions.retrieval import prefix_jaccard_join
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    sh = df.select("doc_id", shingles(F.col("text")).alias("sh"))
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_jaccard_join(sh, t).collect()
+    }
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in x.join(y, F.col("doc_a") < F.col("doc_b"))
+        .filter(jac >= t)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .collect()
+    }
+    assert got == brute
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(texts=CORPUS)
+def test_bm25_matches_rowwise_reference_on_random_corpora(spark, texts):
+    import math
+
+    from pulsar_3_2_codedump_spark.functions.retrieval import bm25
+
+    terms = ["aa", "bb"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r["score"] for r in bm25(df, terms, len(texts)).collect()}
+    toks = {i: s.split() for i, s in enumerate(texts)}
+    n = len(texts)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    for d, ws in toks.items():
+        s = 0.0
+        for trm in terms:
+            tf = ws.count(trm)
+            dfq = sum(1 for w in toks.values() if trm in w)
+            idf = math.log(1 + (n - dfq + 0.5) / (dfq + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl))
+        assert abs(got[d] - round(s, 4)) < 1e-9
