@@ -267,3 +267,68 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(novel) / F.count(F.lit(1)), 4).alias("novel_frac"),
         )
     )
+
+
+SNM_WINDOW = 4  # sorted-neighborhood comparison window
+SNM_T = 0.2
+
+
+@query(
+    "sorted_neighborhood_pairs",
+    section="2.N-dedup",
+    doc=f"Sorted-neighborhood dedup (Hernandez/Stolfo merge-purge): sort the "
+    "corpus by normalized text (near-dups sharing a prefix become adjacent), "
+    f"compare each doc only to the next {SNM_WINDOW - 1} in sort order, keep "
+    f"exact Jaccard >= {SNM_T} pairs. Deliberately lossy blocking — the "
+    "classic ER baseline next to the lossless LSH/prefix methods; the rank "
+    f"join is {SNM_WINDOW - 1} equi-joins on rn+d (never an inequality "
+    "BNLJ), so it scales as a sort + narrow joins.",
+    oracle=f"""
+        WITH r AS (
+            SELECT doc_id, {_D_SHINGLES3} AS sh,
+                   ROW_NUMBER() OVER (ORDER BY lower(trim(text)), doc_id) AS rn
+            FROM documents WHERE doc_id < 300
+        )
+        SELECT LEAST(a.doc_id, b.doc_id)    AS doc_a,
+               GREATEST(a.doc_id, b.doc_id) AS doc_b,
+               ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                     len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND {SNM_WINDOW - 1}
+        WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+              len(list_distinct(list_concat(a.sh, b.sh))) >= {SNM_T}
+    """,
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = fanout(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+    r = docs.select(
+        "doc_id",
+        shingles(F.col("text")).alias("sh"),
+        F.row_number()
+        .over(W.orderBy(F.lower(F.trim(F.col("text"))), F.col("doc_id")))
+        .alias("rn"),
+    )
+    a = r.select(
+        F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("rn").alias("a_rn")
+    )
+    parts = []
+    for d in range(1, SNM_WINDOW):
+        b = r.select(
+            F.col("doc_id").alias("b_id"),
+            F.col("sh").alias("sh_b"),
+            (F.col("rn") - d).alias("a_rn"),
+        )
+        parts.append(a.join(b, "a_rn"))
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.filter(jac >= SNM_T)
+        .select(
+            F.least("a_id", "b_id").alias("doc_a"),
+            F.greatest("a_id", "b_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )

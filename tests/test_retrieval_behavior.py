@@ -13,6 +13,7 @@ from pulsar_3_2_codedump_spark.functions.retrieval import (
     prefix_jaccard_join,
 )
 from pulsar_3_2_codedump_spark.operators.behavior import cohort, funnel
+from tests.conftest import SF_DIR
 
 
 def _bm25_ref(corpus, terms, k1=1.2, b=0.75):
@@ -149,3 +150,41 @@ def test_cohort_retention_week_offsets(spark):
         ("2026-01-12", 0): 1,
         ("2026-01-12", 1): 1,
     }
+
+
+def test_sorted_neighborhood_finds_exact_dups_and_is_subset_of_brute(spark):
+    from pulsar_3_2_codedump_spark.functions.retrieval import (
+        SNM_T,
+        sorted_neighborhood_pairs,
+    )
+
+    from collections import defaultdict
+
+    from pulsar_3_2_codedump_spark.catalog import load
+
+    out = sorted_neighborhood_pairs(spark, SF_DIR)
+    got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    # exact duplicates sort adjacent -> every exact-dup pair must be found
+    docs = load(spark, SF_DIR, "documents").filter(F.col("doc_id") < 300)
+    groups = defaultdict(list)
+    for r in docs.select("doc_id", F.lower(F.trim(F.col("text"))).alias("t")).collect():
+        groups[r["t"]].append(r["doc_id"])
+    dup_pairs = set()
+    for ids in groups.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                dup_pairs.add((ids[i], ids[j]))
+    # exact dups are adjacent in sort order -> inside the window
+    assert dup_pairs <= got
+    # blocking is lossy but never invents: every reported pair really has J >= t
+    shf = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    x = shf.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = shf.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    brute = {
+        (r["doc_a"], r["doc_b"])
+        for r in x.join(y, F.col("doc_a") < F.col("doc_b")).filter(jac >= SNM_T)
+        .select("doc_a", "doc_b").collect()
+    }
+    assert got <= brute
