@@ -373,3 +373,41 @@ def translate_cursor_by_snapshot(
             if best_key is None or key > best_key:
                 best, best_key = snap, key
     return None if best is None else {p: int(e) for p, e in best["dst"].items()}
+
+
+def subscription_cursor_path(topic_path: str, name: str) -> str:
+    """Canonical durable-cursor location: <topic>/subscriptions/<name>.json."""
+    import os
+
+    return os.path.join(topic_path, "subscriptions", f"{name}.json")
+
+
+def expire_inactive_subscriptions(
+    topic_path: str, max_idle_seconds: float, now: float | None = None
+) -> list[str]:
+    """Drop durable subscriptions idle past the expiry window.
+
+    Mirrors PersistentTopic.checkInactiveSubscriptions /
+    ServiceConfiguration.subscriptionExpirationTimeMinutes: a durable
+    subscription whose cursor hasn't moved within the window is deleted, so
+    its backlog stops pinning retention. The activity stamp is the cursor
+    file's mtime — ``save_ack_state`` atomically rewrites it on every ack,
+    exactly when the reference updates the cursor's ledger position.
+    Control-plane only (O(#subscriptions) metadata); returns the expired
+    subscription names. ``now`` is injectable for deterministic tests."""
+    import os
+    import time as _time
+
+    sub_dir = os.path.join(topic_path, "subscriptions")
+    if not os.path.isdir(sub_dir):
+        return []
+    t = _time.time() if now is None else now
+    expired = []
+    for fn in sorted(os.listdir(sub_dir)):
+        if not fn.endswith(".json"):
+            continue
+        p = os.path.join(sub_dir, fn)
+        if t - os.path.getmtime(p) > max_idle_seconds:
+            os.remove(p)
+            expired.append(fn[: -len(".json")])
+    return expired

@@ -161,3 +161,27 @@ def test_drain_available_now_three_growth_steps(spark, tmp_root):
     # flow control actually paced the drain: 1000 rows / (60/trigger-partition
     # cap aggregated) must take multiple rounds per step
     assert total_rounds >= 3
+
+
+def test_expire_inactive_subscriptions(tmp_root):
+    import os
+    import time
+
+    from pulsar_3_2_codedump_spark import subscriptions as S
+
+    os.makedirs(os.path.join(tmp_root, "subscriptions"))
+    active = S.subscription_cursor_path(tmp_root, "active")
+    idle = S.subscription_cursor_path(tmp_root, "idle")
+    st = S.ack_individual(S.new_ack_state(), [(0, 0, 10)])
+    S.save_ack_state(st, active)
+    S.save_ack_state(st, idle)
+    old = time.time() - 3600
+    os.utime(idle, (old, old))  # idle for an hour
+
+    expired = S.expire_inactive_subscriptions(tmp_root, max_idle_seconds=600)
+    assert expired == ["idle"]
+    assert not os.path.exists(idle)
+    # the active cursor survives and still loads
+    assert S.load_ack_state(active) == {0: st[0]}
+    # idempotent second sweep
+    assert S.expire_inactive_subscriptions(tmp_root, max_idle_seconds=600) == []
