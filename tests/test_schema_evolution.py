@@ -85,3 +85,39 @@ def test_streaming_tableview_matches_batch_view(spark):
         .collect()
     }
     assert got == want
+
+
+def test_versioned_view_replay_and_restart_idempotency(spark, tmp_root):
+    from pulsar_3_2_codedump_spark.streaming.queries_streaming import _versioned_view
+
+    schema = "k string, cnt long"
+
+    def batch_agg(b):
+        return b.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def merge_agg(u):
+        return u.groupBy("k").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+    d1 = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    d2 = spark.createDataFrame([("a",), ("c",)], "k string")
+
+    upsert, state = _versioned_view(tmp_root, schema, batch_agg, merge_agg)
+    upsert(d1, 0)
+    p0 = state["path"]
+    upsert(d1, 0)  # same-process replay of batch 0 must be a no-op
+    assert state["path"] == p0
+    upsert(d2, 1)
+    got = {r["k"]: r["cnt"] for r in spark.read.parquet(state["path"]).collect()}
+    assert got == {"a": 3, "b": 1, "c": 1}  # no double-count from the replay
+
+    # driver restart: a fresh sink over the same root must ADOPT completed
+    # batch dirs instead of re-merging them
+    upsert2, state2 = _versioned_view(tmp_root, schema, batch_agg, merge_agg)
+    upsert2(d1, 0)
+    upsert2(d2, 1)
+    got2 = {r["k"]: r["cnt"] for r in spark.read.parquet(state2["path"]).collect()}
+    assert got2 == got
+    # and new work on top of the adopted state merges normally
+    upsert2(spark.createDataFrame([("b",)], "k string"), 2)
+    got3 = {r["k"]: r["cnt"] for r in spark.read.parquet(state2["path"]).collect()}
+    assert got3 == {"a": 3, "b": 2, "c": 1}
