@@ -504,3 +504,48 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "moving_range_frame_revenue",
+    section="2.M-window",
+    doc="RANGE-interval window frame: per-supplier 30-day trailing revenue "
+    "over daily aggregates — RANGE BETWEEN 29 PRECEDING AND CURRENT ROW on "
+    "an epoch-day ordering key (the range frame skips calendar gaps, unlike "
+    "a ROWS frame). Daily pre-aggregation first, so the window runs over "
+    "#days rows per supplier, not #lineitems.",
+    oracle="""
+        WITH daily AS (
+            SELECT l_suppkey,
+                   CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dnum,
+                   SUM(l_extendedprice * (1 - l_discount)) AS rev
+            FROM lineitem WHERE l_suppkey <= 50
+            GROUP BY l_suppkey, dnum
+        )
+        SELECT l_suppkey, dnum,
+               ROUND(rev, 4) AS day_rev,
+               ROUND(SUM(rev) OVER (PARTITION BY l_suppkey ORDER BY dnum
+                                    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW),
+                     4) AS rev_30d
+        FROM daily
+    """,
+)
+def moving_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 50)
+    daily = li.groupBy(
+        "l_suppkey",
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("dnum"),
+    ).agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("dnum")
+        .rangeBetween(-29, W.currentRow)
+    )
+    return daily.select(
+        "l_suppkey",
+        "dnum",
+        F.round("rev", 4).alias("day_rev"),
+        F.round(F.sum("rev").over(w), 4).alias("rev_30d"),
+    )
