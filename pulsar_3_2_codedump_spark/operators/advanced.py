@@ -549,3 +549,36 @@ def moving_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev", 4).alias("day_rev"),
         F.round(F.sum("rev").over(w), 4).alias("rev_30d"),
     )
+
+
+@query(
+    "unpivot_price_components",
+    section="2.M-setop",
+    doc="UNPIVOT (wide→long): melt each lineitem's price components "
+    "(extended price, discount amount, tax amount) into rows and total per "
+    "(returnflag, component) — DataFrame.unpivot / melt; the oracle is the "
+    "equivalent UNION ALL stack. One scan + one small agg.",
+    oracle="""
+        SELECT l_returnflag, comp, ROUND(SUM(v), 4) AS total FROM (
+            SELECT l_returnflag, 'extended_amt' AS comp, l_extendedprice AS v
+            FROM lineitem
+            UNION ALL
+            SELECT l_returnflag, 'discount_amt', l_extendedprice * l_discount
+            FROM lineitem
+            UNION ALL
+            SELECT l_returnflag, 'tax_amt', l_extendedprice * l_tax
+            FROM lineitem
+        ) GROUP BY l_returnflag, comp
+    """,
+)
+def unpivot_price_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("extended_amt"),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("discount_amt"),
+        (F.col("l_extendedprice") * F.col("l_tax")).alias("tax_amt"),
+    )
+    long = li.unpivot(
+        ["l_returnflag"], ["extended_amt", "discount_amt", "tax_amt"], "comp", "v"
+    )
+    return long.groupBy("l_returnflag", "comp").agg(F.round(F.sum("v"), 4).alias("total"))
