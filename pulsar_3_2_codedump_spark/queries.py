@@ -106,7 +106,7 @@ PRIORITY_ORDER = [
     "reservoir_sample_per_group", "importance_resampling", "ngram_novelty",
     "streaming_topk", "rfm_scores", "anomaly_zscore",
     "sorted_neighborhood_pairs", "moving_range_frame_revenue",
-    "unpivot_price_components",
+    "unpivot_price_components", "streaming_static_enrich",
     "offset_pagination", "scalar_functions", "string_library",
     "regexp_functions", "date_extraction", "array_functions", "json_properties",
     "approx_distinct_sketch", "approx_percentile_sketch",

@@ -523,3 +523,52 @@ def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, view_schema) if rows else spark.createDataFrame([], view_schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_static_enrich",
+    section="2.I-stream",
+    doc="LIVE stream-static enrichment: the streaming envelope joined against "
+    "a static dimension (user tier, keyed on the message key) — Structured "
+    "Streaming's stream-static join, the broker-side message-enrichment "
+    "pattern (interceptor/Function enrich path). The static side is "
+    "broadcast per micro-batch, so at 100 TB the stream never shuffles for "
+    "the dim; exact oracle = the same join over the replayed range.",
+    oracle=f"""
+        {_ENV}
+        SELECT key, sequence_id,
+               CASE CAST(key AS BIGINT) % 3
+                    WHEN 0 THEN 'gold' WHEN 1 THEN 'silver' ELSE 'bronze'
+               END AS tier
+        FROM envelope WHERE sequence_id < 400
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.sources import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="sse_")
+    try:
+        tp = _replay_topic(spark, sf_dir, root, 0, 300)
+        # static dimension: tier per key (all 1000 possible user keys)
+        dim = spark.range(0, 1000).select(
+            F.col("id").cast("string").alias("key"),
+            F.element_at(
+                F.array(F.lit("gold"), F.lit("silver"), F.lit("bronze")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("tier"),
+        )
+        src = spark.readStream.format("pulsarlike").option("path", tp).load()
+        enriched = src.join(F.broadcast(dim), "key").select("key", "sequence_id", "tier")
+        rows = _run_bounded(
+            enriched,
+            root + "/ck",
+            [None, lambda: _append_range(spark, sf_dir, tp, 300, 400)],
+        )
+        return (
+            spark.createDataFrame(rows, enriched.schema)
+            if rows
+            else spark.createDataFrame([], enriched.schema)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
