@@ -332,3 +332,68 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 4).alias("jaccard"),
         )
     )
+
+
+TFIDF_TOPK = 3  # keyword-extraction terms kept per document
+
+
+@query(
+    "tfidf_top_terms",
+    section="2.N-retrieval",
+    doc=f"Per-document TF-IDF keyword extraction: top-{TFIDF_TOPK} terms of "
+    "every document under smooth idf = ln((N+1)/(df+1)) + 1. The plan is the "
+    "canonical two-agg shape — explode → per-(doc, term) tf hash-agg → "
+    "per-term df hash-agg (vocab-bounded, broadcast back) — then one window "
+    "rank per doc. At 100 TB the df table is vocab-sized (broadcastable "
+    "after a BPE cap) and both aggs are map-side combinable; nothing is "
+    "ever all-pairs.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, UNNEST({_D_WORDS}) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS score
+            FROM tf JOIN df USING (term), n
+        )
+        SELECT doc_id, term, CAST(rank AS BIGINT) AS rank,
+               ROUND(score, 4) AS score
+        FROM (
+            SELECT doc_id, term, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY ROUND(score, 6) DESC, term) AS rank
+            FROM scored
+        ) WHERE rank <= {TFIDF_TOPK} AND doc_id < 200
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_keywords(load(spark, sf_dir, "documents"), TFIDF_TOPK).filter(
+        F.col("doc_id") < 200
+    )
+
+
+def tfidf_keywords(docs: DataFrame, topk: int) -> DataFrame:
+    """TF-IDF keyword core over a (doc_id, text) frame. df/N are computed on
+    the FULL corpus (so any output filter downstream doesn't bias idf)."""
+    from pyspark.sql import Window as W
+
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tok = docs.select("doc_id", F.explode(ws).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    score = F.col("tf") * (
+        F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc(F.round(score, 6)), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("doc_id", "term", F.col("rank").cast("long").alias("rank"),
+                F.round(score, 4).alias("score"))
+    )

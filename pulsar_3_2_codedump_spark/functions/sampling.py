@@ -249,6 +249,49 @@ def reservoir_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOLDOUT_TRAIN_SHARE = 0.75  # share of source-groups routed to 'train'
+
+
+@query(
+    "group_holdout_split",
+    section="2.N-sample",
+    doc="Leakage-free train/heldout split: the split key is the GROUP "
+    "(source), not the document, so near-duplicate documents from the same "
+    "crawl/site can never straddle the boundary — the contamination mode a "
+    f"per-row split invites. Route a source to train iff md5-uniform(source) "
+    f"< {HOLDOUT_TRAIN_SHARE}; report per (split, lang) corpus volume. The "
+    "split predicate is a pure column expression (zero shuffle, pushes to "
+    "the scan); the audit agg is one partial-agg exchange over "
+    "(split × lang) rows. Deterministic across engines and runs — the split "
+    "is reproducible from the data alone, no seed state to lose.",
+    oracle=f"""
+        SELECT CASE WHEN CAST(('0x' || SUBSTR(md5(source), 1, 8)) AS BIGINT)
+                         / 4294967296.0 < {HOLDOUT_TRAIN_SHARE}
+                    THEN 'train' ELSE 'heldout' END AS split,
+               lang,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT source) AS n_sources,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1, 2
+    """,
+)
+def group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    split = F.when(
+        uniform_hash01(F.col("source")) < F.lit(HOLDOUT_TRAIN_SHARE), F.lit("train")
+    ).otherwise(F.lit("heldout"))
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 IR_PIVOT = 400.0  # chars at which keep-probability saturates to 1.0
 
 

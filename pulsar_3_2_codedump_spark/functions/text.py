@@ -585,3 +585,66 @@ def perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(fold / n_bg, 4).alias("avg_neg_log2p"),
         )
     )
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+@query(
+    "winsorized_stats",
+    section="2.N-text",
+    doc="Per-language winsorized length statistics (outlier-robust corpus "
+    f"profiling): exact interpolated p{int(WINSOR_LO*100):02d}/p{int(WINSOR_HI*100)} "
+    "bounds of n_chars per language, clamp every document's length into "
+    "[lo, hi], report raw vs winsorized means. The bounds frame is #langs "
+    "rows — a broadcast dim — so the plan is two scans + one tiny broadcast "
+    "join; at 100 TB swap the exact percentile for approx_percentile (a "
+    "mergeable KLL-style sketch) with the identical clamp/agg downstream.",
+    oracle=f"""
+        WITH b AS (
+            SELECT lang,
+                   quantile_cont(n_chars, {WINSOR_LO}) AS lo,
+                   quantile_cont(n_chars, {WINSOR_HI}) AS hi
+            FROM documents GROUP BY lang
+        )
+        SELECT d.lang,
+               COUNT(*) AS n_docs,
+               ROUND(b.lo, 4) AS p05_chars,
+               ROUND(b.hi, 4) AS p95_chars,
+               ROUND(AVG(d.n_chars), 4) AS mean_chars,
+               ROUND(AVG(least(greatest(d.n_chars, b.lo), b.hi)), 4)
+                   AS winsorized_mean_chars,
+               CAST(SUM(CASE WHEN d.n_chars < b.lo OR d.n_chars > b.hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+        FROM documents d JOIN b ON d.lang = b.lang
+        GROUP BY d.lang, b.lo, b.hi
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bounds = docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(WINSOR_LO)).alias("lo"),
+        F.percentile("n_chars", F.lit(WINSOR_HI)).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("n_chars").cast("double"), F.col("lo")), F.col("hi"))
+    return (
+        docs.join(F.broadcast(bounds), "lang")
+        .groupBy("lang", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+            F.round(F.avg(clamped), 4).alias("winsorized_mean_chars"),
+            F.sum(
+                ((F.col("n_chars") < F.col("lo")) | (F.col("n_chars") > F.col("hi"))).cast("long")
+            ).alias("n_clamped"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.round("lo", 4).alias("p05_chars"),
+            F.round("hi", 4).alias("p95_chars"),
+            "mean_chars",
+            "winsorized_mean_chars",
+            "n_clamped",
+        )
+    )

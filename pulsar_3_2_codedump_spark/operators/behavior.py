@@ -259,3 +259,44 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("cnt") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
         )
     )
+
+
+SCD2_USERS = 40  # bound the emitted history slice
+
+
+@query(
+    "scd2_intervals",
+    section="2.N-behavior",
+    doc="SCD2 (slowly-changing-dimension type 2) history build from an event "
+    "log: each user's event stream becomes contiguous validity intervals "
+    "[valid_from, valid_to) via lead() over (ts, event_id); the current row "
+    "has valid_to NULL. The batch analogue of the reference's compacted-"
+    "topic-with-history read (a TableView keeps only the latest; SCD2 keeps "
+    "every version with its validity window). One shuffle on user_id for "
+    "the window sort; at 100 TB partition the output table by "
+    "is_current/date so point-in-time (AS OF) lookups prune to one "
+    "partition.",
+    oracle=f"""
+        SELECT user_id, event_id,
+               STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+               STRFTIME(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+               event_type AS state,
+               CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+        FROM events
+        WHERE user_id < {SCD2_USERS}
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").filter(F.col("user_id") < SCD2_USERS)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    nxt = F.lead("ts").over(w)
+    return events.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(nxt, fmt).alias("valid_to"),
+        F.col("event_type").alias("state"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )

@@ -1,0 +1,75 @@
+"""Group holdout split, winsorized stats, TF-IDF keywords, SCD2 history."""
+
+from pyspark.sql import functions as F
+
+from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.functions.retrieval import tfidf_keywords, TFIDF_TOPK
+from pulsar_3_2_codedump_spark.functions.sampling import (
+    HOLDOUT_TRAIN_SHARE,
+    group_holdout_split,
+    uniform_hash01,
+)
+from pulsar_3_2_codedump_spark.functions.text import winsorized_stats
+from pulsar_3_2_codedump_spark.operators.behavior import SCD2_USERS, scd2_intervals
+from tests.conftest import SF_DIR
+
+
+def test_group_holdout_split_is_leakage_free(spark):
+    docs = load(spark, SF_DIR, "documents")
+    # every source lands entirely on one side — the defining property
+    sides = (
+        docs.withColumn(
+            "split",
+            F.when(
+                uniform_hash01(F.col("source")) < F.lit(HOLDOUT_TRAIN_SHARE), "train"
+            ).otherwise("heldout"),
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("split").alias("k"))
+    )
+    assert sides.filter(F.col("k") > 1).count() == 0
+    out = group_holdout_split(spark, SF_DIR)
+    total = out.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == docs.count()
+    assert {r["split"] for r in out.collect()} <= {"train", "heldout"}
+
+
+def test_winsorized_mean_is_between_bounds_and_robust(spark):
+    out = winsorized_stats(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert r["p05_chars"] <= r["p95_chars"]
+        assert r["p05_chars"] <= r["winsorized_mean_chars"] <= r["p95_chars"]
+        assert r["n_clamped"] <= r["n_docs"]
+
+
+def test_tfidf_keywords_rank_and_idf_monotonicity(spark):
+    docs = load(spark, SF_DIR, "documents")
+    out = tfidf_keywords(docs, TFIDF_TOPK)
+    per_doc = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank").alias("mr")
+    )
+    assert per_doc.filter(F.col("n") > TFIDF_TOPK).count() == 0
+    assert per_doc.filter(F.col("mr") > TFIDF_TOPK).count() == 0
+    # rank 1 scores >= rank 2 scores within a doc
+    r1 = out.filter(F.col("rank") == 1).select("doc_id", F.col("score").alias("s1"))
+    r2 = out.filter(F.col("rank") == 2).select("doc_id", F.col("score").alias("s2"))
+    bad = r1.join(r2, "doc_id").filter(F.col("s1") < F.col("s2")).count()
+    assert bad == 0
+
+
+def test_scd2_intervals_contiguous_one_current_per_user(spark):
+    out = scd2_intervals(spark, SF_DIR)
+    events = load(spark, SF_DIR, "events").filter(F.col("user_id") < SCD2_USERS)
+    assert out.count() == events.count()
+    cur = out.groupBy("user_id").agg(F.sum("is_current").alias("c"))
+    assert cur.filter(F.col("c") != 1).count() == 0
+    # intervals chain: each non-current row's valid_to equals the next valid_from
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+    chained = out.withColumn("nxt_from", F.lead("valid_from").over(w))
+    broken = chained.filter(
+        (F.col("is_current") == 0) & (F.col("valid_to") != F.col("nxt_from"))
+    ).count()
+    assert broken == 0
