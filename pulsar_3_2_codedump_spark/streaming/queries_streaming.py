@@ -572,3 +572,122 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _append_watermark_sentinel(spark: SparkSession, tp: str, advance_hours: int) -> None:
+    """Append one far-future marker message that exists only to advance the
+    event-time watermark (the streaming analogue of the reference's
+    WATERMARK marker, PulsarMarkers.proto): key/event_type 'sentinel' so
+    every business filter excludes it, its own producer_name so it cannot
+    collide with replayed producer sequence high-water marks. Harness-scale
+    single-row append."""
+    import datetime as _dt
+
+    last = T.read_topic(spark, tp).agg(F.max("event_time")).collect()[0][0]
+    far = last + _dt.timedelta(hours=advance_hours)
+    row = spark.range(1).select(
+        F.lit("__sentinel__").alias("key"),
+        F.lit(None).cast("binary").alias("value"),
+        F.create_map(F.lit("event_type"), F.lit("sentinel")).alias("properties"),
+        F.lit(far).alias("event_time"),
+        F.lit(far).alias("publish_time"),
+        F.lit("producer-sentinel").alias("producer_name"),
+        # distinct per sentinel generation or producer dedup drops the 2nd
+        F.lit(advance_hours).cast("long").alias("sequence_id"),
+        F.lit(None).cast("timestamp").alias("deliver_at"),
+        F.lit(None).cast("int").alias("marker_type"),
+        F.lit(None).cast("string").alias("replicated_from"),
+    )
+    T.append(spark, row, tp)
+
+
+@query(
+    "streaming_left_outer_join",
+    section="2.M-join-stream",
+    doc="LIVE stream-stream LEFT OUTER interval join: every click joins "
+    "purchases of the same key within [click, click + 4h); clicks with no "
+    "purchase in the window emit a NULL-padded row once the event-time "
+    "watermark passes their interval end (state eviction — Spark's outer "
+    "streaming join contract). A far-future watermark-sentinel message "
+    "(appended as generation 2) pushes the watermark past every interval so "
+    "the bounded replay drains ALL outer results deterministically; the "
+    "per-side event-type predicate is written as a single CASE guard "
+    "referencing the event-time column so Catalyst cannot push it below the "
+    "EventTimeWatermark node (a pushed-down filter would drop the sentinel "
+    "before it reaches the watermark tracker). Exact SQL oracle: the plain "
+    "LEFT interval join. At scale both sides shuffle on the key and the "
+    "watermark bounds join state to the interval width, exactly as the "
+    "inner variant.",
+    oracle=f"""
+        {_ENV},
+        c AS (SELECT key, sequence_id AS click_seq, event_time AS ct
+              FROM envelope WHERE event_type = 'click' AND sequence_id < 1200),
+        p AS (SELECT key, sequence_id AS purchase_seq, event_time AS pt
+              FROM envelope WHERE event_type = 'purchase' AND sequence_id < 1200)
+        SELECT c.key, c.click_seq, p.purchase_seq,
+               epoch_us(p.pt) - epoch_us(c.ct) AS lag_us
+        FROM c LEFT JOIN p ON c.key = p.key
+         AND p.pt >= c.ct AND p.pt <= c.ct + INTERVAL 240 MINUTE
+    """,
+)
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.sources import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="sloj_")
+    try:
+        tp = _replay_topic(spark, sf_dir, root, 0, 1200)
+        # anything at/after this instant is a sentinel, not business data
+        thr = T.read_topic(spark, tp).agg(F.max("event_time")).collect()[0][0]
+
+        def side(event_type: str, key_alias: str, seq_alias: str, t_alias: str):
+            src = (
+                spark.readStream.format("pulsarlike")
+                .option("path", tp)
+                .load()
+                .select(
+                    F.col("key").alias(key_alias),
+                    F.col("sequence_id").alias(seq_alias),
+                    F.col("event_time").alias(t_alias),
+                    F.col("properties")["event_type"].alias("etype"),
+                )
+                .withWatermark(t_alias, "1 hour")
+            )
+            # single CASE predicate referencing the watermark column — NOT a
+            # conjunction Catalyst could split and push below the watermark
+            keep = F.when(
+                F.col(t_alias) <= F.lit(thr), F.col("etype") == event_type
+            ).otherwise(F.lit(False))
+            return src.filter(keep).drop("etype")
+
+        clicks = side("click", "c_key", "click_seq", "ct")
+        purchases = side("purchase", "p_key", "purchase_seq", "pt")
+        joined = clicks.join(
+            purchases,
+            F.expr("c_key = p_key AND pt >= ct AND pt <= ct + interval 240 minutes"),
+            "leftOuter",
+        ).select(
+            F.col("c_key").alias("key"),
+            "click_seq",
+            "purchase_seq",
+            (F.unix_micros("pt") - F.unix_micros("ct")).alias("lag_us"),
+        )
+        # eviction uses the watermark computed from PRIOR batches, so two
+        # sentinel generations are needed: gen 2's batch still evicts with
+        # gen 1's watermark; gen 3 (further future) evicts everything left
+        rows = _run_bounded(
+            joined,
+            root + "/ck",
+            [
+                None,
+                lambda: _append_watermark_sentinel(spark, tp, 10),
+                lambda: _append_watermark_sentinel(spark, tp, 20),
+            ],
+        )
+        return (
+            spark.createDataFrame(rows, joined.schema)
+            if rows
+            else spark.createDataFrame([], joined.schema)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -47,3 +47,31 @@ def test_stream_stream_join_matches_batch_interval_join(spark):
     )
     want = {(r["key"], r["click_seq"], r["purchase_seq"], r["lag_us"]) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_left_outer_join_matches_batch_left_join(spark):
+    out = load_all()["streaming_left_outer_join"].fn(spark, SF_DIR)
+    got = {(r["key"], r["click_seq"], r["purchase_seq"], r["lag_us"]) for r in out.collect()}
+    env = wrap_events(load(spark, SF_DIR, "events")).filter(F.col("sequence_id") < 1200)
+    c = env.filter(F.col("properties")["event_type"] == "click").select(
+        F.col("key").alias("c_key"), F.col("sequence_id").alias("click_seq"),
+        F.col("event_time").alias("ct"),
+    )
+    p = env.filter(F.col("properties")["event_type"] == "purchase").select(
+        F.col("key").alias("p_key"), F.col("sequence_id").alias("purchase_seq"),
+        F.col("event_time").alias("pt"),
+    )
+    batch = c.join(
+        p,
+        F.expr("c_key = p_key AND pt >= ct AND pt <= ct + interval 240 minutes"),
+        "leftOuter",
+    ).select(
+        F.col("c_key").alias("key"), "click_seq", "purchase_seq",
+        (F.unix_micros("pt") - F.unix_micros("ct")).alias("lag_us"),
+    )
+    want = {(r["key"], r["click_seq"], r["purchase_seq"], r["lag_us"]) for r in batch.collect()}
+    assert got == want
+    # the outer leg actually fired: some clicks have no purchase in-window
+    assert any(r[2] is None for r in got)
+    # and no sentinel artifacts leaked into the result
+    assert all(r[0] != "__sentinel__" for r in got)
