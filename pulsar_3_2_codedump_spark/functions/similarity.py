@@ -558,3 +558,83 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+@query(
+    "knn_label_vote",
+    section="2.N-sim",
+    doc=f"k-NN label prediction (the standard embedding-quality eval): each "
+    f"query vector's exact top-{TOP_K} cosine neighbors vote on its label "
+    "(majority, smallest label on ties); output compares the prediction to "
+    "the query's true label. Built on the same broadcast-query / window-rank "
+    "plan as cosine_topk — the vote is one tiny hash-agg over k·|queries| "
+    "rows. The distributed form of every 'probe the embedding table' "
+    "evaluation loop: no per-row Python, no driver iteration.",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding, label FROM embeddings
+                   WHERE vec_id % {QUERY_STRIDE} = 0),
+        scored AS (
+            SELECT q.query_id, q.label AS true_label, c.vec_id AS neighbor_id,
+                   c.label AS neighbor_label,
+                   {_D_DOT} / ({_D_NORM_Q} * {_D_NORM_C}) AS cos
+            FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        ),
+        topk AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, neighbor_id) AS rank
+                FROM scored)
+            WHERE rank <= {TOP_K}
+        ),
+        votes AS (
+            SELECT query_id, true_label, neighbor_label, COUNT(*) AS n_votes
+            FROM topk GROUP BY 1, 2, 3
+        )
+        SELECT query_id, true_label,
+               CAST(neighbor_label AS INT) AS predicted_label,
+               CAST(n_votes AS BIGINT) AS n_votes,
+               CASE WHEN neighbor_label = true_label THEN 1 ELSE 0 END AS correct
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY n_votes DESC, neighbor_label) AS vr
+              FROM votes)
+        WHERE vr = 1
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("true_label"),
+    )
+    c = fanout(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+    votes = topk.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    vw = W.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("neighbor_label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("neighbor_label").cast("int").alias("predicted_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+            F.when(F.col("neighbor_label") == F.col("true_label"), 1)
+            .otherwise(0)
+            .alias("correct"),
+        )
+    )

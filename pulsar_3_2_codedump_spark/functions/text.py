@@ -648,3 +648,65 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clamped",
         )
     )
+
+
+@query(
+    "zipf_slope",
+    section="2.N-text",
+    doc="Zipf's-law fit per language (corpus-health diagnostic: natural text "
+    "has log-log term-frequency slope near -1; generated/boilerplate corpora "
+    "drift): least-squares slope of ln(freq) vs ln(rank) over the term "
+    "frequency table. The term table is one explode + hash-agg (vocab-"
+    "bounded), the rank a per-language window, the fit four map-side-"
+    "combinable sums — written out explicitly (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) "
+    "so both engines run the identical formula rather than their own "
+    "regr_slope kernels.",
+    oracle=r"""
+        WITH tok AS (
+            SELECT lang, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT lang, term, COUNT(*) AS freq FROM tok GROUP BY 1, 2),
+        ranked AS (
+            SELECT lang, ln(ROW_NUMBER() OVER (PARTITION BY lang
+                                               ORDER BY freq DESC, term)) AS x,
+                   ln(freq) AS y
+            FROM tf
+        ),
+        s AS (
+            SELECT lang, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM ranked GROUP BY lang
+        )
+        SELECT lang, CAST(n AS BIGINT) AS n_terms,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
+        FROM s
+    """,
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(words(F.col("text"))).alias("term"))
+    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("freq"))
+    w = W.partitionBy("lang").orderBy(F.desc("freq"), F.asc("term"))
+    ranked = tf.select(
+        "lang",
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    s = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "lang",
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 4).alias("zipf_slope"),
+    )

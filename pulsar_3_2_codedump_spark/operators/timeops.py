@@ -148,3 +148,38 @@ def seek_reset_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("partition")
         .agg(F.count(F.lit(1)).alias("n_replayed"), F.min("offset").alias("first_offset"))
     )
+
+
+@query(
+    "topic_storage_stats",
+    section="2.A-admin",
+    doc="Admin topic stats (the `topics stats` surface, "
+    "PersistentTopicsBase.internalGetStats / TopicStatsImpl): per partition "
+    "— message count, last offset (entries), payload storage bytes, "
+    "publisher count, publish-time span. One hash-agg over the envelope "
+    "scan; the reference reads the same numbers from managed-ledger "
+    "metadata, Spark computes them from the columnar payloads at scan "
+    "speed (or from parquet footer stats when only counts are needed).",
+    oracle=f"""
+        {_ENV}
+        SELECT partition,
+               COUNT(*) AS msg_count,
+               MAX("offset") AS last_offset,
+               CAST(SUM(strlen(props)) AS BIGINT) AS storage_bytes,
+               COUNT(DISTINCT producer_name) AS n_publishers,
+               STRFTIME(MIN(publish_time), '%Y-%m-%d %H:%M:%S.%f') AS first_publish,
+               STRFTIME(MAX(publish_time), '%Y-%m-%d %H:%M:%S.%f') AS last_publish
+        FROM envelope GROUP BY partition
+    """,
+)
+def topic_storage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    env = cached_envelope(spark, sf_dir)
+    return env.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("msg_count"),
+        F.max("offset").alias("last_offset"),
+        F.sum(F.length("value")).alias("storage_bytes"),
+        F.countDistinct("producer_name").alias("n_publishers"),
+        F.date_format(F.min("publish_time"), fmt).alias("first_publish"),
+        F.date_format(F.max("publish_time"), fmt).alias("last_publish"),
+    )

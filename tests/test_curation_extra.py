@@ -73,3 +73,36 @@ def test_scd2_intervals_contiguous_one_current_per_user(spark):
         (F.col("is_current") == 0) & (F.col("valid_to") != F.col("nxt_from"))
     ).count()
     assert broken == 0
+
+
+def test_knn_label_vote_votes_bounded_by_k(spark):
+    from pulsar_3_2_codedump_spark.functions.similarity import TOP_K, knn_label_vote
+
+    out = knn_label_vote(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert 1 <= r["n_votes"] <= TOP_K
+        assert r["correct"] == int(r["predicted_label"] == r["true_label"])
+
+
+def test_zipf_slope_is_negative_for_every_language(spark):
+    from pulsar_3_2_codedump_spark.functions.text import zipf_slope
+
+    out = zipf_slope(spark, SF_DIR).collect()
+    assert len(out) == load(spark, SF_DIR, "documents").select("lang").distinct().count()
+    # frequency is non-increasing in rank, so a least-squares fit must slope down
+    assert all(r["zipf_slope"] < 0 for r in out)
+
+
+def test_topic_storage_stats_totals_match_envelope(spark):
+    from pulsar_3_2_codedump_spark.envelope import cached_envelope
+    from pulsar_3_2_codedump_spark.operators.timeops import topic_storage_stats
+
+    env = cached_envelope(spark, SF_DIR)
+    out = topic_storage_stats(spark, SF_DIR)
+    got = out.agg(F.sum("msg_count"), F.sum("storage_bytes")).collect()[0]
+    want = env.agg(F.count(F.lit(1)), F.sum(F.length("value"))).collect()[0]
+    assert (got[0], got[1]) == (want[0], want[1])
+    # last_offset is dense 0-based append order: count per partition = last+1
+    bad = out.filter(F.col("msg_count") != F.col("last_offset") + 1).count()
+    assert bad == 0
