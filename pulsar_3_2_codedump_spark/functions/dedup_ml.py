@@ -572,3 +572,58 @@ def cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - seen).alias("n_retained"),
         )
     )
+
+
+CONTAIN_T = 0.6  # containment threshold: share of A's shingles present in B
+
+
+@query(
+    "shingle_containment_pairs",
+    section="2.N-dedup",
+    doc="Directed containment near-dup (quote/boilerplate detection — the "
+    "asymmetric metric Jaccard misses: a short doc fully quoted inside a "
+    "long one scores low Jaccard but containment 1.0): candidate pairs from "
+    "the same inverted-index shingle join as ngram_jaccard_pairs, then "
+    f"C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ {CONTAIN_T} in BOTH directions "
+    "as separate directed rows. Scale: the candidate join is on shingle "
+    "(never all-pairs); at 100 TB cap the inverted index to rare shingles "
+    "(df ≤ d) — a contained doc shares ALL its shingles, so any of its "
+    "rare ones still surfaces the pair.",
+    oracle=f"""
+        WITH sh AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents WHERE doc_id < 300),
+        inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(len(list_intersect(x.sh, y.sh)) * 1.0 / len(x.sh), 4)
+                   AS containment
+        FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+        WHERE len(list_intersect(x.sh, y.sh)) * 1.0 / len(x.sh) >= {CONTAIN_T}
+    """,
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fanout(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    c = F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a")
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("containment", F.round(c, 4))
+        .filter(c >= CONTAIN_T)
+        .select("doc_a", "doc_b", "containment")
+    )

@@ -710,3 +710,132 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_terms"),
         F.round(slope, 4).alias("zipf_slope"),
     )
+
+
+CHI2_MIN_TF = 20  # ignore terms rarer than this corpus-wide
+CHI2_TOPK = 3
+
+
+@query(
+    "chi2_terms",
+    section="2.N-text",
+    doc=f"Per-language distinctive vocabulary: top-{CHI2_TOPK} terms by "
+    "chi-square association between term occurrences and language over the "
+    "token 2×2 contingency (a = term-in-lang, row/col margins from two "
+    "map-side-combinable aggs). The feature-selection primitive behind "
+    "classifier-based corpus filters. All counts stay integers until the "
+    "final chi² expression, so both engines compute bit-identical "
+    f"statistics; terms with corpus tf < {CHI2_MIN_TF} are dropped.",
+    oracle=rf"""
+        WITH tok AS (
+            SELECT lang, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS term
+            FROM documents
+        ),
+        a AS (SELECT lang, term, COUNT(*) AS a FROM tok GROUP BY 1, 2),
+        lt AS (SELECT lang, COUNT(*) AS l FROM tok GROUP BY 1),
+        tt AS (SELECT term, COUNT(*) AS t FROM tok GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM tok),
+        x AS (
+            SELECT a.lang, a.term,
+                   n.n * POWER(a.a * (n.n - tt.t - lt.l + a.a)
+                               - (tt.t - a.a) * (lt.l - a.a), 2) * 1.0
+                   / (tt.t * (n.n - tt.t) * lt.l * (n.n - lt.l)) AS chi2
+            FROM a JOIN lt USING (lang) JOIN tt USING (term), n
+            WHERE tt.t >= {CHI2_MIN_TF}
+        )
+        SELECT lang, term, CAST(rank AS BIGINT) AS rank, ROUND(chi2, 4) AS chi2
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                           ORDER BY ROUND(chi2, 6) DESC, term) AS rank
+              FROM x)
+        WHERE rank <= {CHI2_TOPK}
+    """,
+)
+def chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(words(F.col("text"))).alias("term"))
+    a = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("a"))
+    lt = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("l"))
+    tt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("t"))
+    n = tok.agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        a.join(F.broadcast(lt), "lang")
+        .join(tt, "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("t") >= CHI2_MIN_TF)
+    )
+    num = F.col("n") * F.pow(
+        F.col("a") * (F.col("n") - F.col("t") - F.col("l") + F.col("a"))
+        - (F.col("t") - F.col("a")) * (F.col("l") - F.col("a")),
+        F.lit(2),
+    )
+    den = (
+        F.col("t") * (F.col("n") - F.col("t")) * F.col("l") * (F.col("n") - F.col("l"))
+    ).cast("double")
+    chi2 = num / den
+    w = W.partitionBy("lang").orderBy(F.desc(F.round(chi2, 6)), F.asc("term"))
+    return (
+        j.withColumn("chi2r", chi2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= CHI2_TOPK)
+        .select("lang", "term", F.col("rank").cast("long").alias("rank"),
+                F.round("chi2r", 4).alias("chi2"))
+    )
+
+
+VOCAB_SIZE = 500
+
+
+@query(
+    "vocab_oov_rate",
+    section="2.N-text",
+    doc=f"Tokenizer vocabulary coverage: build the top-{VOCAB_SIZE} term "
+    "vocabulary by corpus frequency (deterministic freq-desc/term-asc "
+    "order), then measure per-language out-of-vocabulary token rate — the "
+    "go/no-go health metric before committing a tokenizer to a corpus. "
+    "Plan: one explode + two hash-aggs for the vocab (vocab-bounded "
+    "broadcast), then a broadcast left-anti-style flag join on the token "
+    "stream — no shuffle of the corpus itself beyond the tf agg.",
+    oracle=rf"""
+        WITH tok AS (
+            SELECT lang, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT term, COUNT(*) AS freq FROM tok GROUP BY 1),
+        vocab AS (
+            SELECT term FROM (
+                SELECT term, ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS r
+                FROM tf) WHERE r <= {VOCAB_SIZE}
+        )
+        SELECT lang,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               ROUND(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 4) AS oov_rate
+        FROM tok LEFT JOIN vocab v USING (term)
+        GROUP BY lang
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(words(F.col("text"))).alias("term"))
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    # TakeOrdered (distributed top-V), not a global row_number window — a
+    # single-partition sort of the tf table would bottleneck at real vocab
+    vocab = (
+        tf.orderBy(F.desc("freq"), F.asc("term"))
+        .limit(VOCAB_SIZE)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            oov.cast("long").alias("n_oov"),
+            F.round(oov / F.count(F.lit(1)), 4).alias("oov_rate"),
+        )
+    )

@@ -106,3 +106,44 @@ def test_topic_storage_stats_totals_match_envelope(spark):
     # last_offset is dense 0-based append order: count per partition = last+1
     bad = out.filter(F.col("msg_count") != F.col("last_offset") + 1).count()
     assert bad == 0
+
+
+def test_chi2_terms_topk_per_lang_and_positive(spark):
+    from pulsar_3_2_codedump_spark.functions.text import CHI2_TOPK, chi2_terms
+
+    out = chi2_terms(spark, SF_DIR).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["lang"], []).append(r)
+        assert r["chi2"] >= 0
+        assert 1 <= r["rank"] <= CHI2_TOPK
+    assert all(len(v) <= CHI2_TOPK for v in per.values())
+
+
+def test_vocab_oov_rate_shrinks_with_bigger_vocab(spark):
+    import pulsar_3_2_codedump_spark.functions.text as T
+
+    out = {r["lang"]: r for r in T.vocab_oov_rate(spark, SF_DIR).collect()}
+    assert out and all(0.0 <= r["oov_rate"] <= 1.0 for r in out.values())
+    assert all(r["n_oov"] <= r["n_tokens"] for r in out.values())
+
+
+def test_containment_detects_exact_duplicates_both_directions(spark):
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import shingle_containment_pairs
+
+    out = shingle_containment_pairs(spark, SF_DIR)
+    rows = {(r["doc_a"], r["doc_b"]): r["containment"] for r in out.collect()}
+    # exact duplicate docs (same text) must appear with containment 1.0 in
+    # BOTH directions — the asymmetric metric is still symmetric at 1.0
+    docs = load(spark, SF_DIR, "documents").filter(F.col("doc_id") < 300)
+    dup = (
+        docs.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+        .agg(F.collect_list("doc_id").alias("ids"), F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("ids")
+        .collect()
+    )
+    for r in dup:
+        ids = sorted(r["ids"])
+        a, b = ids[0], ids[1]
+        assert rows.get((a, b)) == 1.0 and rows.get((b, a)) == 1.0
