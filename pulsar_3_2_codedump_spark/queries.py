@@ -98,6 +98,11 @@ PRIORITY_ORDER = [
     # all locally verified + pytest-pinned; then the six M-scalar queries
     # displaced by (b) — r2-green, code unchanged since — and the two
     # no-exact-oracle sketches (rows-only by design)
+    # (r6 late-session additions lead the r7 head — never driver-hashed)
+    "streaming_left_outer_join", "knn_label_vote", "scd2_intervals",
+    "group_holdout_split", "winsorized_stats", "tfidf_top_terms",
+    "zipf_slope", "topic_storage_stats", "shingle_containment_pairs",
+    "chi2_terms", "vocab_oov_rate",
     "length_bucketing", "embedding_centroids",
     "bm25_topk", "setsim_prefix_join", "repeated_passages",
     "funnel_conversion", "cohort_retention", "event_bigram_counts",
