@@ -99,7 +99,8 @@ PRIORITY_ORDER = [
     # displaced by (b) — r2-green, code unchanged since — and the two
     # no-exact-oracle sketches (rows-only by design)
     # (r6 late-session additions lead the r7 head — never driver-hashed)
-    "streaming_left_outer_join", "knn_label_vote", "scd2_intervals",
+    "streaming_left_outer_join", "streaming_late_side_topic",
+    "knn_label_vote", "scd2_intervals",
     "group_holdout_split", "winsorized_stats", "tfidf_top_terms",
     "zipf_slope", "topic_storage_stats", "shingle_containment_pairs",
     "chi2_terms", "vocab_oov_rate",

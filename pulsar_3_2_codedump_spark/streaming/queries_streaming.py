@@ -691,3 +691,77 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_late_side_topic",
+    section="2.G6-stream",
+    doc="LIVE late-data side topic (WindowConfig.lateDataTopic, §2.G6): the "
+    "dual-query pattern — a watermarked windowed aggregation drops late "
+    "rows; a parallel per-batch tracker routes rows older than "
+    "(max-seen event time − lag) to a late topic. Bounded replay: "
+    "generation 1 appends the on-time prefix (every 7th message held back), "
+    "generation 2 delivers the held-back messages, which are now older than "
+    "the persisted watermark; the query returns the late topic's contents. "
+    "Deterministic because each availableNow run is one micro-batch (the "
+    "Python DataSource single-batch fallback pins the watermark schedule), "
+    "so late = held-back rows with event_time < max_t(gen1) − 1h — exactly "
+    "the SQL oracle. At scale the late route is a filter on the already-"
+    "read batch (no second scan) and the side topic absorbs it as a normal "
+    "append.",
+    oracle=f"""
+        {_ENV},
+        w1 AS (SELECT MAX(event_time) - INTERVAL 1 HOUR AS wm FROM envelope
+               WHERE sequence_id < 600 AND sequence_id % 7 <> 3)
+        SELECT key, sequence_id,
+               STRFTIME(event_time, '%Y-%m-%d %H:%M:%S.%f') AS event_time
+        FROM envelope, w1
+        WHERE sequence_id < 600 AND sequence_id % 7 = 3 AND event_time < w1.wm
+    """,
+)
+def streaming_late_side_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.sources import register
+    from pulsar_3_2_codedump_spark.streaming.replicator import (
+        windowed_with_late_side_output,
+    )
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="slst_")
+    try:
+        tp = T.create_topic(root, "src", n_partitions=2)
+        late_tp = T.create_topic(root, "late", n_partitions=2)
+        agg_tp = T.create_topic(root, "agg", n_partitions=2)
+        env = wrap_events(load(spark, sf_dir, "events")).filter(
+            F.col("sequence_id") < 600
+        )
+        on_time = env.filter(F.col("sequence_id") % 7 != 3).drop("partition", "offset")
+        held_back = env.filter(F.col("sequence_id") % 7 == 3).drop("partition", "offset")
+
+        def run_gen(append_df, dedup: bool) -> None:
+            T.append(spark, append_df, tp, dedup=dedup)
+            q = windowed_with_late_side_output(
+                spark, tp, agg_tp, late_tp, "1 hour", "1 HOUR", root + "/ck"
+            )
+            q.awaitTermination(300)
+
+        run_gen(on_time, dedup=True)  # gen 1: establishes the persisted watermark
+        # gen 2: held-back rows arrive late — dedup=False because their
+        # sequence_ids sit BELOW gen 1's per-producer high-water mark and the
+        # broker-dedup filter would (correctly, for its own semantics)
+        # swallow them; a late arrival is a new message, not a resend
+        run_gen(held_back, dedup=False)
+        late = T.read_topic(spark, late_tp).select(
+            "key",
+            "sequence_id",
+            F.date_format("event_time", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("event_time"),
+        )
+        # materialize before the temp topic is removed (lazy plan would
+        # otherwise read deleted files at the caller's collect)
+        rows = late.collect()
+        return (
+            spark.createDataFrame(rows, late.schema)
+            if rows
+            else spark.createDataFrame([], late.schema)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

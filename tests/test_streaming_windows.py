@@ -166,3 +166,29 @@ def test_streaming_sliding_windows_emit_on_watermark_closure(spark, tmp_root):
     expected = {(r["ws"],): r["n"] for r in expected_df.collect()}
     got = {(r["ws"],): r["n"] for r in emitted}
     assert got == expected
+
+
+def test_streaming_late_side_topic_routes_exactly_the_watermark_late_rows(spark):
+    from pyspark.sql import functions as F
+
+    from pulsar_3_2_codedump_spark.catalog import load
+    from pulsar_3_2_codedump_spark.envelope import wrap_events
+    from pulsar_3_2_codedump_spark.queries import load_all
+    from tests.conftest import SF_DIR
+
+    out = load_all()["streaming_late_side_topic"].fn(spark, SF_DIR)
+    got = {(r["key"], r["sequence_id"]) for r in out.collect()}
+    env = wrap_events(load(spark, SF_DIR, "events")).filter(F.col("sequence_id") < 600)
+    wm = (
+        env.filter(F.col("sequence_id") % 7 != 3)
+        .agg(F.max("event_time"))
+        .collect()[0][0]
+    )
+    want = {
+        (r["key"], r["sequence_id"])
+        for r in env.filter(
+            (F.col("sequence_id") % 7 == 3)
+            & (F.col("event_time") < F.lit(wm) - F.expr("INTERVAL 1 HOUR"))
+        ).collect()
+    }
+    assert got == want and got  # non-vacuous: the fixture has late rows

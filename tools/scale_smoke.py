@@ -244,6 +244,44 @@ def main() -> None:
         .agg(F.count(F.lit(1)).alias("cnt")),
     )
 
+    # ---- TF-IDF keyword extraction at corpus scale -------------------------
+    from pulsar_3_2_codedump_spark.functions.retrieval import tfidf_keywords
+
+    run_docs("tfidf_top_terms", tfidf_keywords(docs, 3).groupBy("rank").count())
+
+    # ---- exact kNN probe over synthetic embeddings -------------------------
+    # |queries| stays tiny (broadcast) while the corpus scans once — the
+    # shape that holds at any corpus size.
+    from pulsar_3_2_codedump_spark.functions.similarity import TOP_K, cosine
+
+    n_vec = max(1_000_000, n // 10)
+    dims = F.transform(
+        F.sequence(F.lit(1), F.lit(32)),
+        lambda i: F.sin((F.col("id") + 1) * i + i).cast("double"),  # never all-zero
+    )
+    emb = spark.range(0, n_vec, numPartitions=64).select(
+        F.col("id").alias("vec_id"), dims.alias("embedding"),
+        F.pmod("id", 10).cast("int").alias("label"),
+    )
+    q = emb.filter(F.col("vec_id") % (n_vec // 20) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    kw = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    t0 = time.time()
+    cnt = scored.withColumn("r", F.row_number().over(kw)).filter(F.col("r") <= TOP_K).count()
+    dt = time.time() - t0
+    results["knn_exact_topk"] = {
+        "sec": round(dt, 2), "rows_out": cnt,
+        "mvecs_per_sec": round(n_vec / dt / 1e6, 2),
+    }
+    print(f"# knn_exact_topk: {dt:.2f}s ({cnt} out, {n_vec/dt/1e6:.2f}M vecs/s)", file=sys.stderr)
+
     print(json.dumps({"metric": "scale_smoke", "rows": n, "n_docs": n_docs, "ops": results}))
 
 
