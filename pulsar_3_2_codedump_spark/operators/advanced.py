@@ -582,3 +582,78 @@ def unpivot_price_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag"], ["extended_amt", "discount_amt", "tax_amt"], "comp", "v"
     )
     return long.groupBy("l_returnflag", "comp").agg(F.round(F.sum("v"), 4).alias("total"))
+
+
+CMS_DEPTH, CMS_WIDTH = 3, 1024
+CMS_PROBE_STRIDE = 20  # user_id % stride == 0 → the probe set
+
+
+def _cms_bucket(item, row: int):
+    """Row-``row`` CMS bucket: md5-based 32-bit hash (the engine-shared hash
+    family used throughout, operators/routing.md5_hash32) mod width."""
+    from pulsar_3_2_codedump_spark.operators.routing import md5_hash32
+
+    return F.pmod(md5_hash32(F.concat(F.lit(f"{row}:"), item)), F.lit(CMS_WIDTH))
+
+
+@query(
+    "count_min_heavy_hitters",
+    section="2.M-agg",
+    doc=f"Count-min sketch frequency estimation (the third mergeable sketch "
+    "beside HLL++ distinct and percentile sketches), built as a pure "
+    f"DataFrame composition: a {CMS_DEPTH}×{CMS_WIDTH} counter table from "
+    "explode(depth) → hash-bucket → count (map-side combinable — buckets, "
+    "not rows, cross the shuffle; two sketches merge by adding tables), "
+    "probed for a fixed user set with estimate = min over rows of the "
+    "bucket counter. The md5 hash family is engine-shared, so unlike a "
+    "native CMS binary this one has an EXACT cross-engine oracle; the CMS "
+    "guarantee (never under-counts; over-count ≤ N/width per row w.h.p.) "
+    "is asserted in tests/test_sketches.py.",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT user_id, r.i AS i,
+                   CAST(('0x' || SUBSTR(md5(CAST(r.i AS VARCHAR) || ':'
+                                            || CAST(user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % {CMS_WIDTH} AS bucket
+            FROM events, (SELECT UNNEST(generate_series(0, {CMS_DEPTH - 1})) AS i) r
+        ),
+        tbl AS (SELECT i, bucket, COUNT(*) AS c FROM hashed GROUP BY 1, 2),
+        probes AS (SELECT DISTINCT user_id FROM events
+                   WHERE user_id % {CMS_PROBE_STRIDE} = 0),
+        est AS (
+            SELECT p.user_id, MIN(t.c) AS cms_estimate
+            FROM probes p
+            JOIN hashed h ON h.user_id = p.user_id
+            JOIN tbl t ON t.i = h.i AND t.bucket = h.bucket
+            GROUP BY p.user_id
+        ),
+        exact AS (SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY 1)
+        SELECT e.user_id, x.exact_count, CAST(e.cms_estimate AS BIGINT) AS cms_estimate
+        FROM est e JOIN exact x ON e.user_id = x.user_id
+    """,
+)
+def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("user_id").cast("string").alias("item")
+    )
+    rows = [
+        ev.select("user_id", F.lit(i).alias("i"), _cms_bucket(F.col("item"), i).alias("bucket"))
+        for i in range(CMS_DEPTH)
+    ]
+    hashed = rows[0]
+    for r in rows[1:]:
+        hashed = hashed.unionByName(r)
+    tbl = hashed.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    probes = (
+        ev.filter(F.col("user_id") % CMS_PROBE_STRIDE == 0).select("user_id").distinct()
+    )
+    probe_hash = hashed.join(probes, "user_id").distinct()
+    est = (
+        probe_hash.join(F.broadcast(tbl), ["i", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return est.join(exact, "user_id").select(
+        "user_id", "exact_count", F.col("cms_estimate").cast("long").alias("cms_estimate")
+    )

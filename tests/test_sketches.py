@@ -45,3 +45,23 @@ def test_approx_percentile_within_rank_bound(spark):
             assert lo <= r[col] <= hi, (
                 f"{flag} {col}={r[col]} outside rank envelope [{lo}, {hi}] (n={n})"
             )
+
+
+def test_count_min_sketch_never_undercounts_and_bounded_overcount(spark):
+    from pyspark.sql import functions as F
+
+    from pulsar_3_2_codedump_spark.catalog import load
+    from pulsar_3_2_codedump_spark.operators.advanced import (
+        CMS_WIDTH,
+        count_min_heavy_hitters,
+    )
+    from tests.conftest import SF_DIR
+
+    out = count_min_heavy_hitters(spark, SF_DIR).collect()
+    n = load(spark, SF_DIR, "events").count()
+    assert out
+    for r in out:
+        assert r["cms_estimate"] >= r["exact_count"]  # CMS never undercounts
+        # expected over-count per row is N/width; min over rows stays well
+        # under a few multiples of it (deterministic here — fixed hash family)
+        assert r["cms_estimate"] <= r["exact_count"] + 5 * n / CMS_WIDTH
