@@ -657,3 +657,42 @@ def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "user_id").select(
         "user_id", "exact_count", F.col("cms_estimate").cast("long").alias("cms_estimate")
     )
+
+
+@query(
+    "theta_kll_sketch_battery",
+    section="2.M-agg",
+    doc="Apache DataSketches surface (Spark 4 builtins): per event type a "
+    "Theta sketch of distinct users and a KLL sketch of the value "
+    "distribution, plus an '__all__' row whose distinct estimate comes from "
+    "theta_union_agg over the per-group sketches — the mergeability that "
+    "makes these the 100 TB form (sketches, not rows, cross every shuffle "
+    "and re-aggregate across partitions/days/topics). Sketch internals are "
+    "engine-specific ⇒ rows-only driver check; error envelopes vs exact "
+    "distinct counts and exact quantiles are asserted in "
+    "tests/test_sketches.py.",
+    oracle=None,
+)
+def theta_kll_sketch_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("th"),
+        F.kll_sketch_agg_double("value").alias("kll"),
+    )
+    by_type = per.select(
+        "event_type",
+        F.theta_sketch_estimate("th").cast("long").alias("approx_distinct_users"),
+        F.round(F.kll_sketch_get_quantile_double("kll", F.lit(0.5)), 4).alias("q50_value"),
+        F.round(F.kll_sketch_get_quantile_double("kll", F.lit(0.95)), 4).alias("q95_value"),
+    )
+    merged = per.agg(
+        F.theta_sketch_estimate(F.theta_union_agg("th")).cast("long").alias(
+            "approx_distinct_users"
+        )
+    ).select(
+        F.lit("__all__").alias("event_type"),
+        "approx_distinct_users",
+        F.lit(None).cast("double").alias("q50_value"),
+        F.lit(None).cast("double").alias("q95_value"),
+    )
+    return by_type.unionByName(merged)

@@ -65,3 +65,38 @@ def test_count_min_sketch_never_undercounts_and_bounded_overcount(spark):
         # expected over-count per row is N/width; min over rows stays well
         # under a few multiples of it (deterministic here — fixed hash family)
         assert r["cms_estimate"] <= r["exact_count"] + 5 * n / CMS_WIDTH
+
+
+def test_theta_kll_battery_estimates_within_error_envelopes(spark):
+    from pyspark.sql import functions as F
+
+    from pulsar_3_2_codedump_spark.catalog import load
+    from pulsar_3_2_codedump_spark.operators.advanced import theta_kll_sketch_battery
+    from tests.conftest import SF_DIR
+
+    out = {r["event_type"]: r for r in theta_kll_sketch_battery(spark, SF_DIR).collect()}
+    ev = load(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("d"),
+            F.percentile("value", F.lit(0.5)).alias("q50"),
+            F.percentile("value", F.lit(0.95)).alias("q95"),
+        )
+        .collect()
+    }
+    for t, e in exact.items():
+        r = out[t]
+        assert abs(r["approx_distinct_users"] - e["d"]) <= max(3, 0.1 * e["d"])
+        # KLL rank error ~1.65% at default k; value-space tolerance derived
+        # from neighboring exact quantiles is loose enough at 5% rank
+        lo50, hi50 = [
+            ev.filter(F.col("event_type") == t)
+            .agg(F.percentile("value", F.lit(q)))
+            .collect()[0][0]
+            for q in (0.45, 0.55)
+        ]
+        assert lo50 <= r["q50_value"] <= hi50
+    total = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+    assert abs(out["__all__"]["approx_distinct_users"] - total) <= max(3, 0.1 * total)
