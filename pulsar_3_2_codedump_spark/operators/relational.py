@@ -633,3 +633,38 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "pivot_revenue_matrix",
+    section="2.M-agg",
+    doc="Native pivot (df.groupBy().pivot() with an EXPLICIT value list — "
+    "never the two-pass value-discovery form, which scans twice and can't "
+    "plan until runtime): line status × return flag revenue matrix. "
+    "Catalyst rewrites the explicit pivot into the same single-scan "
+    "conditional aggregation as the CASE form (conditional_pivot), which "
+    "is also the oracle here.",
+    oracle="""
+        SELECT l_linestatus,
+               ROUND(SUM(CASE WHEN l_returnflag = 'A'
+                              THEN l_extendedprice ELSE 0 END), 2) AS rev_A,
+               ROUND(SUM(CASE WHEN l_returnflag = 'N'
+                              THEN l_extendedprice ELSE 0 END), 2) AS rev_N,
+               ROUND(SUM(CASE WHEN l_returnflag = 'R'
+                              THEN l_extendedprice ELSE 0 END), 2) AS rev_R
+        FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def pivot_revenue_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_extendedprice"))
+    )
+    return p.select(
+        "l_linestatus",
+        F.round(F.coalesce(F.col("A"), F.lit(0.0)), 2).alias("rev_A"),
+        F.round(F.coalesce(F.col("N"), F.lit(0.0)), 2).alias("rev_N"),
+        F.round(F.coalesce(F.col("R"), F.lit(0.0)), 2).alias("rev_R"),
+    )

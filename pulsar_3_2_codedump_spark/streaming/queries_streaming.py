@@ -765,3 +765,117 @@ def streaming_late_side_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+GAP_DROP_MOD, GAP_DROP_AT, GAP_CUT = 97, 13, 110
+
+
+@query(
+    "streaming_sequence_gap_monitor",
+    section="2.E1-stream",
+    doc="LIVE per-producer sequence-gap monitor on applyInPandasWithState: "
+    "the streaming form of the broker's per-producer sequence accounting "
+    "(MessageDeduplication highest-sequence tracking) — keyed state holds "
+    "each producer's last seen sequence id and every jump > 1 emits the "
+    "missing range. Bounded replay renumbers messages to per-producer DENSE "
+    f"sequences, drops position {GAP_DROP_AT} (mod {GAP_DROP_MOD}) to "
+    f"inject gaps, and splits generations at {GAP_CUT} so one injected gap "
+    "STRADDLES the generation boundary — detected only because the "
+    "keyed state survives across availableNow runs via the checkpoint. "
+    "(transformWithStateInPandas — Spark 4's newer stateful API — needs the "
+    "python protobuf package, absent in this container; the operator is "
+    "API-agnostic and ports 1:1 when it is available.) "
+    "Exact SQL oracle: lag() over the kept dense sequences. At scale state "
+    "is one long per producer and rows shuffle once on the producer key.",
+    oracle=f"""
+        {_ENV},
+        ranked AS (
+            SELECT producer_name,
+                   ROW_NUMBER() OVER (PARTITION BY producer_name
+                                      ORDER BY sequence_id) AS pseq
+            FROM envelope WHERE sequence_id < 1500
+        ),
+        kept AS (SELECT producer_name, pseq FROM ranked
+                 WHERE pseq % {GAP_DROP_MOD} <> {GAP_DROP_AT}),
+        lagged AS (
+            SELECT producer_name, pseq,
+                   LAG(pseq) OVER (PARTITION BY producer_name ORDER BY pseq) AS prev
+            FROM kept
+        )
+        SELECT producer_name,
+               CAST(prev + 1 AS BIGINT) AS gap_start,
+               CAST(pseq - 1 AS BIGINT) AS gap_end
+        FROM lagged WHERE prev IS NOT NULL AND pseq > prev + 1
+    """,
+)
+def streaming_sequence_gap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import Window as W
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pulsar_3_2_codedump_spark.sources import register
+
+    register(spark)
+    out_schema = StructType(
+        [
+            StructField("producer_name", StringType()),
+            StructField("gap_start", LongType()),
+            StructField("gap_end", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("last", LongType())])
+
+    def detect_gaps(key, pdf_iter, state: GroupState):
+        buf = pd.concat(list(pdf_iter)).sort_values("sequence_id")
+        last = int(state.get[0]) if state.exists else None
+        gaps = []
+        for s in buf["sequence_id"]:
+            s = int(s)
+            if last is not None and s > last + 1:
+                gaps.append((key[0], last + 1, s - 1))
+            if last is None or s > last:
+                last = s
+        state.update((last,))
+        yield pd.DataFrame(gaps, columns=["producer_name", "gap_start", "gap_end"])
+
+    root = tempfile.mkdtemp(prefix="sgap_")
+    try:
+        # per-producer DENSE renumbering with injected drops
+        env = wrap_events(load(spark, sf_dir, "events")).filter(
+            F.col("sequence_id") < 1500
+        )
+        w = W.partitionBy("producer_name").orderBy("sequence_id")
+        dense = (
+            env.withColumn("pseq", F.row_number().over(w))
+            .filter(F.col("pseq") % GAP_DROP_MOD != GAP_DROP_AT)
+            .withColumn("sequence_id", F.col("pseq").cast("long"))
+            .drop("pseq", "partition", "offset")
+        )
+        tp = T.create_topic(root, "q", n_partitions=2)
+        T.append(spark, dense.filter(F.col("sequence_id") <= GAP_CUT), tp)
+
+        src = (
+            spark.readStream.format("pulsarlike")
+            .option("path", tp)
+            .load()
+            .select("producer_name", "sequence_id")
+        )
+        gaps = src.groupBy("producer_name").applyInPandasWithState(
+            detect_gaps,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        grow = lambda: T.append(  # noqa: E731
+            spark, dense.filter(F.col("sequence_id") > GAP_CUT), tp
+        )
+        rows = _run_bounded(gaps, root + "/ck", [None, grow])
+        return (
+            spark.createDataFrame(rows, out_schema)
+            if rows
+            else spark.createDataFrame([], out_schema)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

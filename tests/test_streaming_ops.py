@@ -247,3 +247,25 @@ def test_streaming_dedup_drop_duplicates(spark, tmp_root):
     q.awaitTermination(120)
     n = spark.sql("select count(*) c from dd").collect()[0]["c"]
     assert n == 200  # 50 replays collapsed
+
+
+def test_sequence_gap_monitor_detects_cross_generation_gap(spark):
+    from pyspark.sql import functions as F
+
+    from pulsar_3_2_codedump_spark.queries import load_all
+    from pulsar_3_2_codedump_spark.streaming.queries_streaming import (
+        GAP_CUT,
+        GAP_DROP_AT,
+        GAP_DROP_MOD,
+    )
+    from tests.conftest import SF_DIR
+
+    out = load_all()["streaming_sequence_gap_monitor"].fn(spark, SF_DIR).collect()
+    assert out
+    # every gap is exactly one injected drop position
+    for r in out:
+        assert r["gap_start"] == r["gap_end"]
+        assert r["gap_start"] % GAP_DROP_MOD == GAP_DROP_AT
+    # the drop at GAP_CUT straddles the generation boundary: gen 1 ends at
+    # GAP_CUT-1, gen 2 starts at GAP_CUT+1 — only cross-run state finds it
+    assert any(r["gap_start"] == GAP_CUT for r in out)
