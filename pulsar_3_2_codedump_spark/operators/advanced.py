@@ -588,12 +588,16 @@ CMS_DEPTH, CMS_WIDTH = 3, 1024
 CMS_PROBE_STRIDE = 20  # user_id % stride == 0 → the probe set
 
 
-def _cms_bucket(item, row: int):
+def _cms_bucket(item, row):
     """Row-``row`` CMS bucket: md5-based 32-bit hash (the engine-shared hash
-    family used throughout, operators/routing.md5_hash32) mod width."""
+    family used throughout, operators/routing.md5_hash32) mod width. ``row``
+    may be a literal int or a Column (the exploded depth index)."""
     from pulsar_3_2_codedump_spark.operators.routing import md5_hash32
 
-    return F.pmod(md5_hash32(F.concat(F.lit(f"{row}:"), item)), F.lit(CMS_WIDTH))
+    r = F.lit(row) if isinstance(row, int) else row
+    return F.pmod(
+        md5_hash32(F.concat(r.cast("string"), F.lit(":"), item)), F.lit(CMS_WIDTH)
+    )
 
 
 @query(
@@ -636,13 +640,13 @@ def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         F.col("user_id"), F.col("user_id").cast("string").alias("item")
     )
-    rows = [
-        ev.select("user_id", F.lit(i).alias("i"), _cms_bucket(F.col("item"), i).alias("bucket"))
-        for i in range(CMS_DEPTH)
-    ]
-    hashed = rows[0]
-    for r in rows[1:]:
-        hashed = hashed.unionByName(r)
+    # ONE scan: explode the depth index instead of unioning CMS_DEPTH scans
+    # (at 100 TB a union of per-row projections re-reads the corpus d times)
+    hashed = ev.select(
+        "user_id",
+        "item",
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("i"),
+    ).select("user_id", "i", _cms_bucket(F.col("item"), F.col("i")).alias("bucket"))
     tbl = hashed.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
     probes = (
         ev.filter(F.col("user_id") % CMS_PROBE_STRIDE == 0).select("user_id").distinct()
