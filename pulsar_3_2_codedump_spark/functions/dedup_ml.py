@@ -627,3 +627,87 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(c >= CONTAIN_T)
         .select("doc_a", "doc_b", "containment")
     )
+
+
+RECALL_T = 0.5  # Jaccard threshold defining the true-duplicate ground truth
+
+
+@query(
+    "lsh_dedup_recall",
+    section="2.N-dedup",
+    doc=f"MinHash-LSH dedup recall measurement (the measure-don't-guess loop "
+    "for the dedup path, mirroring ann_recall_at_k for ANN): ground truth = "
+    f"all pairs with exact Jaccard ≥ {RECALL_T} via the lossless "
+    "inverted-index join (doc_id < 300 probe set); found = the LSH band "
+    "candidates that verify at the same threshold; output one row of "
+    "(n_truth, n_found, recall). Engine-side joins of the two pair sets — "
+    "no driver-side comparison.",
+    oracle=f"""
+        WITH sh AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents),
+        hs AS (SELECT doc_id, sh,
+                      list_transform(sh, s -> {_d_md5int("s")}) AS hs FROM sh),
+        sig AS (SELECT doc_id, sh, {_minhash_sig_sql()} FROM hs),
+        bands AS (
+            SELECT doc_id, 0 AS band, h0 AS b1, h1 AS b2 FROM sig
+            UNION ALL SELECT doc_id, 1, h2, h3 FROM sig
+            UNION ALL SELECT doc_id, 2, h4, h5 FROM sig
+            UNION ALL SELECT doc_id, 3, h6, h7 FROM sig
+        ),
+        lsh_cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.b1 = b.b1 AND a.b2 = b.b2
+             AND a.doc_id < b.doc_id
+            WHERE a.doc_id < 300 AND b.doc_id < 300
+        ),
+        found AS (
+            SELECT doc_a, doc_b FROM lsh_cand
+            JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+            WHERE len(list_intersect(x.sh, y.sh)) * 1.0 /
+                  len(list_distinct(list_concat(x.sh, y.sh))) >= {RECALL_T}
+        ),
+        inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id < 300),
+        truth_cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ),
+        truth AS (
+            SELECT doc_a, doc_b FROM truth_cand
+            JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+            WHERE len(list_intersect(x.sh, y.sh)) * 1.0 /
+                  len(list_distinct(list_concat(x.sh, y.sh))) >= {RECALL_T}
+        )
+        SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+               (SELECT COUNT(*) FROM found) AS n_found,
+               ROUND((SELECT COUNT(*) FROM found f JOIN truth t
+                      ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b) * 1.0
+                     / GREATEST((SELECT COUNT(*) FROM truth), 1), 4) AS recall
+    """,
+)
+def lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lsh = (
+        minhash_lsh_dedup(spark, sf_dir)
+        .filter(
+            (F.col("doc_a") < 300) & (F.col("doc_b") < 300)
+            & (F.col("jaccard") >= RECALL_T)
+        )
+        .select("doc_a", "doc_b")
+    )
+    truth = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= RECALL_T)
+        .select("doc_a", "doc_b")
+    )
+    hit = lsh.join(truth, ["doc_a", "doc_b"])
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_found")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_truth",
+            "n_found",
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_truth"), F.lit(1)), 4
+            ).alias("recall"),
+        )
+    )

@@ -147,3 +147,14 @@ def test_containment_detects_exact_duplicates_both_directions(spark):
         ids = sorted(r["ids"])
         a, b = ids[0], ids[1]
         assert rows.get((a, b)) == 1.0 and rows.get((b, a)) == 1.0
+
+
+def test_lsh_dedup_recall_invariants(spark):
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import lsh_dedup_recall
+
+    r = lsh_dedup_recall(spark, SF_DIR).collect()[0]
+    assert r["n_truth"] > 0  # fixture has true near-dup pairs
+    assert 0.0 <= r["recall"] <= 1.0
+    # LSH verifies candidates with EXACT jaccard, so found ⊆ truth-by-value:
+    # found count can't exceed truth count at the same threshold
+    assert r["n_found"] <= r["n_truth"]
