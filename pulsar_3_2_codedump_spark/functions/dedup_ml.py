@@ -340,6 +340,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_dedup(spark, sf_dir).filter(F.col("jaccard") >= 0.5).select(
         "doc_a", "doc_b"
     )
+    lab = connected_components(pairs)
+    return lab.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("member_sum"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Hash-to-min label propagation over an undirected (doc_a, doc_b) edge
+    list → (doc_id, label) with label = min reachable doc_id. Each round is
+    ONE shuffle join + ONE min-agg; localCheckpoint cuts lineage (see
+    SCALE.md for the O(log n) large-star/small-star swap at 100 TB)."""
     sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
@@ -378,11 +391,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     sym.unpersist()
-    return lab.groupBy(F.col("label").alias("cluster_id")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("doc_id").alias("member_sum"),
-        F.max("doc_id").alias("max_doc_id"),
-    )
+    return lab
 
 
 @query(
@@ -710,4 +719,85 @@ def lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_hit") / F.greatest(F.col("n_truth"), F.lit(1)), 4
             ).alias("recall"),
         )
+    )
+
+
+@query(
+    "dedup_keep_best",
+    section="2.N-dedup",
+    doc="Canonical-document selection by QUALITY (the policy real corpus "
+    "dedups ship: keep the best-scoring member of each near-dup cluster, "
+    "not the lowest id): connected components over the LSH-verified edge "
+    "graph, then per-cluster argmax of n_chars (longer = keep) with doc_id "
+    "as the deterministic tiebreak. One window rank over the labeled "
+    "members; singleton docs (no near-dup) pass through untouched and never "
+    "enter the component step.",
+    oracle=f"""
+        WITH RECURSIVE
+        sh AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents),
+        hs AS (SELECT doc_id, sh,
+                      list_transform(sh, s -> {_d_md5int("s")}) AS hs FROM sh),
+        sig AS (SELECT doc_id, sh, {_minhash_sig_sql()} FROM hs),
+        bands AS (
+            SELECT doc_id, 0 AS band, h0 AS b1, h1 AS b2 FROM sig
+            UNION ALL SELECT doc_id, 1, h2, h3 FROM sig
+            UNION ALL SELECT doc_id, 2, h4, h5 FROM sig
+            UNION ALL SELECT doc_id, 3, h6, h7 FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.b1 = b.b1 AND a.b2 = b.b2
+             AND a.doc_id < b.doc_id
+        ),
+        edge0 AS (
+            SELECT doc_a, doc_b FROM cand
+            JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+            WHERE len(list_intersect(x.sh, y.sh)) * 1.0 /
+                  len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM edge0
+            UNION ALL SELECT doc_b, doc_a FROM edge0
+        ),
+        verts AS (SELECT DISTINCT src AS v FROM edges),
+        reach AS (
+            SELECT v, v AS l FROM verts
+            UNION
+            SELECT e.src AS v, r.l FROM reach r JOIN edges e ON e.dst = r.v
+        ),
+        labeled AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v)
+        SELECT cluster_id, doc_id AS kept_doc,
+               CAST(n_chars AS BIGINT) AS kept_chars,
+               CAST(n_members - 1 AS BIGINT) AS n_dropped
+        FROM (
+            SELECT lb.cluster_id, lb.doc_id, d.n_chars,
+                   COUNT(*) OVER (PARTITION BY lb.cluster_id) AS n_members,
+                   ROW_NUMBER() OVER (PARTITION BY lb.cluster_id
+                                      ORDER BY d.n_chars DESC, lb.doc_id) AS rn
+            FROM labeled lb JOIN documents d ON d.doc_id = lb.doc_id
+        ) WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    pairs = minhash_lsh_dedup(spark, sf_dir).filter(F.col("jaccard") >= 0.5).select(
+        "doc_a", "doc_b"
+    )
+    lab = connected_components(pairs)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = lab.withColumnRenamed("label", "cluster_id").join(docs, "doc_id")
+    w = W.partitionBy("cluster_id")
+    ranked = members.withColumn(
+        "n_members", F.count(F.lit(1)).over(w)
+    ).withColumn(
+        "rn",
+        F.row_number().over(w.orderBy(F.desc("n_chars"), F.asc("doc_id"))),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("kept_doc"),
+        F.col("n_chars").cast("long").alias("kept_chars"),
+        (F.col("n_members") - 1).cast("long").alias("n_dropped"),
     )

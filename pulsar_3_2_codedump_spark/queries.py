@@ -102,7 +102,7 @@ PRIORITY_ORDER = [
     "streaming_left_outer_join", "streaming_late_side_topic",
     "count_min_heavy_hitters", "theta_kll_sketch_battery",
     "streaming_sequence_gap_monitor", "pivot_revenue_matrix",
-    "lsh_dedup_recall",
+    "lsh_dedup_recall", "dedup_keep_best",
     "knn_label_vote", "scd2_intervals",
     "group_holdout_split", "winsorized_stats", "tfidf_top_terms",
     "zipf_slope", "topic_storage_stats", "shingle_containment_pairs",

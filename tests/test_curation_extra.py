@@ -158,3 +158,27 @@ def test_lsh_dedup_recall_invariants(spark):
     # LSH verifies candidates with EXACT jaccard, so found ⊆ truth-by-value:
     # found count can't exceed truth count at the same threshold
     assert r["n_found"] <= r["n_truth"]
+
+
+def test_dedup_keep_best_keeps_highest_quality_member(spark):
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import (
+        connected_components,
+        dedup_keep_best,
+        minhash_lsh_dedup,
+    )
+
+    out = {r["cluster_id"]: r for r in dedup_keep_best(spark, SF_DIR).collect()}
+    assert out
+    pairs = minhash_lsh_dedup(spark, SF_DIR).filter(F.col("jaccard") >= 0.5).select(
+        "doc_a", "doc_b"
+    )
+    lab = connected_components(pairs)
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    members = lab.join(docs, "doc_id").collect()
+    by_cluster = {}
+    for m in members:
+        by_cluster.setdefault(m["label"], []).append((m["n_chars"], m["doc_id"]))
+    for cid, ms in by_cluster.items():
+        best = sorted(ms, key=lambda t: (-t[0], t[1]))[0]
+        assert out[cid]["kept_doc"] == best[1]
+        assert out[cid]["n_dropped"] == len(ms) - 1
