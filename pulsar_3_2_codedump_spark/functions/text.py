@@ -723,9 +723,10 @@ CHI2_TOPK = 3
     "chi-square association between term occurrences and language over the "
     "token 2×2 contingency (a = term-in-lang, row/col margins from two "
     "map-side-combinable aggs). The feature-selection primitive behind "
-    "classifier-based corpus filters. All counts stay integers until the "
-    "final chi² expression, so both engines compute bit-identical "
-    f"statistics; terms with corpus tf < {CHI2_MIN_TF} are dropped.",
+    "classifier-based corpus filters. Counts stay integers through the "
+    "numerator; the denominator multiplies its four factors as DOUBLEs in "
+    "the same order on both engines (the exact product overflows int64 at "
+    f"corpus scale). Terms with corpus tf < {CHI2_MIN_TF} are dropped.",
     oracle=rf"""
         WITH tok AS (
             SELECT lang, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS term
@@ -736,10 +737,14 @@ CHI2_TOPK = 3
         tt AS (SELECT term, COUNT(*) AS t FROM tok GROUP BY 1),
         n AS (SELECT COUNT(*) AS n FROM tok),
         x AS (
+            -- denominator factors multiplied as DOUBLEs in a fixed order on
+            -- BOTH engines: the exact integer product overflows int64 at
+            -- corpus scale (and DuckDB's hugeint would round differently)
             SELECT a.lang, a.term,
                    n.n * POWER(a.a * (n.n - tt.t - lt.l + a.a)
                                - (tt.t - a.a) * (lt.l - a.a), 2) * 1.0
-                   / (tt.t * (n.n - tt.t) * lt.l * (n.n - lt.l)) AS chi2
+                   / (CAST(tt.t AS DOUBLE) * CAST(n.n - tt.t AS DOUBLE)
+                      * CAST(lt.l AS DOUBLE) * CAST(n.n - lt.l AS DOUBLE)) AS chi2
             FROM a JOIN lt USING (lang) JOIN tt USING (term), n
             WHERE tt.t >= {CHI2_MIN_TF}
         )
@@ -770,9 +775,14 @@ def chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         - (F.col("t") - F.col("a")) * (F.col("l") - F.col("a")),
         F.lit(2),
     )
+    # cast factors BEFORE multiplying: the integer product overflows int64 at
+    # corpus scale; same left-to-right double multiply as the oracle
     den = (
-        F.col("t") * (F.col("n") - F.col("t")) * F.col("l") * (F.col("n") - F.col("l"))
-    ).cast("double")
+        F.col("t").cast("double")
+        * (F.col("n") - F.col("t")).cast("double")
+        * F.col("l").cast("double")
+        * (F.col("n") - F.col("l")).cast("double")
+    )
     chi2 = num / den
     w = W.partitionBy("lang").orderBy(F.desc(F.round(chi2, 6)), F.asc("term"))
     return (
