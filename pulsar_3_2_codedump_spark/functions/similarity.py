@@ -638,3 +638,126 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("correct"),
         )
     )
+
+
+_D_DEQ = (
+    "list_transform(c.embedding, x ->"
+    " FLOOR(CAST(x AS DOUBLE) / c.scale * 127 + 0.5) * c.scale / 127)"
+)
+_D_DOT_DEQ = (
+    "list_aggregate(list_transform(generate_series(1, len(q.embedding)),"
+    f" i -> CAST(q.embedding[i] AS DOUBLE) * {_D_DEQ}[i]), 'sum')"
+)
+_D_NORM_DEQ = (
+    f"sqrt(list_aggregate(list_transform({_D_DEQ},"
+    " x -> x * x), 'sum'))"
+)
+
+
+@query(
+    "quantized_ann_recall",
+    section="2.N-sim",
+    doc=f"Quantization-quality eval: recall@{TOP_K} of exact cosine top-k "
+    "computed on int8-dequantized embeddings (per-vector absmax scale, the "
+    "embedding_quantization scheme) against the float-embedding ground "
+    "truth — the measurement that decides whether the 4× smaller serving "
+    "form is safe to ship. Both top-k sets are built with the same "
+    "broadcast-probe / window-rank plan and joined engine-side; queries "
+    "stay float (probes are few — only the corpus is quantized at rest).",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                   WHERE vec_id % {QUERY_STRIDE} = 0),
+        c AS (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                         AS scale
+              FROM embeddings),
+        exact AS (
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_D_DOT} / ({_D_NORM_Q} * {_D_NORM_C}) DESC,
+                                    c.vec_id) AS rank
+                FROM q JOIN c ON c.vec_id <> q.query_id)
+            WHERE rank <= {TOP_K}
+        ),
+        quant AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_D_DOT_DEQ} / ({_D_NORM_Q} * {_D_NORM_DEQ}) DESC,
+                                    c.vec_id) AS rank
+                FROM q JOIN c ON c.vec_id <> q.query_id)
+            WHERE rank <= {TOP_K}
+        )
+        SELECT e.query_id,
+               CAST(COUNT(qt.neighbor_id) AS BIGINT) AS n_hits,
+               ROUND(COUNT(qt.neighbor_id) * 1.0 / {TOP_K}, 4) AS recall
+        FROM exact e LEFT JOIN quant qt
+          ON qt.query_id = e.query_id AND qt.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """,
+)
+def quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    scale = F.array_max(F.transform(x, F.abs))
+    deq = F.transform(
+        x, lambda v: F.floor(v / F.col("scale") * 127 + 0.5) * F.col("scale") / 127
+    )
+    corpus = (
+        fanout(emb)
+        .withColumn("scale", scale)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            x.alias("c_f"),
+            deq.alias("c_q"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(corpus, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_f", cosine(F.col("q_emb"), F.col("c_f")))
+        .withColumn(
+            "cos_q",
+            dot(F.col("q_emb"), F.col("c_q"))
+            / (l2_norm(F.col("q_emb")) * F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("c_q"), lambda v: v * v),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            )),
+        )
+    )
+
+    def topk(score_col: str):
+        w = W.partitionBy("query_id").orderBy(F.desc(score_col), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    exact, quant = topk("cos_f"), topk("cos_q").withColumnRenamed(
+        "neighbor_id", "q_neighbor"
+    )
+    hits = exact.join(
+        quant,
+        (exact.query_id == quant.query_id)
+        & (F.col("neighbor_id") == F.col("q_neighbor")),
+        "left",
+    ).select(exact.query_id.alias("qid"), "q_neighbor")
+    return (
+        hits.groupBy(F.col("qid").alias("query_id"))
+        .agg(F.count("q_neighbor").alias("n_hits"))
+        .select(
+            "query_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.lit(TOP_K), 4).alias("recall"),
+        )
+    )

@@ -300,3 +300,39 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("state"),
         F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
     )
+
+
+@query(
+    "event_trigram_paths",
+    section="2.N-behavior",
+    doc="Top event-type paths of length 3 (sequence mining one step past "
+    "bigrams — the 'what do users actually do' query): per-user consecutive "
+    "(prev, cur, next) transitions via two lead() calls over one window "
+    "spec (one user_id shuffle total), counted and ranked with a "
+    "deterministic tiebreak. Output bounded by |event types|³.",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS e1,
+                   LEAD(event_type, 1) OVER w AS e2,
+                   LEAD(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT e1, e2, e3, COUNT(*) AS n
+        FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY 1, 2, 3
+    """,
+)
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -103,6 +103,7 @@ PRIORITY_ORDER = [
     "count_min_heavy_hitters", "theta_kll_sketch_battery",
     "streaming_sequence_gap_monitor", "pivot_revenue_matrix",
     "lsh_dedup_recall", "dedup_keep_best",
+    "quantized_ann_recall", "event_trigram_paths",
     "knn_label_vote", "scd2_intervals",
     "group_holdout_split", "winsorized_stats", "tfidf_top_terms",
     "zipf_slope", "topic_storage_stats", "shingle_containment_pairs",

@@ -182,3 +182,34 @@ def test_dedup_keep_best_keeps_highest_quality_member(spark):
         best = sorted(ms, key=lambda t: (-t[0], t[1]))[0]
         assert out[cid]["kept_doc"] == best[1]
         assert out[cid]["n_dropped"] == len(ms) - 1
+
+
+def test_quantized_ann_recall_is_high_and_bounded(spark):
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        TOP_K,
+        quantized_ann_recall,
+    )
+
+    out = quantized_ann_recall(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert 0 <= r["n_hits"] <= TOP_K
+        assert r["recall"] == round(r["n_hits"] / TOP_K, 4)
+    # int8 absmax quantization barely moves cosine ranks: mean recall high
+    mean = sum(r["recall"] for r in out) / len(out)
+    assert mean >= 0.6
+
+
+def test_event_trigram_totals(spark):
+    from pyspark.sql import functions as F
+
+    from pulsar_3_2_codedump_spark.operators.behavior import event_trigram_paths
+
+    out = event_trigram_paths(spark, SF_DIR)
+    ev = load(spark, SF_DIR, "events")
+    total = out.agg(F.sum("n")).collect()[0][0]
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # each user with k events contributes max(k-2, 0) trigrams
+    short = ev.groupBy("user_id").count().filter(F.col("count") < 3).collect()
+    assert total == n_events - 2 * n_users + sum(2 - r["count"] for r in short)
