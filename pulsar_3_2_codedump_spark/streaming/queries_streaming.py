@@ -550,8 +550,14 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="sse_")
     try:
         tp = _replay_topic(spark, sf_dir, root, 0, 300)
-        # static dimension: tier per key (all 1000 possible user keys)
-        dim = spark.range(0, 1000).select(
+        # static dimension: tier per key, spanning EVERY key the fixture can
+        # produce (a hardcoded 1000 silently dropped keys ≥ 1000 via the
+        # inner join once bigger fixtures appeared — caught by the sf0.1
+        # sweep; the bound is now derived from the data at setup time)
+        n_keys = (
+            load(spark, sf_dir, "events").agg(F.max("user_id")).collect()[0][0] + 1
+        )
+        dim = spark.range(0, n_keys).select(
             F.col("id").cast("string").alias("key"),
             F.element_at(
                 F.array(F.lit("gold"), F.lit("silver"), F.lit("bronze")),
