@@ -801,3 +801,84 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("kept_chars"),
         (F.col("n_members") - 1).cast("long").alias("n_dropped"),
     )
+
+
+DUPSPAN_N = 4  # n-gram width of the span-duplication signal
+
+
+@query(
+    "duplicated_ngram_coverage",
+    section="2.N-dedup",
+    doc=f"Span-level duplication coverage (the substring-dedup signal of Lee "
+    "et al., 'Deduplicating Training Data Makes Language Models Better'): "
+    f"fraction of each document's TOKEN POSITIONS covered by a {DUPSPAN_N}-gram "
+    "that also occurs in another document. Positional — unlike the "
+    "distinct-shingle df signals (ngram_novelty / repeated_passages), this "
+    "measures how much of the document's actual text is duplicated, the "
+    "statistic span-removal dedup acts on. Plan: posexploded n-grams → one "
+    "hash-agg for the cross-doc df → equi-join back → interval-union via "
+    "covered-position explode + distinct. Every step is an equi-shuffle on "
+    "ngram/doc_id (never all-pairs); explode fan-out is ~n_tokens × "
+    f"{DUPSPAN_N + 1} rows — linear in corpus size.",
+    oracle=rf"""
+        WITH t AS (SELECT doc_id, {_D_WORDS} AS ws FROM documents),
+        inv AS (
+            SELECT doc_id, len(ws) AS n,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(ws) - {DUPSPAN_N - 1}, 1)),
+                       i -> {{'pos': i,
+                             'ng': array_to_string(ws[i:i+{DUPSPAN_N - 1}], ' ')}})) AS u
+            FROM t),
+        flat AS (SELECT doc_id, n, u.pos AS pos, u.ng AS ng FROM inv),
+        dup AS (SELECT ng FROM flat GROUP BY ng HAVING COUNT(DISTINCT doc_id) >= 2),
+        covpos AS (
+            SELECT doc_id, unnest(generate_series(pos, least(pos + {DUPSPAN_N - 1}, n))) AS cpos
+            FROM flat JOIN dup USING (ng)),
+        cov AS (SELECT doc_id, COUNT(DISTINCT cpos) AS dup_tokens
+                FROM covpos GROUP BY doc_id)
+        SELECT d.doc_id,
+               len({_D_WORDS}) AS n_tokens,
+               COALESCE(c.dup_tokens, 0) AS dup_tokens,
+               ROUND(COALESCE(c.dup_tokens, 0) * 1.0 / len({_D_WORDS}), 4)
+                   AS dup_fraction
+        FROM documents d LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def duplicated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fanout(load(spark, sf_dir, "documents"))
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (DUPSPAN_N - 1), F.lit(1))),
+        lambda i: F.struct(
+            i.alias("pos"), F.concat_ws(" ", F.slice(ws, i, DUPSPAN_N)).alias("ng")
+        ),
+    )
+    flat = docs.select(
+        "doc_id", n.alias("n"), F.explode(grams).alias("u")
+    ).select("doc_id", "n", F.col("u.pos").alias("pos"), F.col("u.ng").alias("ng"))
+    dup = (
+        flat.groupBy("ng")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("ng")
+    )
+    covered = (
+        flat.join(dup, "ng")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.least(F.col("pos") + (DUPSPAN_N - 1), F.col("n")))
+            ).alias("cpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("cpos").alias("dup_tokens"))
+    )
+    base = docs.select("doc_id", n.cast("long").alias("n_tokens"))
+    dup_tokens = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+    return base.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        dup_tokens.alias("dup_tokens"),
+        F.round(dup_tokens * F.lit(1.0) / F.col("n_tokens"), 4).alias("dup_fraction"),
+    )

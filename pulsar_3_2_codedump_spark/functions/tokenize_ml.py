@@ -94,3 +94,69 @@ def hashing_trick_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dim")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+CLF_DIMS = 256  # weight-vector width of the hashed linear classifier
+CLF_BIAS = 0.05
+
+# hash-derived weight in [-1, 1] for bucket d: (md5int('qw:<d>') % 2001 - 1000)/1000
+_D_CLF_W = (
+    "(CAST(concat('0x', substr(md5(concat('qw:', CAST("
+    f"CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % {CLF_DIMS}"
+    " AS VARCHAR))), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0"
+)
+
+
+@query(
+    "quality_classifier_score",
+    section="2.N-text",
+    doc="Model-based quality filtering (the fastText/DCLM-style classifier "
+    "gate, complementing the heuristic Gopher rules): a linear classifier "
+    f"over hashing-trick features — margin = bias + mean over tokens of "
+    f"w[md5(token) mod {CLF_DIMS}], keep iff sigmoid(margin) >= 0.5. The "
+    "weight vector here is hash-derived (deterministic, cross-engine "
+    "reproducible, which gives the exact oracle); in production the trained "
+    "weights are a broadcast map lookup with the identical plan shape. The "
+    "whole score is a per-row fold over the token array — zero shuffle, "
+    "runs at scan speed, and the keep-predicate pushes into the scan stage "
+    "so filtered-out docs never leave it.",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, lang, {_D_WORDS} AS ws FROM documents),
+        scored AS (
+            SELECT doc_id, lang, len(ws) AS n_tokens,
+                   {CLF_BIAS} + list_aggregate(
+                       list_transform(ws, t -> {_D_CLF_W}), 'sum') / len(ws)
+                       AS margin
+            FROM w)
+        SELECT doc_id, lang, n_tokens,
+               ROUND(margin, 6) AS margin,
+               ROUND(1.0 / (1.0 + exp(-margin)), 6) AS prob,
+               margin >= 0.0 AS keep
+        FROM scored
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+    def w_of(tok):
+        dim = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % CLF_DIMS
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit("qw:"), dim.cast("string"))), 1, 8), 16, 10
+        ).cast("long")
+        return (h % 2001 - 1000) / F.lit(1000.0)
+
+    # sequential left-fold over the token array — deterministic summation
+    # order, matching the oracle's list_aggregate; no explode, no shuffle
+    margin = (
+        F.lit(CLF_BIAS)
+        + F.aggregate(ws, F.lit(0.0), lambda acc, t: acc + w_of(t)) / F.size(ws)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.round(margin, 6).alias("margin"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6).alias("prob"),
+        (margin >= 0.0).alias("keep"),
+    )

@@ -65,3 +65,60 @@ def test_event_bigram_total_is_events_minus_users(spark):
     n_users = ev.select("user_id").distinct().count()
     # each user's timeline of k events yields exactly k-1 transitions
     assert total == n_events - n_users
+
+
+def test_quality_classifier_margin_matches_manual(spark):
+    # two tiny docs; recompute the hashed-weight margin in pure python
+    import hashlib
+
+    from pulsar_3_2_codedump_spark.functions.tokenize_ml import (
+        CLF_BIAS,
+        CLF_DIMS,
+        quality_classifier_score,
+    )
+
+    def md5int(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def weight(tok: str) -> float:
+        dim = md5int(tok) % CLF_DIMS
+        return (md5int(f"qw:{dim}") % 2001 - 1000) / 1000.0
+
+    docs = spark.createDataFrame(
+        [(1, "good clean prose here", "en", "s", 20),
+         (2, "spam spam spam", "en", "s", 14)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in quality_classifier_score(spark, d).collect()}
+    for doc_id, text in [(1, "good clean prose here"), (2, "spam spam spam")]:
+        toks = text.split()
+        margin = CLF_BIAS + sum(weight(t) for t in toks) / len(toks)
+        assert abs(out[doc_id]["margin"] - round(margin, 6)) < 1e-9
+        assert out[doc_id]["keep"] == (margin >= 0.0)
+
+
+def test_duplicated_ngram_coverage_positions(spark):
+    # doc 1 and 2 share the 4-gram "a b c d" (positions 1-4 in both);
+    # doc 3 shares nothing. Coverage counts positions, not distinct grams.
+    import tempfile
+
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import duplicated_ngram_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d x y z w", "en", "s", 10),
+         (2, "q a b c d r s t", "en", "s", 10),
+         (3, "unique tokens only right here now ok fine", "en", "s", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in duplicated_ngram_coverage(spark, d).collect()}
+    # doc1: "a b c d" at pos 1 covers 1..4 -> 4 of 8 tokens
+    assert out[1]["dup_tokens"] == 4 and out[1]["dup_fraction"] == 0.5
+    # doc2: "a b c d" at pos 2 covers 2..5 -> 4 of 8
+    assert out[2]["dup_tokens"] == 4
+    assert out[3]["dup_tokens"] == 0 and out[3]["dup_fraction"] == 0.0
