@@ -761,3 +761,198 @@ def quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits") / F.lit(TOP_K), 4).alias("recall"),
         )
     )
+
+
+PQ_M = 16      # subspaces (64-dim vectors -> 4 dims per subspace)
+PQ_SUB = 4     # dims per subspace
+PQ_K = 16      # codewords per subspace (4-bit codes)
+PQ_TOP_K = 5
+
+_D_SQ = (
+    "list_aggregate(list_transform(generate_series(1, {n}),"
+    " i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), 'sum')"
+)
+_D_SUBVEC = f"embedding[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}]"
+# fixed-order ADC sum: one conditional SUM per subspace, added left-to-right
+# (a bare SUM over shuffle-ordered doubles would be order-sensitive)
+_D_ADC_SUM = "\n                   + ".join(
+    f"SUM(CASE WHEN e.m = {j} THEN l.pd END)" for j in range(PQ_M)
+)
+
+
+def _sqdist(a, b) -> Column:
+    """Sequential left-fold squared L2 in double precision (deterministic
+    summation order — matches the oracle's list_aggregate)."""
+    d = F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double")))
+    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _pq_subvectors(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, m, sv): every vector split into PQ_M subvectors of PQ_SUB dims."""
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    return df.select(F.col("vec_id").alias(id_col), ms, "embedding").select(
+        id_col, "m", F.slice(F.col("embedding"), F.col("m") * PQ_SUB + 1, PQ_SUB).alias("sv")
+    )
+
+
+def _pq_assign(sub: DataFrame, cb: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-codeword assignment per (id, m): broadcast codebook equi-join
+    on the subspace + argmin window with deterministic (sqd, code_id) tiebreak."""
+    w = W.partitionBy(id_col, "m").orderBy("sqd", "code_id")
+    return (
+        sub.join(F.broadcast(cb), "m")
+        .withColumn("sqd", _sqdist(F.col("sv"), F.col("cw")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+
+
+def pq_codebook(emb: DataFrame) -> DataFrame:
+    """Trained PQ codebook (Jégou et al., 'Product Quantization for Nearest
+    Neighbor Search'): seed codewords 1..PQ_K are the PQ_K vectors ranked
+    first by md5(vec_id) (reproducible uniform sample), refined by ONE
+    Lloyd iteration per subspace — assign every corpus subvector to its
+    nearest seed, recompute codewords as the per-dimension mean of their
+    assigned subvectors (rounded to 6dp so the grouped double mean is
+    cross-engine/run reproducible; empty cells keep their seed). Training
+    is itself a DataFrame job: one broadcast equi-join + two agg shuffles —
+    the k-means-on-Spark pattern, linear in corpus size per iteration."""
+    seed_order = (F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    seeds = (
+        emb.orderBy(*seed_order)
+        .limit(PQ_K)
+        .withColumn("code_id", F.row_number().over(W.orderBy(*seed_order)))
+    )
+    cb0 = _pq_subvectors(seeds.select("vec_id", "embedding"), "seed_vec").join(
+        seeds.select(F.col("vec_id").alias("seed_vec"), "code_id"), "seed_vec"
+    ).select("m", "code_id", F.col("sv").alias("cw"))
+
+    assigned = _pq_assign(_pq_subvectors(emb, "vec_id"), cb0, "vec_id")
+    pos = assigned.select(
+        "m", "code_id", F.posexplode(F.col("sv")).alias("i", "v")
+    ).groupBy("m", "code_id", "i").agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mv"))
+    trained = pos.groupBy("m", "code_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mv"))), lambda s: s["mv"]
+        ).alias("cw1")
+    )
+    return cb0.join(trained, ["m", "code_id"], "left").select(
+        "m",
+        "code_id",
+        F.coalesce(
+            F.col("cw1"), F.transform(F.col("cw"), lambda x: x.cast("double"))
+        ).alias("cw"),
+    )
+
+
+_D_CODEBOOK = f"""
+        seeds AS (
+            SELECT vec_id, embedding,
+                   ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                       AS code_id
+            FROM embeddings
+            QUALIFY code_id <= {PQ_K}),
+        ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+        cb0 AS (SELECT code_id, m, {_D_SUBVEC} AS cw FROM seeds, ms),
+        corpus_sub AS (SELECT vec_id, m, {_D_SUBVEC} AS sv FROM embeddings, ms),
+        assign0 AS (
+            SELECT vec_id, m, sv, code_id FROM (
+                SELECT s.vec_id, s.m, s.sv, cb0.code_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY {_D_SQ.format(n=PQ_SUB, a="s.sv", b="cb0.cw")},
+                                    cb0.code_id) AS rn
+                FROM corpus_sub s JOIN cb0 ON cb0.m = s.m)
+            WHERE rn = 1),
+        pos AS (
+            SELECT m, code_id, i, ROUND(AVG(CAST(sv[i] AS DOUBLE)), 6) AS mv
+            FROM assign0, (SELECT unnest(generate_series(1, {PQ_SUB})) AS i)
+            GROUP BY m, code_id, i),
+        trained AS (
+            SELECT m, code_id, list(mv ORDER BY i) AS cw1
+            FROM pos GROUP BY m, code_id),
+        cb AS (
+            SELECT cb0.m, cb0.code_id,
+                   COALESCE(t.cw1,
+                            list_transform(cb0.cw, x -> CAST(x AS DOUBLE))) AS cw
+            FROM cb0 LEFT JOIN trained t
+              ON t.m = cb0.m AND t.code_id = cb0.code_id)"""
+
+
+@query(
+    "pq_adc_ann_topk",
+    section="2.N-sim",
+    doc=f"Product-quantization ANN with asymmetric-distance (ADC) search: a "
+    f"one-Lloyd-iteration k-means codebook per subspace ({PQ_M} subspaces x "
+    f"{PQ_K} codewords), corpus encoded as {PQ_M}x4-bit codes "
+    f"({PQ_M // 2} bytes/vector vs {PQ_M * PQ_SUB * 4} raw — the "
+    "memory-compressed serving form of a 100 TB vector corpus); queries "
+    "build a per-subspace distance lookup table against the codebook and "
+    f"candidate distance is a fixed-order sum of {PQ_M} table entries — no "
+    "full vector is touched at search time. Training, encoding and search "
+    "are all broadcast equi-joins + agg shuffles; the corpus x corpus "
+    "product never forms. ADC recall vs exact top-k is pinned in "
+    "tests/test_functions_ml.py.",
+    oracle=f"""
+        WITH {_D_CODEBOOK},
+        enc AS (
+            SELECT vec_id, m, code_id FROM (
+                SELECT s.vec_id, s.m, cb.code_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY {_D_SQ.format(n=PQ_SUB, a="s.sv", b="cb.cw")},
+                                    cb.code_id) AS rn
+                FROM corpus_sub s JOIN cb ON cb.m = s.m)
+            WHERE rn = 1),
+        lut AS (
+            SELECT q.vec_id AS query_id, cb.m, cb.code_id,
+                   {_D_SQ.format(n=PQ_SUB, a="q.sv", b="cb.cw")} AS pd
+            FROM (SELECT vec_id, m, sv FROM corpus_sub
+                  WHERE vec_id % {QUERY_STRIDE} = 0) q
+            JOIN cb ON cb.m = q.m),
+        adc AS (
+            SELECT l.query_id, e.vec_id AS neighbor_id,
+                   {_D_ADC_SUM} AS adc_dist
+            FROM enc e JOIN lut l ON l.m = e.m AND l.code_id = e.code_id
+            WHERE e.vec_id <> l.query_id
+            GROUP BY l.query_id, e.vec_id)
+        SELECT query_id, neighbor_id, ROUND(adc_dist, 4) AS adc_dist, rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY adc_dist, neighbor_id) AS rank
+              FROM adc)
+        WHERE rank <= {PQ_TOP_K}
+    """,
+)
+def pq_adc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb)
+    enc = _pq_assign(_pq_subvectors(fanout(emb), "vec_id"), cb, "vec_id").select(
+        "vec_id", "m", "code_id"
+    )
+    # the LUT keeps ALL codeword distances per (query, m) — no argmin here
+    lut = (
+        _pq_subvectors(emb.filter(F.col("vec_id") % QUERY_STRIDE == 0), "query_id")
+        .join(F.broadcast(cb), "m")
+        .select("query_id", "m", "code_id", _sqdist(F.col("sv"), F.col("cw")).alias("pd"))
+    )
+    parts = [
+        F.sum(F.when(F.col("m") == j, F.col("pd"))).alias(f"_s{j}") for j in range(PQ_M)
+    ]
+    total = F.col("_s0")
+    for j in range(1, PQ_M):
+        total = total + F.col(f"_s{j}")
+    adc = (
+        enc.join(F.broadcast(lut), ["m", "code_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(*parts)
+        .select("query_id", "neighbor_id", total.alias("adc_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id", F.round("adc_dist", 4).alias("adc_dist"), "rank")
+    )

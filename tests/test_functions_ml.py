@@ -270,3 +270,48 @@ def test_embedding_centroids_bounds(spark):
     for r in out:
         assert r["min_v"] - 1e-9 <= r["mean_v"] <= r["max_v"] + 1e-9
         assert r["n_vectors"] > 0
+
+
+def test_pq_encoding_shape_and_code_range(spark):
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_codebook,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cb = pq_codebook(emb).collect()
+    # PQ_K codewords x PQ_M subspaces, each subvector PQ_SUB wide
+    assert len(cb) == PQ_K * PQ_M
+    assert {r["code_id"] for r in cb} == set(range(1, PQ_K + 1))
+    assert all(len(r["cw"]) == 4 for r in cb)
+
+
+def test_pq_adc_beats_chance_recall(spark):
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        PQ_TOP_K,
+        pq_adc_ann_topk,
+    )
+
+    n = load(spark, SF_DIR, "embeddings").count()
+    pq = pq_adc_ann_topk(spark, SF_DIR)
+    rows = pq.collect()
+    qids = {r["query_id"] for r in rows}
+    assert all(r["adc_dist"] >= 0.0 for r in rows)
+    assert all(1 <= r["rank"] <= PQ_TOP_K for r in rows)
+
+    # recall@k of ADC vs exact L2 top-k: must beat random-candidate recall
+    # by a wide margin (random would be ~ PQ_TOP_K / n)
+    exact = {}
+    emb = {r["vec_id"]: r["embedding"] for r in
+           load(spark, SF_DIR, "embeddings").collect()}
+    import heapq
+
+    for q in qids:
+        qv = emb[q]
+        d = [(sum((a - b) ** 2 for a, b in zip(qv, v)), vid)
+             for vid, v in emb.items() if vid != q]
+        exact[q] = {vid for _, vid in heapq.nsmallest(PQ_TOP_K, d)}
+    hits = sum(1 for r in rows if r["neighbor_id"] in exact[r["query_id"]])
+    recall = hits / len(rows)
+    assert recall >= 0.3, f"ADC recall {recall} vs chance {PQ_TOP_K / n}"
