@@ -885,3 +885,84 @@ def streaming_sequence_gap_monitor(spark: SparkSession, sf_dir: str) -> DataFram
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_full_outer_join",
+    section="2.M-join-stream",
+    doc="LIVE stream-stream FULL OUTER interval join — completes the "
+    "streaming join family (inner / left outer / full outer): clicks join "
+    "purchases of the same key within [click, click + 4h); unmatched rows "
+    "on EITHER side emit NULL-padded once the watermark evicts their state "
+    "(purchases with no prior click are the conversion-attribution orphans "
+    "a left join silently drops). Same watermark-sentinel drain and "
+    "CASE-guarded side predicate as streaming_left_outer_join; exact FULL "
+    "JOIN oracle with a coalesced key. At scale both sides shuffle on the "
+    "key and state is bounded by watermark + interval width on both sides.",
+    oracle=f"""
+        {_ENV},
+        c AS (SELECT key, sequence_id AS click_seq, event_time AS ct
+              FROM envelope WHERE event_type = 'click' AND sequence_id < 1200),
+        p AS (SELECT key, sequence_id AS purchase_seq, event_time AS pt
+              FROM envelope WHERE event_type = 'purchase' AND sequence_id < 1200)
+        SELECT COALESCE(c.key, p.key) AS key, c.click_seq, p.purchase_seq,
+               epoch_us(p.pt) - epoch_us(c.ct) AS lag_us
+        FROM c FULL JOIN p ON c.key = p.key
+         AND p.pt >= c.ct AND p.pt <= c.ct + INTERVAL 240 MINUTE
+    """,
+)
+def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.sources import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="sfoj_")
+    try:
+        tp = _replay_topic(spark, sf_dir, root, 0, 1200)
+        thr = T.read_topic(spark, tp).agg(F.max("event_time")).collect()[0][0]
+
+        def side(event_type: str, key_alias: str, seq_alias: str, t_alias: str):
+            src = (
+                spark.readStream.format("pulsarlike")
+                .option("path", tp)
+                .load()
+                .select(
+                    F.col("key").alias(key_alias),
+                    F.col("sequence_id").alias(seq_alias),
+                    F.col("event_time").alias(t_alias),
+                    F.col("properties")["event_type"].alias("etype"),
+                )
+                .withWatermark(t_alias, "1 hour")
+            )
+            keep = F.when(
+                F.col(t_alias) <= F.lit(thr), F.col("etype") == event_type
+            ).otherwise(F.lit(False))
+            return src.filter(keep).drop("etype")
+
+        clicks = side("click", "c_key", "click_seq", "ct")
+        purchases = side("purchase", "p_key", "purchase_seq", "pt")
+        joined = clicks.join(
+            purchases,
+            F.expr("c_key = p_key AND pt >= ct AND pt <= ct + interval 240 minutes"),
+            "fullOuter",
+        ).select(
+            F.coalesce(F.col("c_key"), F.col("p_key")).alias("key"),
+            "click_seq",
+            "purchase_seq",
+            (F.unix_micros("pt") - F.unix_micros("ct")).alias("lag_us"),
+        )
+        rows = _run_bounded(
+            joined,
+            root + "/ck",
+            [
+                None,
+                lambda: _append_watermark_sentinel(spark, tp, 10),
+                lambda: _append_watermark_sentinel(spark, tp, 20),
+            ],
+        )
+        return (
+            spark.createDataFrame(rows, joined.schema)
+            if rows
+            else spark.createDataFrame([], joined.schema)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -75,3 +75,32 @@ def test_stream_left_outer_join_matches_batch_left_join(spark):
     assert any(r[2] is None for r in got)
     # and no sentinel artifacts leaked into the result
     assert all(r[0] != "__sentinel__" for r in got)
+
+
+def test_stream_full_outer_join_matches_batch_full_join(spark):
+    out = load_all()["streaming_full_outer_join"].fn(spark, SF_DIR)
+    got = {(r["key"], r["click_seq"], r["purchase_seq"], r["lag_us"]) for r in out.collect()}
+    env = wrap_events(load(spark, SF_DIR, "events")).filter(F.col("sequence_id") < 1200)
+    c = env.filter(F.col("properties")["event_type"] == "click").select(
+        F.col("key").alias("c_key"), F.col("sequence_id").alias("click_seq"),
+        F.col("event_time").alias("ct"),
+    )
+    p = env.filter(F.col("properties")["event_type"] == "purchase").select(
+        F.col("key").alias("p_key"), F.col("sequence_id").alias("purchase_seq"),
+        F.col("event_time").alias("pt"),
+    )
+    batch = c.join(
+        p,
+        F.expr("c_key = p_key AND pt >= ct AND pt <= ct + interval 240 minutes"),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("c_key"), F.col("p_key")).alias("key"),
+        "click_seq", "purchase_seq",
+        (F.unix_micros("pt") - F.unix_micros("ct")).alias("lag_us"),
+    )
+    want = {(r["key"], r["click_seq"], r["purchase_seq"], r["lag_us"]) for r in batch.collect()}
+    assert got == want
+    # both outer legs actually fired
+    assert any(r[2] is None for r in got)  # click with no purchase
+    assert any(r[1] is None for r in got)  # purchase with no click
+    assert all(r[0] != "__sentinel__" for r in got)
