@@ -956,3 +956,105 @@ def pq_adc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PQ_TOP_K)
         .select("query_id", "neighbor_id", F.round("adc_dist", 4).alias("adc_dist"), "rank")
     )
+
+
+SEMDEDUP_K = 8       # coarse clusters
+SEMDEDUP_T = 0.4     # near-dup threshold, sized to the fixture's cosine tail
+
+_D_COS_AB = (
+    "list_aggregate(list_transform(generate_series(1, len(a.embedding)),"
+    " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')"
+    " / (sqrt(list_aggregate(list_transform(a.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    " * sqrt(list_aggregate(list_transform(b.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+)
+_D_COS_VC = (
+    "list_aggregate(list_transform(generate_series(1, len(v.embedding)),"
+    " i -> CAST(v.embedding[i] AS DOUBLE) * CAST(ct.embedding[i] AS DOUBLE)), 'sum')"
+    " / (sqrt(list_aggregate(list_transform(v.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    " * sqrt(list_aggregate(list_transform(ct.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+)
+
+
+@query(
+    "semdedup_prune",
+    section="2.N-sim",
+    doc=f"SemDeDup semantic deduplication (Abbas et al. 2023): assign every "
+    f"embedding to its nearest of {SEMDEDUP_K} coarse centroids (broadcast "
+    "argmax-cosine join), then WITHIN each cluster prune any vector that has "
+    f"a smaller-id near-duplicate at cosine >= {SEMDEDUP_T} (leader "
+    "selection — deterministic, order-free). The defining property vs plain "
+    "near-dup detection: the pairwise pass runs per-cluster, so at 100 TB "
+    "the candidate product is bounded by cluster size (K scales with corpus "
+    "so clusters stay ~constant), never corpus x corpus; the cluster "
+    "assignment itself is one broadcast join + argmin window. Centroids "
+    "here are a reproducible md5-ranked sample (the exact-oracle device); "
+    "production swaps in k-means centroids with the identical plan.",
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cluster_id, embedding
+            FROM (SELECT vec_id, embedding,
+                         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                            vec_id) AS rn
+                  FROM embeddings)
+            WHERE rn <= {SEMDEDUP_K}),
+        assigned AS (
+            SELECT vec_id, cluster_id FROM (
+                SELECT v.vec_id, ct.cluster_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                          ORDER BY {_D_COS_VC} DESC, ct.cluster_id) AS rn
+                FROM embeddings v JOIN cents ct ON TRUE)
+            WHERE rn = 1),
+        pruned AS (
+            SELECT DISTINCT bb.vec_id
+            FROM assigned aa
+            JOIN assigned bb ON aa.cluster_id = bb.cluster_id AND aa.vec_id < bb.vec_id
+            JOIN embeddings a ON a.vec_id = aa.vec_id
+            JOIN embeddings b ON b.vec_id = bb.vec_id
+            WHERE {_D_COS_AB} >= {SEMDEDUP_T})
+        SELECT s.vec_id, s.cluster_id, p.vec_id IS NOT NULL AS pruned
+        FROM assigned s LEFT JOIN pruned p ON p.vec_id = s.vec_id
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cents = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(SEMDEDUP_K)
+        .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cent"))
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cluster_id"))
+    assigned = (
+        fanout(emb)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cc", cosine(F.col("embedding"), F.col("cent")))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id", "embedding")
+    )
+    a = assigned.select(
+        F.col("cluster_id").alias("cl"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = assigned.select(
+        F.col("cluster_id").alias("cl"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+    )
+    pruned = (
+        a.join(b, "cl")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cosine(F.col("a_emb"), F.col("b_emb")) >= SEMDEDUP_T)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_pruned", F.lit(True))
+    )
+    return assigned.join(pruned, "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        F.coalesce(F.col("is_pruned"), F.lit(False)).alias("pruned"),
+    )

@@ -315,3 +315,28 @@ def test_pq_adc_beats_chance_recall(spark):
     hits = sum(1 for r in rows if r["neighbor_id"] in exact[r["query_id"]])
     recall = hits / len(rows)
     assert recall >= 0.3, f"ADC recall {recall} vs chance {PQ_TOP_K / n}"
+
+
+def test_semdedup_prune_matches_leader_rule(spark):
+    import numpy as np
+
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        SEMDEDUP_T,
+        semdedup_prune,
+    )
+
+    out = {r["vec_id"]: r for r in semdedup_prune(spark, SF_DIR).collect()}
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in load(spark, SF_DIR, "embeddings").collect()}
+    # recompute the leader rule inside the clusters the engine assigned
+    cluster = {v: out[v]["cluster_id"] for v in out}
+    ids = sorted(emb)
+    norm = {v: emb[v] / np.linalg.norm(emb[v]) for v in ids}
+    for v in ids:
+        has_leader = any(
+            u < v and cluster[u] == cluster[v]
+            and float(norm[u] @ norm[v]) >= SEMDEDUP_T
+            for u in ids
+        )
+        assert out[v]["pruned"] == has_leader, (v, out[v])
+    assert any(r["pruned"] for r in out.values())  # the prune leg fires
