@@ -845,7 +845,13 @@ DUPSPAN_N = 4  # n-gram width of the span-duplication signal
     """,
 )
 def duplicated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fanout(load(spark, sf_dir, "documents"))
+    return ngram_coverage(fanout(load(spark, sf_dir, "documents")))
+
+
+def _dup_covered_positions(docs: DataFrame) -> DataFrame:
+    """(doc_id, cpos) DISTINCT: every token position covered by a DUPSPAN_N-gram
+    that occurs in >= 2 documents. Shared core of the coverage statistic and
+    the span-removal transform."""
     ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     n = F.size(ws)
     grams = F.transform(
@@ -863,7 +869,7 @@ def duplicated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= 2)
         .select("ng")
     )
-    covered = (
+    return (
         flat.join(dup, "ng")
         .select(
             "doc_id",
@@ -871,14 +877,82 @@ def duplicated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.col("pos"), F.least(F.col("pos") + (DUPSPAN_N - 1), F.col("n")))
             ).alias("cpos"),
         )
-        .groupBy("doc_id")
-        .agg(F.countDistinct("cpos").alias("dup_tokens"))
+        .distinct()
     )
-    base = docs.select("doc_id", n.cast("long").alias("n_tokens"))
+
+
+def ngram_coverage(docs: DataFrame) -> DataFrame:
+    """Positional duplicated-ngram coverage core over a (doc_id, text) frame."""
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    covered = (
+        _dup_covered_positions(docs)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+    )
+    base = docs.select("doc_id", F.size(ws).cast("long").alias("n_tokens"))
     dup_tokens = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
     return base.join(covered, "doc_id", "left").select(
         "doc_id",
         "n_tokens",
         dup_tokens.alias("dup_tokens"),
         F.round(dup_tokens * F.lit(1.0) / F.col("n_tokens"), 4).alias("dup_fraction"),
+    )
+
+
+@query(
+    "dedup_span_removal",
+    section="2.N-dedup",
+    doc="Span-level dedup TRANSFORM (the action on duplicated_ngram_coverage's "
+    "signal — Lee et al.'s substring dedup applied document-side): rebuild "
+    "each document keeping only token positions NOT covered by a cross-"
+    "document duplicated n-gram. Covered positions per doc collect into one "
+    "array (collect_set after an equi-join — never all-pairs), and the "
+    "rebuild is a pure per-row array filter + join — scan-speed at 100 TB.",
+    oracle=rf"""
+        WITH t AS (SELECT doc_id, {_D_WORDS} AS ws FROM documents),
+        inv AS (
+            SELECT doc_id, len(ws) AS n,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(ws) - {DUPSPAN_N - 1}, 1)),
+                       i -> {{'pos': i,
+                             'ng': array_to_string(ws[i:i+{DUPSPAN_N - 1}], ' ')}})) AS u
+            FROM t),
+        flat AS (SELECT doc_id, n, u.pos AS pos, u.ng AS ng FROM inv),
+        dup AS (SELECT ng FROM flat GROUP BY ng HAVING COUNT(DISTINCT doc_id) >= 2),
+        covpos AS (
+            SELECT DISTINCT doc_id,
+                   unnest(generate_series(pos, least(pos + {DUPSPAN_N - 1}, n))) AS cpos
+            FROM flat JOIN dup USING (ng)),
+        cov AS (SELECT doc_id, array_agg(cpos) AS cps FROM covpos GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(len(t.ws) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(len(c.cps), 0) AS BIGINT) AS n_removed,
+               COALESCE(array_to_string(
+                   list_transform(
+                       list_filter(generate_series(1, len(t.ws)),
+                                   i -> NOT list_contains(COALESCE(c.cps, []), i)),
+                       i -> t.ws[i]), ' '), '') AS cleaned_text
+        FROM t LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fanout(load(spark, sf_dir, "documents"))
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    cov = (
+        _dup_covered_positions(docs)
+        .groupBy("doc_id")
+        .agg(F.collect_set("cpos").alias("cps"))
+    )
+    cps = F.coalesce(F.col("cps"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size(ws)),
+        lambda i: ~F.array_contains(cps, i.cast("int")),
+    )
+    return docs.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.size(cps).cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ", F.transform(kept, lambda i: F.element_at(ws, i))
+        ).alias("cleaned_text"),
     )

@@ -320,3 +320,46 @@ def importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars_kept"),
     )
+
+
+TEMP_ALPHA = 0.7  # mixing temperature (alpha < 1 flattens toward uniform)
+
+
+@query(
+    "temperature_mixture",
+    section="2.N-sample",
+    doc=f"Temperature-scaled mixture sampling weights (the multilingual "
+    f"data-mixing rule of mT5/XLM-R: p_i proportional to n_i^{TEMP_ALPHA}): "
+    "per-language corpus counts -> temperature share vs natural share and "
+    "the per-example boost factor low-resource strata get. One partial-agg "
+    "shuffle over #strata rows; the output is a broadcastable dim that "
+    "drives weighted sampling exactly like mixture_weights' uniform target.",
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        ), tot AS (
+            SELECT SUM(n) AS total, SUM(pow(n, {TEMP_ALPHA})) AS total_a
+            FROM counts)
+        SELECT lang, CAST(n AS BIGINT) AS n_docs,
+               ROUND(n * 1.0 / total, 6) AS natural_share,
+               ROUND(pow(n, {TEMP_ALPHA}) / total_a, 6) AS temp_share,
+               ROUND((pow(n, {TEMP_ALPHA}) / total_a) / (n * 1.0 / total), 4)
+                   AS boost
+        FROM counts, tot
+    """,
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.sum(F.pow("n", F.lit(TEMP_ALPHA))).alias("total_a")
+    )
+    nat = F.col("n") * 1.0 / F.col("total")
+    tmp = F.pow("n", F.lit(TEMP_ALPHA)) / F.col("total_a")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(nat, 6).alias("natural_share"),
+        F.round(tmp, 6).alias("temp_share"),
+        F.round(tmp / nat, 4).alias("boost"),
+    )

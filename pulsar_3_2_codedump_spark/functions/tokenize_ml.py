@@ -135,9 +135,10 @@ _D_CLF_W = (
         FROM scored
     """,
 )
-def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+def classifier_margin(ws) -> "F.Column":
+    """Hashed-linear-classifier margin over a token-array column: a
+    sequential left-fold — deterministic summation order matching the
+    oracle's list_aggregate; no explode, no shuffle."""
 
     def w_of(tok):
         dim = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % CLF_DIMS
@@ -146,12 +147,16 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         return (h % 2001 - 1000) / F.lit(1000.0)
 
-    # sequential left-fold over the token array — deterministic summation
-    # order, matching the oracle's list_aggregate; no explode, no shuffle
-    margin = (
+    return (
         F.lit(CLF_BIAS)
         + F.aggregate(ws, F.lit(0.0), lambda acc, t: acc + w_of(t)) / F.size(ws)
     )
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    margin = classifier_margin(ws)
     return docs.select(
         "doc_id",
         "lang",

@@ -217,3 +217,73 @@ def marker_filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_visible"),
         F.sum("sequence_id").alias("sum_seq"),
     )
+
+
+# (subscription, markDelete cursor, backlog quota in messages); the
+# message-count analogue of Pulsar's per-topic size quota
+BACKLOG_SUBS = [("standard", 5, 400), ("analytics", 50, 700)]
+
+
+@query(
+    "backlog_quota_eviction",
+    section="2.J-quota",
+    doc="Backlog-quota enforcement with consumer_backlog_eviction policy "
+    "(BacklogQuotaManager.dropBacklogForSizeLimit, "
+    "pulsar-broker/.../BacklogQuotaManager.java): when a subscription's "
+    "backlog (entries behind its markDelete cursor) exceeds its quota, the "
+    "broker advances the cursor over the OLDEST entries so only the newest "
+    "quota-many remain — message-count quota here as the unit analogue of "
+    "the byte quota. Per (subscription, partition): backlog size, evicted "
+    "count, and the advanced cursor (= the largest evicted offset). One "
+    "broadcast join against the 2-row subscription dim + one ranked agg — "
+    "cursor math over metadata, never per-message driver state.",
+    oracle=f"""
+        {_ENV}
+        ,
+        subs AS (SELECT * FROM (VALUES {", ".join(f"('{s}', {c}, {q})" for s, c, q in BACKLOG_SUBS)})
+                 AS t(sub, cursor, quota)),
+        backlog AS (
+            SELECT s.sub, e.partition, s.cursor, s.quota, e."offset",
+                   ROW_NUMBER() OVER (PARTITION BY s.sub, e.partition
+                                      ORDER BY e."offset" DESC) AS rn
+            FROM envelope e JOIN subs s ON e."offset" > s.cursor)
+        SELECT sub, partition,
+               CAST(cursor AS BIGINT) AS old_cursor,
+               COUNT(*) AS backlog,
+               CAST(GREATEST(COUNT(*) - quota, 0) AS BIGINT) AS evicted,
+               CAST(COALESCE(MAX(CASE WHEN rn = quota + 1 THEN "offset" END),
+                             cursor) AS BIGINT) AS new_cursor
+        FROM backlog GROUP BY sub, partition, cursor, quota
+    """,
+)
+def backlog_quota_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    env = cached_envelope(spark, sf_dir)
+    subs = spark.createDataFrame(BACKLOG_SUBS, "sub string, cursor int, quota int")
+    w = W.partitionBy("sub", "partition").orderBy(F.desc("offset"))
+    backlog = (
+        env.select("partition", "offset")
+        .join(F.broadcast(subs), F.col("offset") > F.col("cursor"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    n = F.count(F.lit(1))
+    return (
+        backlog.groupBy("sub", "partition", "cursor", "quota")
+        .agg(
+            n.alias("backlog"),
+            F.greatest(n - F.col("quota"), F.lit(0)).cast("long").alias("evicted"),
+            F.coalesce(
+                F.max(F.when(F.col("rn") == F.col("quota") + 1, F.col("offset"))),
+                F.col("cursor").cast("long"),
+            ).cast("long").alias("new_cursor"),
+        )
+        .select(
+            "sub",
+            "partition",
+            F.col("cursor").cast("long").alias("old_cursor"),
+            "backlog",
+            "evicted",
+            "new_cursor",
+        )
+    )

@@ -213,3 +213,54 @@ def test_event_trigram_totals(spark):
     # each user with k events contributes max(k-2, 0) trigrams
     short = ev.groupBy("user_id").count().filter(F.col("count") < 3).collect()
     assert total == n_events - 2 * n_users + sum(2 - r["count"] for r in short)
+
+
+def test_temperature_mixture_shares_sum_to_one(spark):
+    from pulsar_3_2_codedump_spark.queries import load_all
+
+    rows = load_all()["temperature_mixture"].fn(spark, SF_DIR).collect()
+    assert abs(sum(r["natural_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-4
+    # alpha < 1 compresses the mix: every boost is pulled toward 1 from the
+    # natural-share side (small strata boosted, large strata damped)
+    for r in rows:
+        if r["natural_share"] < 1.0 / len(rows):
+            assert r["boost"] >= 1.0
+        else:
+            assert r["boost"] <= 1.0
+
+
+def test_span_removal_consistent_with_coverage(spark):
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import (
+        dedup_span_removal,
+        duplicated_ngram_coverage,
+    )
+
+    cov = {r["doc_id"]: r for r in duplicated_ngram_coverage(spark, SF_DIR).collect()}
+    rem = {r["doc_id"]: r for r in dedup_span_removal(spark, SF_DIR).collect()}
+    assert set(cov) == set(rem)
+    for d in cov:
+        # removal drops exactly the covered positions the coverage stat counts
+        assert rem[d]["n_removed"] == cov[d]["dup_tokens"]
+        kept_tokens = rem[d]["cleaned_text"].split() if rem[d]["cleaned_text"] else []
+        assert len(kept_tokens) == rem[d]["n_tokens"] - rem[d]["n_removed"]
+
+
+def test_backlog_quota_eviction_cursor_math(spark):
+    from pulsar_3_2_codedump_spark.operators.delivery import (
+        BACKLOG_SUBS,
+        backlog_quota_eviction,
+    )
+
+    rows = backlog_quota_eviction(spark, SF_DIR).collect()
+    quotas = {s: q for s, _, q in BACKLOG_SUBS}
+    cursors = {s: c for s, c, _ in BACKLOG_SUBS}
+    assert rows
+    for r in rows:
+        q, c = quotas[r["sub"]], cursors[r["sub"]]
+        assert r["evicted"] == max(r["backlog"] - q, 0)
+        if r["evicted"] > 0:
+            # cursor advanced so exactly quota-many entries remain
+            assert r["new_cursor"] > r["old_cursor"] == c
+        else:
+            assert r["new_cursor"] == r["old_cursor"] == c

@@ -340,3 +340,46 @@ def test_semdedup_prune_matches_leader_rule(spark):
         )
         assert out[v]["pruned"] == has_leader, (v, out[v])
     assert any(r["pruned"] for r in out.values())  # the prune leg fires
+
+
+def test_pq_arrow_kernel_matches_expr(spark):
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cb = pq_codebook(emb)
+    expr = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cb, "expr").collect()}
+    arrow = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cb, "arrow").collect()}
+    assert expr == arrow  # bit-identical codes, not just close
+
+
+def test_pq_adc_arrow_matches_jvm_fold(spark):
+    from pyspark.sql.window import Window as W
+
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        QUERY_STRIDE,
+        pq_adc_dist,
+        pq_adc_search_arrow,
+        pq_codebook,
+        pq_encode,
+        pq_query_luts,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cb = pq_codebook(emb)
+    codes = pq_encode(emb, cb, "arrow")
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    arrow = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in pq_adc_search_arrow(codes, cb, q).collect()
+    }
+    jvm = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in codes.crossJoin(F.broadcast(pq_query_luts(q, cb)))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                pq_adc_dist().alias("adc_dist"))
+        .collect()
+    }
+    assert arrow == jvm  # bit-identical distances across kernels

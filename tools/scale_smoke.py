@@ -282,6 +282,64 @@ def main() -> None:
     }
     print(f"# knn_exact_topk: {dt:.2f}s ({cnt} out, {n_vec/dt/1e6:.2f}M vecs/s)", file=sys.stderr)
 
+    # ---- PQ-ADC over synthetic 64-dim embeddings ---------------------------
+    # train codebook + encode the full corpus into its 8-byte code layout +
+    # ADC-search 20 queries via per-candidate LUT folds (no join fan-out).
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        PQ_TOP_K,
+        pq_adc_search_arrow,
+        pq_codebook,
+        pq_encode,
+    )
+
+    dims64 = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: F.sin((F.col("id") + 1) * i + i).cast("float"),
+    )
+    emb64 = spark.range(0, n_vec, numPartitions=64).select(
+        F.col("id").alias("vec_id"), dims64.alias("embedding")
+    )
+    t0 = time.time()
+    cb = pq_codebook(emb64, kernel="arrow")
+    codes = pq_encode(emb64, cb, kernel="arrow")
+    codes.write.mode("overwrite").parquet("/tmp/pq_codes_smoke")
+    dt = time.time() - t0
+    results["pq_train_encode"] = {
+        "sec": round(dt, 2), "rows_out": n_vec,
+        "mvecs_per_sec": round(n_vec / dt / 1e6, 2),
+    }
+    print(f"# pq_train_encode: {dt:.2f}s ({n_vec/dt/1e6:.2f}M vecs/s)", file=sys.stderr)
+
+    codes_at_rest = spark.read.parquet("/tmp/pq_codes_smoke")
+    adc = pq_adc_search_arrow(
+        codes_at_rest, cb, emb64.filter(F.col("vec_id") % (n_vec // 20) == 0)
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    aw = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    t0 = time.time()
+    cnt = adc.withColumn("r", F.row_number().over(aw)).filter(F.col("r") <= PQ_TOP_K).count()
+    dt = time.time() - t0
+    results["pq_adc_search"] = {
+        "sec": round(dt, 2), "rows_out": cnt,
+        "mvecs_per_sec": round(n_vec / dt / 1e6, 2),
+    }
+    print(f"# pq_adc_search: {dt:.2f}s ({n_vec/dt/1e6:.2f}M vecs/s)", file=sys.stderr)
+
+    # ---- classifier gate + span-duplication coverage on synthetic docs -----
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import ngram_coverage
+    from pulsar_3_2_codedump_spark.functions.tokenize_ml import classifier_margin
+
+    run_docs(
+        "quality_classifier_margin",
+        docs.select(
+            (classifier_margin(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 0)
+            .alias("keep")
+        ).groupBy("keep").count(),
+    )
+    run_docs(
+        "duplicated_ngram_coverage",
+        ngram_coverage(docs).agg(F.round(F.avg("dup_fraction"), 4).alias("mean_cov")),
+    )
+
     print(json.dumps({"metric": "scale_smoke", "rows": n, "n_docs": n_docs, "ops": results}))
 
 
