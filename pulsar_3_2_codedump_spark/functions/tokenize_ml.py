@@ -107,6 +107,24 @@ _D_CLF_W = (
 )
 
 
+def classifier_margin(ws) -> "F.Column":
+    """Hashed-linear-classifier margin over a token-array column: a
+    sequential left-fold — deterministic summation order matching the
+    oracle's list_aggregate; no explode, no shuffle."""
+
+    def w_of(tok):
+        dim = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % CLF_DIMS
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit("qw:"), dim.cast("string"))), 1, 8), 16, 10
+        ).cast("long")
+        return (h % 2001 - 1000) / F.lit(1000.0)
+
+    return (
+        F.lit(CLF_BIAS)
+        + F.aggregate(ws, F.lit(0.0), lambda acc, t: acc + w_of(t)) / F.size(ws)
+    )
+
+
 @query(
     "quality_classifier_score",
     section="2.N-text",
@@ -135,24 +153,6 @@ _D_CLF_W = (
         FROM scored
     """,
 )
-def classifier_margin(ws) -> "F.Column":
-    """Hashed-linear-classifier margin over a token-array column: a
-    sequential left-fold — deterministic summation order matching the
-    oracle's list_aggregate; no explode, no shuffle."""
-
-    def w_of(tok):
-        dim = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % CLF_DIMS
-        h = F.conv(
-            F.substring(F.md5(F.concat(F.lit("qw:"), dim.cast("string"))), 1, 8), 16, 10
-        ).cast("long")
-        return (h % 2001 - 1000) / F.lit(1000.0)
-
-    return (
-        F.lit(CLF_BIAS)
-        + F.aggregate(ws, F.lit(0.0), lambda acc, t: acc + w_of(t)) / F.size(ws)
-    )
-
-
 def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
