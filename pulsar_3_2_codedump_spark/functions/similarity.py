@@ -1222,3 +1222,143 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.coalesce(F.col("is_pruned"), F.lit(False)).alias("pruned"),
     )
+
+
+PQIVF_CELLS = 8   # coarse IVF cells in front of the PQ codes
+PQIVF_NPROBE = 3  # cells probed per query (3/8 of the corpus scanned)
+
+_D_CELLS = f"""
+        cells AS (
+            SELECT vec_id AS cell_id, embedding AS cent
+            FROM (SELECT vec_id, embedding,
+                         ROW_NUMBER() OVER (ORDER BY md5(concat('cell:', CAST(vec_id AS VARCHAR))),
+                                            vec_id) AS rn
+                  FROM embeddings)
+            WHERE rn <= {PQIVF_CELLS}),
+        cellassign AS (
+            SELECT vec_id, cell_id FROM (
+                SELECT v.vec_id, c.cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY {_D_SQ.format(n=PQ_M * PQ_SUB, a="v.embedding", b="c.cent")},
+                                    c.cell_id) AS rn
+                FROM embeddings v JOIN cells c ON TRUE)
+            WHERE rn = 1),
+        probes AS (
+            SELECT query_id, cell_id FROM (
+                SELECT q.vec_id AS query_id, c.cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_D_SQ.format(n=PQ_M * PQ_SUB, a="q.embedding", b="c.cent")},
+                                    c.cell_id) AS rn
+                FROM embeddings q JOIN cells c ON TRUE
+                WHERE q.vec_id % {QUERY_STRIDE} = 0)
+            WHERE rn <= {PQIVF_NPROBE})"""
+
+
+def _ivf_cells(emb: DataFrame) -> DataFrame:
+    """PQIVF_CELLS deterministic coarse centroids (md5-ranked sample under a
+    'cell:'-salted hash so the cell sample is independent of the PQ seed
+    sample)."""
+    order = (F.md5(F.concat(F.lit("cell:"), F.col("vec_id").cast("string"))), F.col("vec_id"))
+    return (
+        emb.orderBy(*order)
+        .limit(PQIVF_CELLS)
+        .withColumn("cell_id", F.row_number().over(W.orderBy(*order)))
+        .select("cell_id", F.col("embedding").alias("cent"))
+    )
+
+
+def _argmin_cell(df: DataFrame, cells: DataFrame, id_col: str, keep_rank: int) -> DataFrame:
+    """(id, cell_id): nearest cells by full-vector L2, deterministic
+    (dist, cell_id) tiebreak; keep_rank=1 assigns, keep_rank=NPROBE probes."""
+    w = W.partitionBy(id_col).orderBy("sqd", "cell_id")
+    return (
+        df.crossJoin(F.broadcast(cells))
+        .withColumn("sqd", _sqdist(F.col("embedding"), F.col("cent")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= keep_rank)
+        .select(id_col, "cell_id")
+    )
+
+
+@query(
+    "ivfadc_ann_topk",
+    section="2.N-sim",
+    doc=f"IVFADC — the capstone ANN architecture (faiss' IVF+PQ, Jégou et "
+    f"al.): {PQIVF_CELLS} coarse cells prune the corpus to the "
+    f"{PQIVF_NPROBE} cells nearest each query, and candidates are scored "
+    "by PQ asymmetric distance over their 8-byte codes. Both quantizers "
+    "are deterministic (md5-ranked samples / one-Lloyd k-means), so unlike "
+    "a KMeans-seeded IVF the driver hash verifies the ACTUAL pruned "
+    "search, not a full-probe fallback. Plan: cell assignment + probe "
+    "ranking are broadcast joins against the tiny cell dim; candidates "
+    "come from a cell equi-join (scanned fraction nprobe/ncells); ADC is "
+    "a per-candidate LUT fold. At 100 TB the corpus is touched once in "
+    "code form and the cell join replaces any corpus x corpus product.",
+    oracle=f"""
+        WITH {_D_CODEBOOK},
+        {_D_CELLS.strip()},
+        enc AS (
+            SELECT vec_id, m, code_id FROM (
+                SELECT s.vec_id, s.m, cb.code_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY {_D_SQ.format(n=PQ_SUB, a="s.sv", b="cb.cw")},
+                                    cb.code_id) AS rn
+                FROM corpus_sub s JOIN cb ON cb.m = s.m)
+            WHERE rn = 1),
+        lut AS (
+            SELECT q.vec_id AS query_id, cb.m, cb.code_id,
+                   {_D_SQ.format(n=PQ_SUB, a="q.sv", b="cb.cw")} AS pd
+            FROM (SELECT vec_id, m, sv FROM corpus_sub
+                  WHERE vec_id % {QUERY_STRIDE} = 0) q
+            JOIN cb ON cb.m = q.m),
+        adc AS (
+            SELECT l.query_id, e.vec_id AS neighbor_id,
+                   {_D_ADC_SUM} AS adc_dist
+            FROM enc e
+            JOIN cellassign ca ON ca.vec_id = e.vec_id
+            JOIN probes p ON p.cell_id = ca.cell_id
+            JOIN lut l ON l.query_id = p.query_id
+                      AND l.m = e.m AND l.code_id = e.code_id
+            WHERE e.vec_id <> l.query_id
+            GROUP BY l.query_id, e.vec_id)
+        SELECT query_id, neighbor_id, ROUND(adc_dist, 4) AS adc_dist, rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY adc_dist, neighbor_id) AS rank
+              FROM adc)
+        WHERE rank <= {PQ_TOP_K}
+    """,
+)
+def ivfadc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, kernel="arrow")
+    cells = _ivf_cells(emb)
+    codes = pq_encode(fanout(emb), cb, kernel="arrow")
+    assign = _argmin_cell(emb, cells, "vec_id", 1)
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    probes = _argmin_cell(
+        queries.select(F.col("vec_id").alias("query_id"), "embedding"),
+        cells,
+        "query_id",
+        PQIVF_NPROBE,
+    )
+    luts = pq_query_luts(queries, cb)
+    candidates = F.broadcast(probes).join(assign, "cell_id").select("query_id", "vec_id")
+    adc = (
+        candidates.join(codes, "vec_id")
+        .join(F.broadcast(luts), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            pq_adc_dist().alias("adc_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id", F.round("adc_dist", 4).alias("adc_dist"), "rank")
+    )

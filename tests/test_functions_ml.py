@@ -383,3 +383,28 @@ def test_pq_adc_arrow_matches_jvm_fold(spark):
         .collect()
     }
     assert arrow == jvm  # bit-identical distances across kernels
+
+
+def test_ivfadc_results_come_only_from_probed_cells(spark):
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        PQIVF_NPROBE,
+        _argmin_cell,
+        _ivf_cells,
+        ivfadc_ann_topk,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cells = _ivf_cells(emb)
+    assign = {r["vec_id"]: r["cell_id"] for r in
+              _argmin_cell(emb, cells, "vec_id", 1).collect()}
+    probes = {}
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    for r in _argmin_cell(q, cells, "query_id", PQIVF_NPROBE).collect():
+        probes.setdefault(r["query_id"], set()).add(r["cell_id"])
+    rows = ivfadc_ann_topk(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert len(probes[r["query_id"]]) == PQIVF_NPROBE
+        # the pruning contract: every neighbor lives in a probed cell
+        assert assign[r["neighbor_id"]] in probes[r["query_id"]]
