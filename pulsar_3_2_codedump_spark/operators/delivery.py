@@ -287,3 +287,103 @@ def backlog_quota_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_cursor",
         )
     )
+
+
+# Shared-subscription consumer fleet: (name, priorityLevel); every consumer
+# grants the same permit budget per partition-dispatcher
+PRIORITY_CONSUMERS = [
+    ("c-hi-a", 0), ("c-hi-b", 0), ("c-mid", 1), ("c-low-a", 2), ("c-low-b", 2)
+]
+PRIORITY_PERMITS = 500
+
+
+@query(
+    "priority_dispatch",
+    section="2.J-priority",
+    doc="Priority-level Shared dispatch "
+    "(PersistentDispatcherMultipleConsumers.getNextConsumer: consumers sort "
+    "by priorityLevel, round-robin within a level, highest level drains "
+    "first until permits exhaust): each partition runs its own dispatcher "
+    "(partitioned topics = one dispatcher per partition), messages in "
+    "offset order fill level 0's permit window round-robin, then level 1, "
+    "...; messages beyond total permits are flow-control blocked "
+    "('__blocked__'). Per-partition window rank + broadcast joins against "
+    "the tiny level/consumer dims — the decision math is pure column "
+    "arithmetic, parallel across partitions.",
+    oracle=f"""
+        {_ENV},
+        consumers AS (SELECT * FROM (VALUES {", ".join(f"('{n}', {p})" for n, p in PRIORITY_CONSUMERS)})
+                      AS t(name, priority)),
+        levels AS (
+            SELECT priority, COUNT(*) AS n_l,
+                   COUNT(*) * {PRIORITY_PERMITS} AS capacity,
+                   SUM(COUNT(*) * {PRIORITY_PERMITS}) OVER (ORDER BY priority)
+                       - COUNT(*) * {PRIORITY_PERMITS} AS cum_start
+            FROM consumers GROUP BY priority),
+        lvlconsumers AS (
+            SELECT name, priority,
+                   ROW_NUMBER() OVER (PARTITION BY priority ORDER BY name) - 1 AS idx
+            FROM consumers),
+        ranked AS (
+            SELECT partition, "offset", sequence_id,
+                   ROW_NUMBER() OVER (PARTITION BY partition ORDER BY "offset") - 1 AS r
+            FROM envelope),
+        assigned AS (
+            SELECT m.partition, m.sequence_id,
+                   COALESCE(c.name, '__blocked__') AS consumer
+            FROM ranked m
+            LEFT JOIN levels l ON m.r >= l.cum_start AND m.r < l.cum_start + l.capacity
+            LEFT JOIN lvlconsumers c
+              ON c.priority = l.priority AND c.idx = (m.r - l.cum_start) % l.n_l)
+        SELECT partition, consumer,
+               COUNT(*) AS n_messages,
+               CAST(SUM(sequence_id) AS BIGINT) AS sum_seq
+        FROM assigned GROUP BY partition, consumer
+    """,
+)
+def priority_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    env = cached_envelope(spark, sf_dir)
+    consumers = spark.createDataFrame(PRIORITY_CONSUMERS, "name string, priority int")
+    lw = W.orderBy("priority")
+    levels = (
+        consumers.groupBy("priority")
+        .agg(F.count(F.lit(1)).alias("n_l"))
+        .withColumn("capacity", F.col("n_l") * PRIORITY_PERMITS)
+        .withColumn(
+            "cum_start",
+            F.sum("capacity").over(lw.rowsBetween(W.unboundedPreceding, -1)),
+        )
+        .fillna(0, subset=["cum_start"])
+    )
+    lvlconsumers = consumers.withColumn(
+        "idx", F.row_number().over(W.partitionBy("priority").orderBy("name")) - 1
+    )
+    mw = W.partitionBy("partition").orderBy("offset")
+    ranked = env.select(
+        "partition", "offset", "sequence_id", (F.row_number().over(mw) - 1).alias("r")
+    )
+    assigned = (
+        ranked.join(
+            F.broadcast(levels),
+            (F.col("r") >= F.col("cum_start"))
+            & (F.col("r") < F.col("cum_start") + F.col("capacity")),
+            "left",
+        )
+        .join(
+            F.broadcast(lvlconsumers),
+            (lvlconsumers.priority == levels.priority)
+            & (F.col("idx") == (F.col("r") - F.col("cum_start")) % F.col("n_l")),
+            "left",
+        )
+        .select(
+            "partition",
+            "sequence_id",
+            F.coalesce(F.col("name"), F.lit("__blocked__")).alias("consumer"),
+        )
+    )
+    return assigned.groupBy("partition", "consumer").agg(
+        F.count(F.lit(1)).alias("n_messages"),
+        F.sum("sequence_id").cast("long").alias("sum_seq"),
+    )

@@ -101,7 +101,7 @@ PRIORITY_ORDER = [
     # (r6 late-session additions lead the r7 head — never driver-hashed)
     "quality_classifier_score", "duplicated_ngram_coverage", "pq_adc_ann_topk",
     "semdedup_prune", "dedup_span_removal", "temperature_mixture",
-    "backlog_quota_eviction", "ivfadc_ann_topk",
+    "backlog_quota_eviction", "ivfadc_ann_topk", "priority_dispatch",
     "streaming_full_outer_join",
     "streaming_left_outer_join", "streaming_late_side_topic",
     "count_min_heavy_hitters", "theta_kll_sketch_battery",

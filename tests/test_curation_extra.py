@@ -264,3 +264,32 @@ def test_backlog_quota_eviction_cursor_math(spark):
             assert r["new_cursor"] > r["old_cursor"] == c
         else:
             assert r["new_cursor"] == r["old_cursor"] == c
+
+
+def test_priority_dispatch_respects_permits_and_levels(spark):
+    from pulsar_3_2_codedump_spark.operators.delivery import (
+        PRIORITY_CONSUMERS,
+        PRIORITY_PERMITS,
+        priority_dispatch,
+    )
+
+    rows = priority_dispatch(spark, SF_DIR).collect()
+    prio = dict(PRIORITY_CONSUMERS)
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["partition"], {})[r["consumer"]] = r["n_messages"]
+    for part, got in by_part.items():
+        for name, n in got.items():
+            if name != "__blocked__":
+                assert n <= PRIORITY_PERMITS, (part, name, n)
+        # flow control: messages only block after every permit is used
+        if "__blocked__" in got:
+            for name, p in PRIORITY_CONSUMERS:
+                assert got.get(name, 0) == PRIORITY_PERMITS, (part, name)
+        # priority: a lower level only receives once every higher level is full
+        levels = sorted({p for _, p in PRIORITY_CONSUMERS})
+        for hi, lo in zip(levels, levels[1:]):
+            lo_consumers = [n for n, p in PRIORITY_CONSUMERS if p == lo]
+            hi_consumers = [n for n, p in PRIORITY_CONSUMERS if p == hi]
+            if any(got.get(n, 0) > 0 for n in lo_consumers):
+                assert all(got.get(n, 0) == PRIORITY_PERMITS for n in hi_consumers)
