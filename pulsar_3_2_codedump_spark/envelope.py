@@ -224,3 +224,54 @@ def wrap_table(
             "offset",
         )
     )
+
+
+CHUNK_MAX_BYTES = 64  # fixture-scale frame limit (the 5 MB maxMessageSize analogue)
+
+
+def chunk_payloads(df: DataFrame, payload_col: str = "payload",
+                   max_bytes: int = CHUNK_MAX_BYTES) -> DataFrame:
+    """Producer-side chunking (ProducerImpl.serializeAndSendMessage,
+    pulsar-client/.../ProducerImpl.java:493,617): a payload larger than the
+    frame limit splits into ceil(len/max) chunks, each carrying the
+    MessageMetadata chunk fields (uuid, chunk_id, num_chunks_from_msg,
+    total_chunk_msg_size — PulsarApi.proto MessageMetadata). Input needs a
+    unique ``uuid`` column; output is one row per chunk. Pure per-row array
+    explode — scan-speed, no shuffle."""
+    p = F.col(payload_col)
+    n_chunks = F.ceil(F.length(p) / F.lit(max_bytes)).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(idx, lambda i: F.substring(p, (i * max_bytes + 1).cast("int"), max_bytes))
+    return df.select(
+        "uuid",
+        F.length(p).alias("total_chunk_msg_size"),
+        n_chunks.alias("num_chunks"),
+        F.posexplode(chunks).alias("chunk_id", "chunk"),
+    )
+
+
+def reassemble_chunks(chunks: DataFrame) -> DataFrame:
+    """Consumer-side chunk reassembly (ConsumerImpl.processMessageChunk,
+    pulsar-client/.../ConsumerImpl.java:1431): buffer chunks per uuid, stitch
+    in chunk_id order once num_chunks have arrived. One hash-agg shuffle on
+    uuid; ordering via array_sort of (chunk_id, chunk) structs — no window
+    sort."""
+    stitched = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("chunk_id", "chunk"))),
+            lambda s: s["chunk"],
+        ),
+    )
+    return (
+        chunks.groupBy("uuid")
+        .agg(
+            stitched.alias("payload"),
+            F.count(F.lit(1)).alias("n_received"),
+            F.max("num_chunks").alias("num_chunks"),
+            F.max("total_chunk_msg_size").alias("total_chunk_msg_size"),
+        )
+        # incomplete buffers are held, not delivered (processMessageChunk
+        # waits for chunkId == numChunks-1)
+        .filter(F.col("n_received") == F.col("num_chunks"))
+    )

@@ -387,3 +387,42 @@ def priority_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_messages"),
         F.sum("sequence_id").cast("long").alias("sum_seq"),
     )
+
+
+@query(
+    "chunked_messages_roundtrip",
+    section="2.B4",
+    doc="Message chunking round-trip (ProducerImpl.serializeAndSendMessage "
+    "split, ProducerImpl.java:493,617; ConsumerImpl.processMessageChunk "
+    "reassembly, ConsumerImpl.java:1431): oversize document payloads split "
+    "into 64-byte chunks with MessageMetadata chunk fields (uuid/"
+    "chunk_id/num_chunks/total_chunk_msg_size), then reassembled in chunk_id "
+    "order per uuid. Output proves the round trip byte-exact: reassembled "
+    "length + md5 must equal the original's (the oracle computes both from "
+    "the ORIGINAL text, so any split/stitch defect hash-mismatches). Chunk "
+    "split is a per-row explode; reassembly is one uuid hash-agg.",
+    oracle="""
+        SELECT CAST(doc_id AS VARCHAR) AS uuid,
+               CAST(CEIL(LENGTH(text) / 64.0) AS INT) AS num_chunks,
+               CAST(LENGTH(text) AS BIGINT) AS payload_len,
+               md5(text) AS payload_md5
+        FROM documents WHERE doc_id < 200
+    """,
+)
+def chunked_messages_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.catalog import load
+    from pulsar_3_2_codedump_spark.envelope import chunk_payloads, reassemble_chunks
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id").cast("string").alias("uuid"), F.col("text").alias("payload"))
+    )
+    chunks = chunk_payloads(docs)
+    out = reassemble_chunks(chunks)
+    return out.select(
+        "uuid",
+        F.col("num_chunks").cast("int").alias("num_chunks"),
+        F.length("payload").cast("long").alias("payload_len"),
+        F.md5("payload").alias("payload_md5"),
+    )

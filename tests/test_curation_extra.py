@@ -293,3 +293,23 @@ def test_priority_dispatch_respects_permits_and_levels(spark):
             hi_consumers = [n for n, p in PRIORITY_CONSUMERS if p == hi]
             if any(got.get(n, 0) > 0 for n in lo_consumers):
                 assert all(got.get(n, 0) == PRIORITY_PERMITS for n in hi_consumers)
+
+
+def test_chunk_reassembly_buffers_incomplete_messages(spark):
+    from pulsar_3_2_codedump_spark.envelope import chunk_payloads, reassemble_chunks
+
+    docs = spark.createDataFrame(
+        [("a", "x" * 150), ("b", "y" * 64), ("c", "z" * 65)],
+        "uuid string, payload string",
+    )
+    chunks = chunk_payloads(docs)
+    got = {r["uuid"]: r for r in chunks.collect()}
+    # ceil semantics: 150 -> 3, 64 -> 1, 65 -> 2
+    n = {r["uuid"]: r["num_chunks"] for r in chunks.select("uuid", "num_chunks").distinct().collect()}
+    assert n == {"a": 3, "b": 1, "c": 2}
+    whole = {r["uuid"]: r["payload"] for r in reassemble_chunks(chunks).collect()}
+    assert whole == {"a": "x" * 150, "b": "y" * 64, "c": "z" * 65}
+    # drop one chunk of 'a': reassembly must HOLD it (no partial delivery)
+    partial = chunks.filter(~((F.col("uuid") == "a") & (F.col("chunk_id") == 1)))
+    held = {r["uuid"] for r in reassemble_chunks(partial).collect()}
+    assert held == {"b", "c"}

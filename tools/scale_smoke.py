@@ -335,10 +335,9 @@ def main() -> None:
             .alias("keep")
         ).groupBy("keep").count(),
     )
-    run_docs(
-        "duplicated_ngram_coverage",
-        ngram_coverage(docs).agg(F.round(F.avg("dup_fraction"), 4).alias("mean_cov")),
-    )
+    # count() of the per-doc output forces the df-agg + join pipeline (a
+    # global avg would let Catalyst shortcut to a known 1-row count)
+    run_docs("duplicated_ngram_coverage", ngram_coverage(docs))
 
     print(json.dumps({"metric": "scale_smoke", "rows": n, "n_docs": n_docs, "ops": results}))
 
