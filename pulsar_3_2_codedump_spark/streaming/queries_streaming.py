@@ -966,3 +966,150 @@ def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+CHUNK_DOCS = 150  # doc_id < CHUNK_DOCS feed the chunked topic
+
+
+@query(
+    "streaming_chunk_reassembly",
+    section="2.B4-stream",
+    doc="LIVE chunked-message reassembly on applyInPandasWithState — the "
+    "consumer's actual chunk behavior (ConsumerImpl.processMessageChunk, "
+    "ConsumerImpl.java:1431: buffer per uuid, deliver when the last chunk "
+    "arrives): keyed state holds each uuid's partial chunk set; a document "
+    "is emitted only when all num_chunks are present. Bounded replay holds "
+    "back the LAST chunk of every 3rd document for generation 2, so those "
+    "documents complete only because the partial buffers survive the "
+    "availableNow boundary via checkpointed state. Exact oracle: every "
+    "replayed document byte-exact (length + md5 of the original text). "
+    "At scale state is bounded by in-flight oversize messages per key and "
+    "rows shuffle once on uuid.",
+    oracle=f"""
+        SELECT CAST(doc_id AS VARCHAR) AS uuid,
+               CAST(CEIL(LENGTH(text) / 64.0) AS INT) AS n_chunks,
+               CAST(LENGTH(text) AS BIGINT) AS payload_len,
+               md5(text) AS payload_md5
+        FROM documents WHERE doc_id < {CHUNK_DOCS}
+    """,
+)
+def streaming_chunk_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from pulsar_3_2_codedump_spark.envelope import chunk_payloads
+    from pulsar_3_2_codedump_spark.sources import register
+
+    register(spark)
+    out_schema = StructType(
+        [
+            StructField("uuid", StringType()),
+            StructField("n_chunks", IntegerType()),
+            StructField("payload_len", LongType()),
+            StructField("payload_md5", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(IntegerType())),
+            StructField("chunks", ArrayType(StringType())),
+        ]
+    )
+
+    def reassemble(key, pdf_iter, state: GroupState):
+        buf = pd.concat(list(pdf_iter))
+        ids, chunks = ([], []) if not state.exists else (
+            list(state.get[0]), list(state.get[1])
+        )
+        for _, r in buf.iterrows():
+            ids.append(int(r["chunk_id"]))
+            chunks.append(r["chunk"])
+        n_chunks = int(buf["num_chunks"].iloc[0])
+        if len(ids) == n_chunks:
+            payload = "".join(c for _, c in sorted(zip(ids, chunks)))
+            import hashlib
+
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], n_chunks, len(payload),
+                  hashlib.md5(payload.encode()).hexdigest())],
+                columns=["uuid", "n_chunks", "payload_len", "payload_md5"],
+            )
+        else:
+            state.update((ids, chunks))
+            yield pd.DataFrame([], columns=["uuid", "n_chunks", "payload_len", "payload_md5"])
+
+    root = tempfile.mkdtemp(prefix="schunk_")
+    try:
+        docs = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < CHUNK_DOCS)
+            .select(
+                F.col("doc_id").cast("string").alias("uuid"),
+                F.col("text").alias("payload"),
+            )
+        )
+        ts = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        env = chunk_payloads(docs).select(
+            F.col("uuid").alias("key"),
+            F.to_binary(F.col("chunk"), F.lit("utf-8")).alias("value"),
+            F.create_map(
+                F.lit("chunk_id"), F.col("chunk_id").cast("string"),
+                F.lit("num_chunks"), F.col("num_chunks").cast("string"),
+            ).alias("properties"),
+            ts.alias("event_time"),
+            ts.alias("publish_time"),
+            F.lit("chunker").alias("producer_name"),
+            (F.col("uuid").cast("long") * 100 + F.col("chunk_id")).alias("sequence_id"),
+            F.lit(None).cast("timestamp").alias("deliver_at"),
+            F.lit(None).cast("int").alias("marker_type"),
+            F.lit(None).cast("string").alias("replicated_from"),
+        )
+        # generation 1 withholds the final chunk of every 3rd document; those
+        # uuids can only complete via state carried across the checkpoint.
+        # dedup=False: the held-back chunks' sequence_ids sit below gen 1's
+        # per-producer high-water mark — broker dedup would swallow them.
+        last_of_third = (F.col("key").cast("long") % 3 == 0) & (
+            F.element_at("properties", "chunk_id").cast("int")
+            == F.element_at("properties", "num_chunks").cast("int") - 1
+        )
+        tp = T.create_topic(root, "q", n_partitions=2)
+        T.append(spark, env.filter(~last_of_third), tp, dedup=False)
+
+        src = (
+            spark.readStream.format("pulsarlike")
+            .option("path", tp)
+            .load()
+            .select(
+                F.col("key").alias("uuid"),
+                F.element_at("properties", "chunk_id").cast("int").alias("chunk_id"),
+                F.element_at("properties", "num_chunks").cast("int").alias("num_chunks"),
+                F.decode(F.col("value"), "utf-8").alias("chunk"),
+            )
+        )
+        done = src.groupBy("uuid").applyInPandasWithState(
+            reassemble,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        grow = lambda: T.append(  # noqa: E731
+            spark, env.filter(last_of_third), tp, dedup=False
+        )
+        rows = _run_bounded(done, root + "/ck", [None, grow])
+        return (
+            spark.createDataFrame(rows, out_schema)
+            if rows
+            else spark.createDataFrame([], out_schema)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -269,3 +269,23 @@ def test_sequence_gap_monitor_detects_cross_generation_gap(spark):
     # the drop at GAP_CUT straddles the generation boundary: gen 1 ends at
     # GAP_CUT-1, gen 2 starts at GAP_CUT+1 — only cross-run state finds it
     assert any(r["gap_start"] == GAP_CUT for r in out)
+
+
+def test_streaming_chunk_reassembly_crosses_generation_boundary(spark):
+    # every 3rd doc's last chunk arrives in generation 2 — a multi-chunk doc
+    # divisible by 3 completes ONLY if partial buffers survive the checkpoint
+    from pulsar_3_2_codedump_spark.queries import load_all
+
+    out = {r["uuid"]: r for r in
+           load_all()["streaming_chunk_reassembly"].fn(spark, SF_DIR).collect()}
+    docs = {str(r["doc_id"]): r["text"] for r in
+            load(spark, SF_DIR, "documents").filter(F.col("doc_id") < 150).collect()}
+    assert set(out) == set(docs)
+    import hashlib
+    crossers = 0
+    for uuid, text in docs.items():
+        assert out[uuid]["payload_len"] == len(text)
+        assert out[uuid]["payload_md5"] == hashlib.md5(text.encode()).hexdigest()
+        if int(uuid) % 3 == 0 and out[uuid]["n_chunks"] > 1:
+            crossers += 1
+    assert crossers > 0  # the cross-generation path actually exercised
