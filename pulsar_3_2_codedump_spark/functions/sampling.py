@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.functions.dedup_ml import _D_WORDS
 from pulsar_3_2_codedump_spark.queries import query
 
 # per-language sampling rates (the training-mix knob); .items() order is the
@@ -362,4 +363,84 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(nat, 6).alias("natural_share"),
         F.round(tmp, 6).alias("temp_share"),
         F.round(tmp / nat, 4).alias("boost"),
+    )
+
+
+SHARD_TARGET_TOKENS = 4000  # tokens per output shard file
+SHARD_BUCKETS = 64          # prefix-sum parallelism (per-bucket partials)
+
+
+@query(
+    "token_balanced_shards",
+    section="2.N-sample",
+    doc=f"Write-side shard planner: assign documents to ~{SHARD_TARGET_TOKENS}"
+    "-token output shards in a deterministic md5 placement order — the "
+    "'shard the corpus into equal token files' step every training-data "
+    "export runs. The global running token count uses the DISTRIBUTED "
+    f"PREFIX-SUM pattern: docs hash into {SHARD_BUCKETS} buckets, per-bucket "
+    "token totals (a metadata-scale frame) produce exclusive offsets that "
+    "broadcast back, and each bucket cumsums independently — no global "
+    "window/sort ever forms, so the plan holds at any corpus size. "
+    "shard_id = floor(doc_start / target); per-shard doc/token rollup.",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len({_D_WORDS}) AS BIGINT) AS n_tokens,
+                   CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % {SHARD_BUCKETS} AS bucket,
+                   md5(CAST(doc_id AS VARCHAR)) AS mkey
+            FROM documents),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY bucket, mkey, doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens
+                       AS doc_start
+            FROM t)
+        SELECT CAST(doc_start // {SHARD_TARGET_TOKENS} AS BIGINT) AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+               MIN(doc_id) AS first_doc
+        FROM c GROUP BY 1
+    """,
+)
+def token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from pulsar_3_2_codedump_spark.operators.routing import md5_hash32
+
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_tokens"),
+        (md5_hash32(F.col("doc_id").cast("string")) % SHARD_BUCKETS).alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("mkey"),
+    )
+    # distributed prefix sum: per-bucket partial totals -> exclusive bucket
+    # offsets (window over SHARD_BUCKETS rows — metadata-scale) -> broadcast
+    # back -> independent within-bucket cumsum
+    totals = t.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    off_w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "bucket_offset", F.coalesce(F.sum("bucket_tokens").over(off_w), F.lit(0))
+    ).select("bucket", "bucket_offset")
+    in_w = (
+        W.partitionBy("bucket").orderBy("mkey", "doc_id").rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = (
+        t.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "doc_start",
+            F.col("bucket_offset") + F.sum("n_tokens").over(in_w) - F.col("n_tokens"),
+        )
+    )
+    return (
+        c.groupBy(
+            F.floor(F.col("doc_start") / SHARD_TARGET_TOKENS).cast("long").alias("shard_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
     )

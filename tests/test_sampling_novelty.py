@@ -53,3 +53,28 @@ def test_ngram_novelty_bounds_and_dup_docs_score_zero(spark):
     dup_scores = out.join(dups, "doc_id").agg(F.max("novel_frac")).collect()[0][0]
     if dup_scores is not None:  # fixture has dup clusters at every sf
         assert dup_scores == 0.0
+
+
+def test_token_balanced_shards_partition_the_corpus(spark):
+    from pulsar_3_2_codedump_spark.functions.sampling import (
+        SHARD_TARGET_TOKENS,
+        token_balanced_shards,
+    )
+
+    rows = sorted(token_balanced_shards(spark, SF_DIR).collect(),
+                  key=lambda r: r["shard_id"])
+    docs = load(spark, SF_DIR, "documents")
+    total_docs = docs.count()
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")))
+    ).collect()[0][0]
+    assert sum(r["n_docs"] for r in rows) == total_docs
+    assert sum(r["shard_tokens"] for r in rows) == total_tokens
+    # contiguous shard ids and every FULL shard lands near the target
+    # (one doc of overshoot allowed; the last shard holds the remainder)
+    assert [r["shard_id"] for r in rows] == list(range(len(rows)))
+    max_doc = docs.select(
+        F.max(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")))
+    ).collect()[0][0]
+    for r in rows[:-1]:
+        assert SHARD_TARGET_TOKENS - max_doc < r["shard_tokens"] <= SHARD_TARGET_TOKENS + max_doc
