@@ -183,3 +183,64 @@ def topic_storage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("publish_time"), fmt).alias("first_publish"),
         F.date_format(F.max("publish_time"), fmt).alias("last_publish"),
     )
+
+
+RATE_TOKEN_US = 3_600_000_000  # one dispatch permit per hour per partition
+
+
+@query(
+    "dispatch_rate_limit",
+    section="2.J-rate",
+    doc="Dispatch rate limiting (DispatchRateLimiter, pulsar-broker/.../"
+    "persistent/DispatchRateLimiter.java: token-bucket throttle per "
+    "partition): each partition dispatches at most one message per permit "
+    "interval; arrivals faster than the rate queue and drain in order. The "
+    "sequential token-bucket recurrence s_j = max(a_j, s_{j-1} + T) has the "
+    "closed form s_j = j*T + cummax(a_i - i*T) — ONE window cummax per "
+    "partition instead of an unparallelizable loop, and pure BIGINT "
+    "microsecond arithmetic (exact, no float). Reports per-partition "
+    "throttle pressure: queued count + worst-case added latency.",
+    oracle=f"""
+        {_ENV},
+        r AS (
+            SELECT partition, epoch_us(publish_time) AS a,
+                   ROW_NUMBER() OVER (PARTITION BY partition
+                                      ORDER BY publish_time, "offset") - 1 AS j
+            FROM envelope),
+        s AS (
+            SELECT partition, a,
+                   MAX(a - j * {RATE_TOKEN_US}) OVER (
+                       PARTITION BY partition ORDER BY j
+                       ROWS UNBOUNDED PRECEDING) + j * {RATE_TOKEN_US} AS start_us
+            FROM r)
+        SELECT partition,
+               COUNT(*) AS n_msgs,
+               CAST(SUM(CASE WHEN start_us > a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_throttled,
+               CAST(MAX(start_us - a) AS BIGINT) AS max_delay_us
+        FROM s GROUP BY partition
+    """,
+)
+def dispatch_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    env = cached_envelope(spark, sf_dir)
+    jw = W.partitionBy("partition").orderBy("publish_time", "offset")
+    r = env.select(
+        "partition",
+        F.unix_micros("publish_time").alias("a"),
+        (F.row_number().over(jw) - 1).cast("long").alias("j"),
+    )
+    cm = W.partitionBy("partition").orderBy("j").rowsBetween(W.unboundedPreceding, 0)
+    start = (
+        F.max(F.col("a") - F.col("j") * RATE_TOKEN_US).over(cm)
+        + F.col("j") * RATE_TOKEN_US
+    )
+    s = r.withColumn("start_us", start)
+    return s.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("n_msgs"),
+        F.sum(F.when(F.col("start_us") > F.col("a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_throttled"),
+        F.max(F.col("start_us") - F.col("a")).cast("long").alias("max_delay_us"),
+    )

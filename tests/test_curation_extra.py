@@ -313,3 +313,36 @@ def test_chunk_reassembly_buffers_incomplete_messages(spark):
     partial = chunks.filter(~((F.col("uuid") == "a") & (F.col("chunk_id") == 1)))
     held = {r["uuid"] for r in reassemble_chunks(partial).collect()}
     assert held == {"b", "c"}
+
+
+def test_dispatch_rate_limit_closed_form_matches_recurrence(spark):
+    # tiny hand-built arrival sequence: recompute s_j = max(a_j, s_{j-1}+T)
+    # sequentially and compare with the engine's window-cummax closed form
+    from pulsar_3_2_codedump_spark.operators.timeops import (
+        RATE_TOKEN_US,
+        dispatch_rate_limit,
+    )
+
+    out = {r["partition"]: r for r in dispatch_rate_limit(spark, SF_DIR).collect()}
+    from pulsar_3_2_codedump_spark.envelope import wrap_events
+
+    env = wrap_events(load(spark, SF_DIR, "events")).select(
+        "partition", F.unix_micros("publish_time").alias("a"), "offset"
+    )
+    by_part = {}
+    for r in env.collect():
+        by_part.setdefault(r["partition"], []).append((r["a"], r["offset"]))
+    for part, arr in by_part.items():
+        arr.sort()
+        s_prev, throttled, max_delay = None, 0, 0
+        for a, _ in arr:
+            s = a if s_prev is None else max(a, s_prev + RATE_TOKEN_US)
+            if s > a:
+                throttled += 1
+                max_delay = max(max_delay, s - a)
+            s_prev = s
+        got = out[part]
+        assert got["n_msgs"] == len(arr)
+        assert got["n_throttled"] == throttled, part
+        assert got["max_delay_us"] == max_delay, part
+    assert any(r["n_throttled"] > 0 for r in out.values())
