@@ -1113,3 +1113,57 @@ def streaming_chunk_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_multi_topic_union",
+    section="2.A5-stream",
+    doc="LIVE multi-topic subscribe (MultiTopicsConsumerImpl.java): ONE "
+    "streaming query unions two pulsarlike source streams, each tagged with "
+    "its topic; the shared checkpoint tracks BOTH topics' cursors "
+    "independently, proven by growing both topics between availableNow "
+    "generations with exactly-once output. Exact oracle: the disjoint "
+    "sequence ranges routed to each topic.",
+    oracle=f"""
+        {_ENV}
+        SELECT 'topic-a' AS topic, key, sequence_id FROM envelope
+        WHERE sequence_id < 500 OR (sequence_id >= 1000 AND sequence_id < 1200)
+        UNION ALL
+        SELECT 'topic-b' AS topic, key, sequence_id FROM envelope
+        WHERE (sequence_id >= 500 AND sequence_id < 1000)
+           OR (sequence_id >= 1200 AND sequence_id < 1400)
+    """,
+)
+def streaming_multi_topic_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.sources import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="smtu_")
+    try:
+        tp_a = T.create_topic(root, "a", n_partitions=2)
+        tp_b = T.create_topic(root, "b", n_partitions=2)
+        _append_range(spark, sf_dir, tp_a, 0, 500)
+        _append_range(spark, sf_dir, tp_b, 500, 1000)
+
+        def src(tp, name):
+            return (
+                spark.readStream.format("pulsarlike")
+                .option("path", tp)
+                .load()
+                .select(F.lit(name).alias("topic"), "key", "sequence_id")
+            )
+
+        unioned = src(tp_a, "topic-a").unionByName(src(tp_b, "topic-b"))
+
+        def grow():
+            _append_range(spark, sf_dir, tp_a, 1000, 1200)
+            _append_range(spark, sf_dir, tp_b, 1200, 1400)
+
+        rows = _run_bounded(unioned, root + "/ck", [None, grow])
+        return (
+            spark.createDataFrame(rows, unioned.schema)
+            if rows
+            else spark.createDataFrame([], unioned.schema)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
