@@ -986,24 +986,63 @@ def pq_codebook(emb: DataFrame, kernel: str = "expr") -> DataFrame:
         seeds.select(F.col("vec_id").alias("seed_vec"), "code_id"), "seed_vec"
     ).select("m", "code_id", F.col("sv").alias("cw"))
 
-    if kernel == "arrow":  # Lloyd-assign the corpus with the Arrow kernel
-        enc0 = emb.select("embedding", _pq_arrow_codes_udf(cb0)("embedding").alias("codes"))
+    if kernel == "arrow":
+        # Lloyd assign + per-batch PARTIAL SUMS in one Arrow pass: instead of
+        # the corpus x PQ_M x PQ_SUB double-posexplode (64M rows at 1M
+        # vectors), each batch emits at most PQ_M*PQ_K*PQ_SUB partial
+        # (sum, count) rows — the shuffle carries ~1k rows per batch. The
+        # grouped double sum is round-6dp'd exactly like the avg it replaces.
+        import numpy as np
+
+        cb0np = _pq_cb_numpy(cb0)
+
+        def partials(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+                xs = x.reshape(len(x), PQ_M, 1, PQ_SUB)
+                d = np.zeros((len(x), PQ_M, PQ_K))
+                for i in range(PQ_SUB):  # same order as the _sqdist fold
+                    t = xs[:, :, :, i] - cb0np[None, :, :, i]
+                    d += t * t
+                codes = d.argmin(axis=2)  # (B, PQ_M), 0-based
+                ssum = np.zeros((PQ_M, PQ_K, PQ_SUB))
+                cnt = np.zeros((PQ_M, PQ_K), dtype=np.int64)
+                xsub = x.reshape(len(x), PQ_M, PQ_SUB)
+                for m in range(PQ_M):
+                    np.add.at(cnt[m], codes[:, m], 1)
+                    for i in range(PQ_SUB):
+                        np.add.at(ssum[m, :, i], codes[:, m], xsub[:, m, i])
+                rows = [
+                    (m, k + 1, i + 1, ssum[m, k, i], int(cnt[m, k]))
+                    for m in range(PQ_M)
+                    for k in range(PQ_K)
+                    if cnt[m, k]
+                    for i in range(PQ_SUB)
+                ]
+                yield pd.DataFrame(rows, columns=["m", "code_id", "i", "s", "n"])
+
+        part = emb.mapInPandas(partials, "m int, code_id int, i int, s double, n long")
+        pos = part.groupBy("m", "code_id", "i").agg(
+            F.round(F.sum("s") / F.sum("n"), 6).alias("mv")
+        )
     else:
         enc0 = emb.crossJoin(F.broadcast(_pq_cbflat(cb0))).select(
             "embedding", _pq_codes_col().alias("codes")
         )
-    assigned = enc0.select(
-        "embedding", F.posexplode("codes").alias("m", "code_id")
-    ).select(
-        "m",
-        "code_id",
-        F.posexplode(
-            F.slice(F.col("embedding"), F.col("m") * PQ_SUB + 1, PQ_SUB)
-        ).alias("i", "v"),
-    )
-    pos = assigned.groupBy("m", "code_id", "i").agg(
-        F.round(F.avg(F.col("v").cast("double")), 6).alias("mv")
-    )
+        assigned = enc0.select(
+            "embedding", F.posexplode("codes").alias("m", "code_id")
+        ).select(
+            "m",
+            "code_id",
+            F.posexplode(
+                F.slice(F.col("embedding"), F.col("m") * PQ_SUB + 1, PQ_SUB)
+            ).alias("i", "v"),
+        )
+        pos = assigned.groupBy("m", "code_id", "i").agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("mv")
+        )
     trained = pos.groupBy("m", "code_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("i", "mv"))), lambda s: s["mv"]
