@@ -717,3 +717,74 @@ def topic_stats(topic_path: str) -> dict:
         "subscriptions": subs,
         "producers": {p: int(s) for p, s in manifest.get("producer_seq", {}).items()},
     }
+
+
+# ---------------------------------------------------------------------------
+# Producer access modes (PulsarApi.proto ProducerAccessMode; ServerCnx
+# handleProducer exclusive-producer grant; ProducerFencedException semantics)
+
+
+class ProducerFencedError(RuntimeError):
+    """Raised when a producer's exclusive grant was superseded (the
+    reference's ProducerFencedException: a newer epoch holds the topic)."""
+
+
+def acquire_exclusive_producer(
+    topic_path: str, producer_name: str, wait_for_exclusive: bool = False
+) -> dict:
+    """Grant exclusive publish access (ProducerAccessMode.Exclusive /
+    WaitForExclusive, PulsarApi.proto; ServerCnx.java handleProducer):
+    records {name, epoch} in the manifest under the writer lock. A second
+    Exclusive acquisition while another producer holds the grant raises
+    (the broker's ProducerBusy response) unless ``wait_for_exclusive`` — our
+    batch analogue of WaitForExclusive STEALS the grant with a higher epoch,
+    fencing the previous holder (re-acquire after release/failover).
+    Returns the grant token to pass to ``append_exclusive``."""
+    with _topic_write_lock(topic_path):
+        m = read_manifest(topic_path)
+        cur = m.get("exclusive_producer")
+        if cur and cur["name"] != producer_name and not wait_for_exclusive:
+            raise ProducerFencedError(
+                f"topic held by exclusive producer {cur['name']} (epoch {cur['epoch']})"
+            )
+        # topic_epoch is MONOTONIC across grants and releases
+        # (CommandProducerSuccess.topic_epoch semantics)
+        epoch = m.get("topic_epoch", -1) + 1
+        grant = {"name": producer_name, "epoch": epoch}
+        m["exclusive_producer"] = grant
+        m["topic_epoch"] = epoch
+        _write_manifest_atomic(topic_path, m)
+        return dict(grant)
+
+
+def release_exclusive_producer(topic_path: str, grant: dict) -> None:
+    """Release the grant (producer close). Stale epochs are ignored — the
+    newer holder keeps the topic."""
+    with _topic_write_lock(topic_path):
+        m = read_manifest(topic_path)
+        cur = m.get("exclusive_producer")
+        if cur and cur["name"] == grant["name"] and cur["epoch"] == grant["epoch"]:
+            del m["exclusive_producer"]
+            _write_manifest_atomic(topic_path, m)
+
+
+def append_exclusive(
+    spark: SparkSession,
+    df: DataFrame,
+    topic_path: str,
+    grant: dict,
+    dedup: bool = True,
+    batch_token: str | None = None,
+) -> dict[int, int]:
+    """Append that honors exclusive-producer fencing: validated against the
+    manifest's current grant INSIDE the writer lock, so a fenced producer
+    can never slip a write between the steal and its next append (the
+    ordering the broker enforces by closing the old producer's connection)."""
+    with _topic_write_lock(topic_path):
+        cur = read_manifest(topic_path).get("exclusive_producer")
+        if not cur or cur["name"] != grant["name"] or cur["epoch"] != grant["epoch"]:
+            raise ProducerFencedError(
+                f"producer {grant['name']} (epoch {grant['epoch']}) fenced; "
+                f"current holder: {cur}"
+            )
+        return _append_unlocked(spark, df, topic_path, dedup, batch_token)

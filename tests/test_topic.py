@@ -208,3 +208,40 @@ def test_concurrent_appends_serialize(spark, tmp_root):
     assert T.read_topic(spark, tp).select("offset", "partition").distinct().count() == 200
     ends = T.end_offsets(T.read_manifest(tp))
     assert sum(ends.values()) == 200
+
+
+def test_exclusive_producer_fencing(spark, tmp_root):
+    import pytest
+
+    from pulsar_3_2_codedump_spark import topic as T
+    from pulsar_3_2_codedump_spark.envelope import wrap_events
+    from pulsar_3_2_codedump_spark.catalog import load
+    from tests.conftest import SF_DIR
+
+    tp = T.create_topic(tmp_root, "excl", n_partitions=2)
+    env = wrap_events(load(spark, SF_DIR, "events")).filter(
+        F.col("sequence_id") < 50
+    ).drop("partition", "offset")
+
+    g1 = T.acquire_exclusive_producer(tp, "p1")
+    T.append_exclusive(spark, env.filter(F.col("sequence_id") < 20), tp, g1)
+
+    # second Exclusive producer is refused while p1 holds the grant
+    with pytest.raises(T.ProducerFencedError):
+        T.acquire_exclusive_producer(tp, "p2")
+
+    # WaitForExclusive steals with a higher epoch -> p1 is fenced
+    g2 = T.acquire_exclusive_producer(tp, "p2", wait_for_exclusive=True)
+    assert g2["epoch"] == g1["epoch"] + 1
+    with pytest.raises(T.ProducerFencedError):
+        T.append_exclusive(spark, env, tp, g1)
+    T.append_exclusive(
+        spark, env.filter(F.col("sequence_id").between(20, 39)), tp, g2, dedup=False
+    )
+
+    # release frees the topic; a fresh producer can acquire
+    T.release_exclusive_producer(tp, g2)
+    g3 = T.acquire_exclusive_producer(tp, "p3")
+    assert g3["epoch"] == g2["epoch"] + 1
+    # only p1's first 20 + p2's 20 rows landed (p1's fenced write did not)
+    assert T.read_topic(spark, tp).count() == 40
