@@ -956,3 +956,108 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.transform(kept, lambda i: F.element_at(ws, i))
         ).alias("cleaned_text"),
     )
+
+
+@query(
+    "minhash_estimate_error",
+    section="2.N-dedup",
+    doc=f"MinHash accuracy measurement (the measure-don't-guess companion to "
+    "lsh_dedup_recall): for every LSH candidate pair, the signature "
+    f"Jaccard estimate (fraction of the {N_HASHES} min-hashes that agree — "
+    "the unbiased estimator the sketch trades exactness for) next to the "
+    "EXACT shingle Jaccard and the signed error. This is how an operator "
+    f"decides whether {N_HASHES} hashes suffice before scaling the pipeline "
+    "to the full corpus. Same band-bucket equi-join as the dedup path — "
+    "never all-pairs.",
+    oracle=f"""
+        WITH sh AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents),
+        hs AS (SELECT doc_id, sh,
+                      list_transform(sh, s -> {_d_md5int("s")}) AS hs FROM sh),
+        sig AS (SELECT doc_id, sh, {_minhash_sig_sql()} FROM hs),
+        bands AS (
+            SELECT doc_id, 0 AS band, h0 AS b1, h1 AS b2 FROM sig
+            UNION ALL SELECT doc_id, 1, h2, h3 FROM sig
+            UNION ALL SELECT doc_id, 2, h4, h5 FROM sig
+            UNION ALL SELECT doc_id, 3, h6, h7 FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.b1 = b.b1 AND a.b2 = b.b2
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(({" + ".join(f"CASE WHEN x.h{j} = y.h{j} THEN 1 ELSE 0 END" for j in range(N_HASHES))})
+                     / {float(N_HASHES)}, 4) AS est_jaccard,
+               ROUND(len(list_intersect(x.sh, y.sh)) * 1.0 /
+                     len(list_distinct(list_concat(x.sh, y.sh))), 4) AS exact_jaccard,
+               ROUND(({" + ".join(f"CASE WHEN x.h{j} = y.h{j} THEN 1 ELSE 0 END" for j in range(N_HASHES))})
+                     / {float(N_HASHES)}
+                     - len(list_intersect(x.sh, y.sh)) * 1.0 /
+                       len(list_distinct(list_concat(x.sh, y.sh))), 4) AS err
+        FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b
+    """,
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fanout(load(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    # same bounded signature cache as minhash_lsh_dedup: one md5 pass for
+    # the four plan branches (bands x2, verify x2), previous copy dropped
+    global _LAST_SIG
+    if _LAST_SIG is not None:
+        _LAST_SIG.unpersist(blocking=True)
+    sig = sh.withColumn("hs", base_hashes(F.col("sh"))).select(
+        "doc_id", "sh", *minhash_signature(F.col("hs"))
+    ).persist()
+    sig.count()
+    _LAST_SIG = sig
+    if True:
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.col(f"h{b * BAND_SIZE}").alias("b1"),
+                            F.col(f"h{b * BAND_SIZE + 1}").alias("b2"),
+                        )
+                        for b in range(N_HASHES // BAND_SIZE)
+                    ]
+                )
+            ).alias("bd"),
+        ).select("doc_id", "bd.band", "bd.b1", "bd.b2")
+        a, bb = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                bb,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.b1") == F.col("b.b1"))
+                & (F.col("a.b2") == F.col("b.b2"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        xcols = ["sh"] + [f"h{j}" for j in range(N_HASHES)]
+        x = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(c).alias(f"x_{c}") for c in xcols])
+        y = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(c).alias(f"y_{c}") for c in xcols])
+        agree = None
+        for j in range(N_HASHES):
+            t = F.when(F.col(f"x_h{j}") == F.col(f"y_h{j}"), 1).otherwise(0)
+            agree = t if agree is None else agree + t
+        est = agree / float(N_HASHES)
+        exact = F.size(F.array_intersect("x_sh", "y_sh")) / F.size(
+            F.array_union("x_sh", "y_sh")
+        )
+        return (
+            cand.join(x, "doc_a")
+            .join(y, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(est, 4).alias("est_jaccard"),
+                F.round(exact, 4).alias("exact_jaccard"),
+                F.round(est - exact, 4).alias("err"),
+            )
+        )

@@ -408,3 +408,18 @@ def test_ivfadc_results_come_only_from_probed_cells(spark):
         assert len(probes[r["query_id"]]) == PQIVF_NPROBE
         # the pruning contract: every neighbor lives in a probed cell
         assert assign[r["neighbor_id"]] in probes[r["query_id"]]
+
+
+def test_minhash_estimate_is_unbiasedish_on_candidates(spark):
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import minhash_estimate_error
+
+    rows = minhash_estimate_error(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert abs(r["err"] - round(r["est_jaccard"] - r["exact_jaccard"], 4)) <= 1e-9
+    # exact duplicates must estimate 1.0 exactly (identical signatures)
+    for r in rows:
+        if r["exact_jaccard"] == 1.0:
+            assert r["est_jaccard"] == 1.0
