@@ -225,3 +225,48 @@ def count_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.col("w").alias("win_id"))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+@query(
+    "ohlc_resample",
+    section="2.M-window",
+    doc="Time-series OHLC resampling: per (event_type, hour) open/high/low/"
+    "close of the value stream — open/close via min_by/max_by on the "
+    "(timestamp, event_id) tuple (deterministic ties), one hash-agg "
+    "shuffle with map-side combine; the canonical downsampling rollup for "
+    "metric/market feeds.",
+    oracle="""
+        WITH r AS (
+            SELECT event_type, date_trunc('hour', ts) AS h, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                      ORDER BY ts, event_id) AS rn_a,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events)
+        SELECT event_type,
+               STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS hour,
+               ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+               ROUND(MAX(value), 4) AS high,
+               ROUND(MIN(value), 4) AS low,
+               ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+               COUNT(*) AS n_ticks
+        FROM r
+        GROUP BY 1, 2
+    """,
+)
+def ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    tup = F.struct("ts", "event_id")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        )
+        .agg(
+            F.round(F.min_by("value", tup), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", tup), 4).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
