@@ -239,7 +239,10 @@ def chunk_payloads(df: DataFrame, payload_col: str = "payload",
     unique ``uuid`` column; output is one row per chunk. Pure per-row array
     explode — scan-speed, no shuffle."""
     p = F.col(payload_col)
-    n_chunks = F.ceil(F.length(p) / F.lit(max_bytes)).cast("int")
+    # an empty payload is still ONE (empty) chunk — without the clamp,
+    # sequence(0, -1) DESCENDS and emits two bogus chunks (hypothesis-found;
+    # same failure class as the shingles helper's short-doc fallback)
+    n_chunks = F.greatest(F.ceil(F.length(p) / F.lit(max_bytes)), F.lit(1)).cast("int")
     idx = F.sequence(F.lit(0), n_chunks - 1)
     chunks = F.transform(idx, lambda i: F.substring(p, (i * max_bytes + 1).cast("int"), max_bytes))
     return df.select(

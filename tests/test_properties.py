@@ -217,3 +217,25 @@ def test_bm25_matches_rowwise_reference_on_random_corpora(spark, texts):
             idf = math.log(1 + (n - dfq + 0.5) / (dfq + 0.5))
             s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl))
         assert abs(got[d] - round(s, 4)) < 1e-9
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    payloads=st.lists(
+        st.text(min_size=0, max_size=300), min_size=1, max_size=8, unique=True
+    ),
+    max_bytes=st.sampled_from([1, 7, 64, 200, 500]),
+)
+def test_chunk_roundtrip_is_identity(spark, payloads, max_bytes):
+    # chunk -> reassemble must be the identity for ANY payload (unicode,
+    # empty strings, payloads shorter/longer than the frame limit) at any
+    # frame size — the B4 round-trip contract
+    from pulsar_3_2_codedump_spark.envelope import chunk_payloads, reassemble_chunks
+
+    df = spark.createDataFrame(
+        [(str(i), p) for i, p in enumerate(payloads)], "uuid string, payload string"
+    )
+    chunks = chunk_payloads(df, max_bytes=max_bytes)
+    got = {r["uuid"]: r["payload"] for r in reassemble_chunks(chunks).collect()}
+    want = {str(i): p for i, p in enumerate(payloads)}
+    assert got == want
