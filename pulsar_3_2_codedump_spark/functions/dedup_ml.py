@@ -1061,3 +1061,72 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(est - exact, 4).alias("err"),
             )
         )
+
+
+CDC_W = 8    # rolling window width (chars)
+CDC_D = 16   # boundary divisor -> expected chunk length ~ CDC_D chars
+
+
+@query(
+    "cdc_chunk_dedup",
+    section="2.N-dedup",
+    doc=f"Content-defined chunking dedup (the Rabin-fingerprint boundary "
+    "scheme of LBFS/restic/borg storage dedup, applied to corpus text): a "
+    f"chunk boundary falls wherever the hash of the trailing {CDC_W}-char "
+    f"window is 0 mod {CDC_D}, so boundaries are CONTENT-anchored — insert "
+    "a byte and only the neighboring chunks change, unlike fixed-size "
+    "blocks where everything downstream shifts. Per-source chunk counts + "
+    "distinct-chunk (storage dedup) ratio. Per-row array ops build the "
+    "boundary list (md5 for oracle bit-parity; xxhash64 at scale), one "
+    "explode + hash-agg — linear.",
+    oracle=rf"""
+        WITH t AS (SELECT doc_id, source, lower(trim(text)) AS tx FROM documents),
+        b AS (
+            SELECT doc_id, source, tx,
+                   list_filter(generate_series({CDC_W}, length(tx)),
+                       i -> CAST(concat('0x', substr(md5(substr(tx, i - {CDC_W - 1}, {CDC_W})), 1, 8)) AS BIGINT)
+                            % {CDC_D} = 0) AS bpos
+            FROM t),
+        se AS (
+            SELECT doc_id, source, tx,
+                   list_concat([1], list_transform(bpos, x -> x + 1)) AS starts,
+                   list_concat(bpos, [length(tx)]) AS ends
+            FROM b),
+        chunks AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(generate_series(1, len(starts)),
+                          j -> substr(tx, starts[j], ends[j] - starts[j] + 1))) AS chunk
+            FROM se)
+        SELECT source,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS total_chunks,
+               COUNT(DISTINCT chunk) AS distinct_chunks,
+               ROUND(COUNT(DISTINCT chunk) * 1.0 / COUNT(*), 4) AS unique_ratio,
+               ROUND(AVG(LENGTH(chunk)), 2) AS avg_chunk_len
+        FROM chunks GROUP BY source
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fanout(load(spark, sf_dir, "documents"))
+    tx = F.lower(F.trim(F.col("text")))
+    n = F.length(tx)
+    bpos = F.filter(
+        F.sequence(F.lit(CDC_W), n),
+        lambda i: _md5int(F.substring(tx, i - (CDC_W - 1), CDC_W)) % CDC_D == 0,
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda b: b + 1))
+    ends = F.concat(bpos, F.array(n))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(starts)),
+        lambda j: tx.substr(
+            F.element_at(starts, j), F.element_at(ends, j) - F.element_at(starts, j) + 1
+        ),
+    )
+    expl = docs.select("doc_id", "source", F.explode(chunks).alias("chunk"))
+    return expl.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.countDistinct("chunk").alias("distinct_chunks"),
+        F.round(F.countDistinct("chunk") / F.count(F.lit(1)), 4).alias("unique_ratio"),
+        F.round(F.avg(F.length("chunk")), 2).alias("avg_chunk_len"),
+    )

@@ -104,7 +104,7 @@ PRIORITY_ORDER = [
     "backlog_quota_eviction", "ivfadc_ann_topk", "priority_dispatch",
     "chunked_messages_roundtrip", "streaming_chunk_reassembly",
     "token_balanced_shards", "dispatch_rate_limit", "streaming_multi_topic_union",
-    "minhash_estimate_error", "ohlc_resample",
+    "minhash_estimate_error", "ohlc_resample", "cdc_chunk_dedup",
     "streaming_full_outer_join",
     "streaming_left_outer_join", "streaming_late_side_topic",
     "count_min_heavy_hitters", "theta_kll_sketch_battery",

@@ -423,3 +423,26 @@ def test_minhash_estimate_is_unbiasedish_on_candidates(spark):
     for r in rows:
         if r["exact_jaccard"] == 1.0:
             assert r["est_jaccard"] == 1.0
+
+
+def test_cdc_boundaries_are_content_anchored(spark):
+    # inserting a prefix shifts every fixed-size block but CDC chunks
+    # re-synchronize: the tail chunks of the shifted doc match the original
+    import tempfile
+
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import cdc_chunk_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the cat watches from the warm windowsill every day") * 2
+    docs = spark.createDataFrame(
+        [(1, base, "en", "s1", len(base)),
+         (2, "PREFIX-INSERTED " + base, "en", "s2", len(base) + 16)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {r["source"]: r for r in cdc_chunk_dedup(spark, d).collect()}
+    # sanity on shape: multiple chunks per doc, ratios in (0, 1]
+    for r in out.values():
+        assert r["total_chunks"] > 3
+        assert 0 < r["unique_ratio"] <= 1.0
