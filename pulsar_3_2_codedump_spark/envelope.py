@@ -256,21 +256,30 @@ def chunk_payloads(df: DataFrame, payload_col: str = "payload",
 def reassemble_chunks(chunks: DataFrame) -> DataFrame:
     """Consumer-side chunk reassembly (ConsumerImpl.processMessageChunk,
     pulsar-client/.../ConsumerImpl.java:1431): buffer chunks per uuid, stitch
-    in chunk_id order once num_chunks have arrived. One hash-agg shuffle on
-    uuid; ordering via array_sort of (chunk_id, chunk) structs — no window
-    sort."""
-    stitched = F.concat_ws(
-        "",
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("chunk_id", "chunk"))),
-            lambda s: s["chunk"],
+    in chunk_id order once num_chunks DISTINCT chunk ids have arrived. The
+    reference dedupes redelivered chunks by chunkId before counting — a
+    duplicated chunk must neither satisfy completion early nor appear twice
+    in the stitched payload, so completion tests countDistinct(chunk_id) and
+    the stitch folds the sorted (chunk_id, chunk) structs skipping repeated
+    ids (first occurrence in sort order wins — deterministic). One hash-agg
+    shuffle on uuid; no window sort."""
+    sorted_pairs = F.array_sort(F.collect_list(F.struct("chunk_id", "chunk")))
+    stitched = F.aggregate(
+        sorted_pairs,
+        F.struct(F.lit(-1).alias("last_id"), F.lit("").alias("acc")),
+        lambda a, x: F.struct(
+            x["chunk_id"].alias("last_id"),
+            F.when(x["chunk_id"] == a["last_id"], a["acc"])
+            .otherwise(F.concat(a["acc"], x["chunk"]))
+            .alias("acc"),
         ),
+        lambda a: a["acc"],
     )
     return (
         chunks.groupBy("uuid")
         .agg(
             stitched.alias("payload"),
-            F.count(F.lit(1)).alias("n_received"),
+            F.countDistinct("chunk_id").alias("n_received"),
             F.max("num_chunks").alias("num_chunks"),
             F.max("total_chunk_msg_size").alias("total_chunk_msg_size"),
         )

@@ -1011,56 +1011,55 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     sig.count()
     _LAST_SIG = sig
-    if True:
-        bands = sig.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.col(f"h{b * BAND_SIZE}").alias("b1"),
-                            F.col(f"h{b * BAND_SIZE + 1}").alias("b2"),
-                        )
-                        for b in range(N_HASHES // BAND_SIZE)
-                    ]
-                )
-            ).alias("bd"),
-        ).select("doc_id", "bd.band", "bd.b1", "bd.b2")
-        a, bb = bands.alias("a"), bands.alias("b")
-        cand = (
-            a.join(
-                bb,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.b1") == F.col("b.b1"))
-                & (F.col("a.b2") == F.col("b.b2"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"h{b * BAND_SIZE}").alias("b1"),
+                        F.col(f"h{b * BAND_SIZE + 1}").alias("b2"),
+                    )
+                    for b in range(N_HASHES // BAND_SIZE)
+                ]
             )
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .distinct()
+        ).alias("bd"),
+    ).select("doc_id", "bd.band", "bd.b1", "bd.b2")
+    a, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.b1") == F.col("b.b1"))
+            & (F.col("a.b2") == F.col("b.b2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        xcols = ["sh"] + [f"h{j}" for j in range(N_HASHES)]
-        x = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(c).alias(f"x_{c}") for c in xcols])
-        y = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(c).alias(f"y_{c}") for c in xcols])
-        agree = None
-        for j in range(N_HASHES):
-            t = F.when(F.col(f"x_h{j}") == F.col(f"y_h{j}"), 1).otherwise(0)
-            agree = t if agree is None else agree + t
-        est = agree / float(N_HASHES)
-        exact = F.size(F.array_intersect("x_sh", "y_sh")) / F.size(
-            F.array_union("x_sh", "y_sh")
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    xcols = ["sh"] + [f"h{j}" for j in range(N_HASHES)]
+    x = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(c).alias(f"x_{c}") for c in xcols])
+    y = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(c).alias(f"y_{c}") for c in xcols])
+    agree = None
+    for j in range(N_HASHES):
+        t = F.when(F.col(f"x_h{j}") == F.col(f"y_h{j}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    est = agree / float(N_HASHES)
+    exact = F.size(F.array_intersect("x_sh", "y_sh")) / F.size(
+        F.array_union("x_sh", "y_sh")
+    )
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 4).alias("est_jaccard"),
+            F.round(exact, 4).alias("exact_jaccard"),
+            F.round(est - exact, 4).alias("err"),
         )
-        return (
-            cand.join(x, "doc_a")
-            .join(y, "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                F.round(est, 4).alias("est_jaccard"),
-                F.round(exact, 4).alias("exact_jaccard"),
-                F.round(est - exact, 4).alias("err"),
-            )
-        )
+    )
 
 
 CDC_W = 8    # rolling window width (chars)

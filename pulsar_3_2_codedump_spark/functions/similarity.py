@@ -966,6 +966,10 @@ def pq_adc_search_arrow(codes_df: DataFrame, cb: DataFrame, qdf: DataFrame) -> D
     )
 
 
+_LAST_CODEBOOK = None  # last cached trained codebook (bounded cache — same
+                       # unpersist-on-next-call pattern as dedup_ml._LAST_SIG)
+
+
 def pq_codebook(emb: DataFrame, kernel: str = "expr") -> DataFrame:
     """Trained PQ codebook (Jégou et al., 'Product Quantization for Nearest
     Neighbor Search'): seed codewords 1..PQ_K are the PQ_K vectors ranked
@@ -976,6 +980,10 @@ def pq_codebook(emb: DataFrame, kernel: str = "expr") -> DataFrame:
     cross-engine/run reproducible; empty cells keep their seed). Training
     is itself a DataFrame job: one broadcast equi-join + two agg shuffles —
     the k-means-on-Spark pattern, linear in corpus size per iteration."""
+    global _LAST_CODEBOOK
+    if _LAST_CODEBOOK is not None:
+        _LAST_CODEBOOK.unpersist(blocking=True)
+        _LAST_CODEBOOK = None
     seed_order = (F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
     seeds = (
         emb.orderBy(*seed_order)
@@ -1050,8 +1058,10 @@ def pq_codebook(emb: DataFrame, kernel: str = "expr") -> DataFrame:
     )
     # cache: the codebook is PQ_M*PQ_K rows but costs a full corpus pass to
     # train — encode, LUT build and _pq_cb_numpy each collect it, so an
-    # uncached plan would re-run Lloyd once per consumer
-    return (
+    # uncached plan would re-run Lloyd once per consumer. Tracked in
+    # _LAST_CODEBOOK so the next training run unpersists this one (bounded:
+    # at most one codebook frame lives in the cache manager at a time).
+    cb = (
         cb0.join(trained, ["m", "code_id"], "left")
         .select(
             "m",
@@ -1062,6 +1072,8 @@ def pq_codebook(emb: DataFrame, kernel: str = "expr") -> DataFrame:
         )
         .cache()
     )
+    _LAST_CODEBOOK = cb
+    return cb
 
 
 _D_CODEBOOK = f"""

@@ -403,7 +403,7 @@ def priority_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "split is a per-row explode; reassembly is one uuid hash-agg.",
     oracle="""
         SELECT CAST(doc_id AS VARCHAR) AS uuid,
-               CAST(CEIL(LENGTH(text) / 64.0) AS INT) AS num_chunks,
+               CAST(GREATEST(CEIL(LENGTH(text) / 64.0), 1) AS INT) AS num_chunks,
                CAST(LENGTH(text) AS BIGINT) AS payload_len,
                md5(text) AS payload_md5
         FROM documents WHERE doc_id < 200

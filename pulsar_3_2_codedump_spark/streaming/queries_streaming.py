@@ -987,7 +987,7 @@ CHUNK_DOCS = 150  # doc_id < CHUNK_DOCS feed the chunked topic
     "rows shuffle once on uuid.",
     oracle=f"""
         SELECT CAST(doc_id AS VARCHAR) AS uuid,
-               CAST(CEIL(LENGTH(text) / 64.0) AS INT) AS n_chunks,
+               CAST(GREATEST(CEIL(LENGTH(text) / 64.0), 1) AS INT) AS n_chunks,
                CAST(LENGTH(text) AS BIGINT) AS payload_len,
                md5(text) AS payload_md5
         FROM documents WHERE doc_id < {CHUNK_DOCS}
@@ -1029,9 +1029,13 @@ def streaming_chunk_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids, chunks = ([], []) if not state.exists else (
             list(state.get[0]), list(state.get[1])
         )
+        # dedupe by chunk_id (ConsumerImpl.processMessageChunk keys its
+        # buffer by chunkId): a redelivered chunk must not satisfy
+        # completion early or corrupt the stitched payload
+        by_id = dict(zip(ids, chunks))
         for _, r in buf.iterrows():
-            ids.append(int(r["chunk_id"]))
-            chunks.append(r["chunk"])
+            by_id.setdefault(int(r["chunk_id"]), r["chunk"])
+        ids, chunks = list(by_id.keys()), list(by_id.values())
         n_chunks = int(buf["num_chunks"].iloc[0])
         if len(ids) == n_chunks:
             payload = "".join(c for _, c in sorted(zip(ids, chunks)))
