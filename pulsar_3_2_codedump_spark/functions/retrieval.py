@@ -282,12 +282,15 @@ SNM_T = 0.2
     f"exact Jaccard >= {SNM_T} pairs. Deliberately lossy blocking — the "
     "classic ER baseline next to the lossless LSH/prefix methods; the rank "
     f"join is {SNM_WINDOW - 1} equi-joins on rn+d (never an inequality "
-    "BNLJ), so it scales as a sort + narrow joins.",
+    "BNLJ). The sort rank itself is DISTRIBUTED (prefixops.distributed_rank: "
+    "bucket by the 2-char sort-key prefix — monotone in the full ordering — "
+    "prefix-count carry-ins over the metadata-scale bucket frame), so no "
+    "single-partition window forms and the full corpus runs uncapped.",
     oracle=f"""
         WITH r AS (
             SELECT doc_id, {_D_SHINGLES3} AS sh,
                    ROW_NUMBER() OVER (ORDER BY lower(trim(text)), doc_id) AS rn
-            FROM documents WHERE doc_id < 300
+            FROM documents
         )
         SELECT LEAST(a.doc_id, b.doc_id)    AS doc_a,
                GREATEST(a.doc_id, b.doc_id) AS doc_b,
@@ -299,16 +302,18 @@ SNM_T = 0.2
     """,
 )
 def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from pulsar_3_2_codedump_spark.operators.prefixops import distributed_rank
 
-    docs = fanout(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
-    r = docs.select(
-        "doc_id",
-        shingles(F.col("text")).alias("sh"),
-        F.row_number()
-        .over(W.orderBy(F.lower(F.trim(F.col("text"))), F.col("doc_id")))
-        .alias("rn"),
+    docs = fanout(load(spark, sf_dir, "documents"))
+    k = F.lower(F.trim(F.col("text")))
+    # bucket = 2-char prefix of the sort key: lexicographically monotone, so
+    # the bucketed rank equals the global rank; natural-language prefixes are
+    # Zipf-ish but bounded, and the within-bucket sort is partition-local
+    ranked = distributed_rank(
+        docs.withColumn("__k", k), F.substring(F.col("__k"), 1, 2),
+        [F.col("__k"), F.col("doc_id")], "rn"
     )
+    r = ranked.select("doc_id", shingles(F.col("text")).alias("sh"), "rn")
     a = r.select(
         F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("rn").alias("a_rn")
     )

@@ -417,13 +417,16 @@ def token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("doc_id").cast("string")).alias("mkey"),
     )
     # distributed prefix sum: per-bucket partial totals -> exclusive bucket
-    # offsets (window over SHARD_BUCKETS rows — metadata-scale) -> broadcast
-    # back -> independent within-bucket cumsum
+    # offsets (triangular broadcast join over SHARD_BUCKETS rows —
+    # metadata-scale, prefixops.exclusive_prefix, so NO unpartitioned window
+    # appears even over the partials) -> broadcast back -> independent
+    # within-bucket cumsum
+    from pulsar_3_2_codedump_spark.operators.prefixops import exclusive_prefix
+
     totals = t.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
-    off_w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "bucket_offset", F.coalesce(F.sum("bucket_tokens").over(off_w), F.lit(0))
-    ).select("bucket", "bucket_offset")
+    offsets = exclusive_prefix(
+        totals, "bucket", "bucket_tokens", "sum", "bucket_offset"
+    ).withColumn("bucket_offset", F.coalesce(F.col("bucket_offset"), F.lit(0)))
     in_w = (
         W.partitionBy("bucket").orderBy("mkey", "doc_id").rowsBetween(W.unboundedPreceding, 0)
     )

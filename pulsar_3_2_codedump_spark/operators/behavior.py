@@ -163,14 +163,53 @@ def event_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NTILE_BUCKETS = 32  # range buckets backing each distributed NTILE rank
+
+
+def _distributed_ntile(per: DataFrame, key, tiebreak: str, n_tiles: int, out: str) -> DataFrame:
+    """Exact NTILE(n) OVER (ORDER BY key, tiebreak) without a global window:
+    global row_number via prefixops.distributed_rank (range-bucket the sort
+    key, prefix-count carry-ins over the metadata-scale bucket frame), then
+    NTILE's closed form from (rank, N) — with N rows, base = N div n and
+    rem = N mod n, the first rem tiles carry base+1 rows. Bit-identical to
+    the window NTILE including tie behavior: equal keys share a bucket, the
+    tiebreak orders them within it, and the closed form is a pure function
+    of the resulting rank."""
+    from pulsar_3_2_codedump_spark.operators.prefixops import (
+        distributed_rank,
+        range_bucket,
+    )
+
+    t = range_bucket(per.withColumn("__k", key), "__k", NTILE_BUCKETS, "__nb")
+    ranked = distributed_rank(
+        t, F.col("__nb"), [F.col("__k"), F.col(tiebreak)], "__rn"
+    ).drop("__nb")
+    n = per.agg(F.count(F.lit(1)).alias("__N"))
+    r0 = F.col("__rn") - 1
+    base = F.floor(F.col("__N") / n_tiles)
+    rem = F.col("__N") % n_tiles
+    big = rem * (base + 1)
+    tile = F.when(r0 < big, F.floor(r0 / (base + 1)) + 1).otherwise(
+        rem + F.floor((r0 - big) / F.greatest(base, F.lit(1))) + 1
+    )
+    return (
+        ranked.join(F.broadcast(n))
+        .withColumn(out, tile.cast("int"))
+        .drop("__k", "__rn", "__N")
+    )
+
+
 @query(
     "rfm_scores",
     section="2.N-behavior",
     doc="RFM segmentation over purchase events: per user, recency (days since "
     "last purchase, vs the corpus max timestamp), frequency (purchase count), "
     "monetary (summed value); each dimension scored into NTILE(5) quintiles "
-    "with a user_id tiebreak for determinism. One user_id hash-agg + three "
-    "cheap global windows over #users rows (≪ #events).",
+    "with a user_id tiebreak for determinism. One user_id hash-agg, then each "
+    "quintile rank runs as a DISTRIBUTED rank (range-bucket + prefix-count "
+    "carry-ins, operators/prefixops.py) + NTILE's closed form over (rank, N) "
+    "— no single-partition window over the user table ever forms, so the "
+    "plan holds at any user count.",
     oracle="""
         WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
         per AS (
@@ -207,15 +246,12 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m",
         )
     )
-    return per.select(
-        "user_id",
-        "r_days",
-        "f",
-        "m",
-        F.ntile(5).over(Window.orderBy("r_days", "user_id")).alias("r_score"),
-        F.ntile(5).over(Window.orderBy(F.desc("f"), F.asc("user_id"))).alias("f_score"),
-        F.ntile(5).over(Window.orderBy(F.desc("m"), F.asc("user_id"))).alias("m_score"),
-    )
+    # DESC orderings rank by the negated value (ties keep the user_id ASC
+    # tiebreak, matching NTILE ... ORDER BY x DESC, user_id exactly)
+    scored = _distributed_ntile(per, F.col("r_days"), "user_id", 5, "r_score")
+    scored = _distributed_ntile(scored, -F.col("f"), "user_id", 5, "f_score")
+    scored = _distributed_ntile(scored, -F.col("m"), "user_id", 5, "m_score")
+    return scored.select("user_id", "r_days", "f", "m", "r_score", "f_score", "m_score")
 
 
 @query(

@@ -154,6 +154,9 @@ def session_window_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WM_BUCKETS = 64  # arrival-order range buckets for the distributed prefix-max
+
+
 @query(
     "watermark_late_data",
     section="2.G5",
@@ -176,9 +179,32 @@ def session_window_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The watermark is a running max over arrival order — sequential by
+    # definition, but max is associative, so it distributes exactly like a
+    # prefix sum (operators/prefixops.py): range-bucket the log by event_id,
+    # take per-bucket max ts (a WM_BUCKETS-row metadata frame), derive
+    # exclusive per-bucket carry-ins via the triangular broadcast join,
+    # broadcast back, and run the within-bucket running max partitioned by
+    # bucket. NO unpartitioned window appears anywhere in this plan.
+    from pulsar_3_2_codedump_spark.operators.prefixops import (
+        exclusive_prefix,
+        range_bucket,
+    )
+
     ev = load(spark, sf_dir, "events")
-    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, -1)
-    tracked = ev.withColumn("wm", F.max("ts").over(w) - F.expr("INTERVAL 30 SECOND"))
+    t = range_bucket(ev, "event_id", WM_BUCKETS)
+    btot = t.groupBy("bucket").agg(F.max("ts").alias("bmax"))
+    carry = exclusive_prefix(btot, "bucket", "bmax", "max", "carry_max")
+    in_w = W.partitionBy("bucket").orderBy("event_id").rowsBetween(W.unboundedPreceding, -1)
+    tracked = (
+        t.join(F.broadcast(carry), "bucket")
+        .withColumn("run_max", F.max("ts").over(in_w))
+        .withColumn(
+            "wm",
+            F.greatest(F.col("carry_max"), F.col("run_max"))
+            - F.expr("INTERVAL 30 SECOND"),
+        )
+    )
     late = F.col("ts") < F.col("wm")
     return tracked.groupBy("event_type").agg(
         F.count(F.when(F.col("wm").isNull() | ~late, 1)).alias("n_on_time"),
