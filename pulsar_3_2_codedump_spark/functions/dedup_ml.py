@@ -1062,8 +1062,96 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CDC_W = 8    # rolling window width (chars)
-CDC_D = 16   # boundary divisor -> expected chunk length ~ CDC_D chars
+CDC_W = 8            # rolling window width (chars)
+CDC_B = 257          # polynomial hash base (odd -> invertible mod 2^32)
+CDC_MOD = 1 << 32    # hash modulus (uint32 wraparound in the kernel)
+CDC_THRESH = 1 << 28 # boundary iff H < 2^28: P = 1/16 -> ~16-char chunks
+_CDC_BINV = pow(CDC_B, -1, CDC_MOD)
+# B^(W-1-j) mod 2^32 for j = 0..W-1 — the direct windowed-hash weights the
+# DuckDB oracle uses; the kernel's rolling form is algebraically identical
+_CDC_POWS = [pow(CDC_B, CDC_W - 1 - j, CDC_MOD) for j in range(CDC_W)]
+
+
+def _cdc_boundaries_ref(tx: str) -> list[int]:
+    """Reference per-window form (one fresh polynomial hash per position):
+    the bit-identity pin for the rolling kernel, and the literal transcription
+    of the oracle SQL. Test-only — O(W) per char in interpreted Python."""
+    out = []
+    for i in range(CDC_W, len(tx) + 1):
+        h = sum(
+            ord(tx[i - CDC_W + j]) * _CDC_POWS[j] for j in range(CDC_W)
+        ) % CDC_MOD
+        if h < CDC_THRESH:
+            out.append(i)
+    return out
+
+
+def _cdc_boundaries_np(tx: str, np) -> "list[int]":
+    """TRUE rolling Rabin-style boundary scan, vectorized: maintain the
+    prefix series S(i) = sum_{k<=i} cp_k * B^-k (mod 2^32; B odd so B^-1
+    exists), then every window hash is H(i) = B^i * (S(i) - S(i-W)) — the
+    O(1)-per-char incremental update of the classic rolling hash, computed
+    for all positions at once with three uint32-wraparound array ops
+    (multiply, cumsum, subtract). No per-window rehash ever happens; work is
+    ~4 numpy ops per character regardless of W."""
+    cp = np.frombuffer(tx.encode("utf-32-le"), dtype=np.uint32)
+    n = cp.size
+    if n < CDC_W:
+        return []
+    bpow, binvpow = _cdc_pow_tables(n, np)
+    terms = cp * binvpow[1 : n + 1]                      # cp_k * B^-k (wrap)
+    s = np.zeros(n + 1, dtype=np.uint32)
+    np.cumsum(terms, dtype=np.uint32, out=s[1:])         # S(i), wraparound
+    diff = s[CDC_W:] - s[: n - CDC_W + 1]                # S(i) - S(i-W)
+    h = bpow[CDC_W : n + 1] * diff                       # B^i * diff (wrap)
+    return (np.nonzero(h < np.uint32(CDC_THRESH))[0] + CDC_W).tolist()
+
+
+def cdc_chunks(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, tx) → one row per content-defined chunk, via the
+    rolling-hash Arrow kernel (_cdc_boundaries_np). Scan-local — chunking
+    never shuffles; callers aggregate the chunk rows."""
+
+    def chunk_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, srcs, chunks = [], [], []
+            for doc_id, source, tx in zip(pdf["doc_id"], pdf["source"], pdf["tx"]):
+                bpos = _cdc_boundaries_np(tx, np)
+                starts = [0] + bpos
+                ends = bpos + [len(tx)]
+                for s, e in zip(starts, ends):
+                    ids.append(doc_id)
+                    srcs.append(source)
+                    chunks.append(tx[s:e])
+            yield pd.DataFrame({"doc_id": ids, "source": srcs, "chunk": chunks})
+
+    return docs.mapInPandas(chunk_kernel, "doc_id long, source string, chunk string")
+
+
+_CDC_POW_CACHE = {}
+
+
+def _cdc_pow_tables(n: int, np):
+    """(B^i mod 2^32, B^-i mod 2^32) for i = 0..n, grown geometrically and
+    cached per process (executor-side)."""
+    cached = _CDC_POW_CACHE.get("t")
+    if cached is None or cached[0].size <= n:
+        size = max(n + 1, 4096)
+        if cached is not None:
+            size = max(size, cached[0].size * 2)
+        bpow = np.empty(size, dtype=np.uint32)
+        binv = np.empty(size, dtype=np.uint32)
+        bpow[0] = binv[0] = 1
+        np.cumprod(np.full(size - 1, CDC_B, dtype=np.uint32),
+                   dtype=np.uint32, out=bpow[1:])
+        np.cumprod(np.full(size - 1, _CDC_BINV, dtype=np.uint32),
+                   dtype=np.uint32, out=binv[1:])
+        cached = (bpow, binv)
+        _CDC_POW_CACHE["t"] = cached
+    return cached
 
 
 @query(
@@ -1071,20 +1159,27 @@ CDC_D = 16   # boundary divisor -> expected chunk length ~ CDC_D chars
     section="2.N-dedup",
     doc=f"Content-defined chunking dedup (the Rabin-fingerprint boundary "
     "scheme of LBFS/restic/borg storage dedup, applied to corpus text): a "
-    f"chunk boundary falls wherever the hash of the trailing {CDC_W}-char "
-    f"window is 0 mod {CDC_D}, so boundaries are CONTENT-anchored — insert "
-    "a byte and only the neighboring chunks change, unlike fixed-size "
-    "blocks where everything downstream shifts. Per-source chunk counts + "
-    "distinct-chunk (storage dedup) ratio. Per-row array ops build the "
-    "boundary list (md5 for oracle bit-parity; xxhash64 at scale), one "
-    "explode + hash-agg — linear.",
+    f"chunk boundary falls wherever the rolling polynomial hash of the "
+    f"trailing {CDC_W}-char window lands below 2^28 (P = 1/16 -> ~16-char "
+    "expected chunks), so boundaries are CONTENT-anchored — insert a byte "
+    "and only the neighboring chunks change, unlike fixed-size blocks where "
+    "everything downstream shifts. Per-source chunk counts + distinct-chunk "
+    "(storage dedup) ratio. The boundary scan is an Arrow mapInPandas "
+    "kernel running the TRUE rolling form (prefix series + modular-inverse "
+    "powers, O(1) incremental per char, numpy-vectorized), pinned "
+    "bit-identical to the per-window reference form in "
+    "tests/test_functions_ml.py; one explode-equivalent + hash-agg — "
+    "linear, and ~2 orders of magnitude faster than the per-char Catalyst "
+    "lambda it replaces (measured in tools/scale_smoke.py).",
     oracle=rf"""
         WITH t AS (SELECT doc_id, source, lower(trim(text)) AS tx FROM documents),
         b AS (
             SELECT doc_id, source, tx,
                    list_filter(generate_series({CDC_W}, length(tx)),
-                       i -> CAST(concat('0x', substr(md5(substr(tx, i - {CDC_W - 1}, {CDC_W})), 1, 8)) AS BIGINT)
-                            % {CDC_D} = 0) AS bpos
+                       i -> (list_sum(list_transform(generate_series(0, {CDC_W - 1}),
+                                j -> CAST(unicode(substr(tx, i - {CDC_W - 1} + j, 1)) AS BIGINT) *
+                                     ([{", ".join(str(p) for p in _CDC_POWS)}])[j + 1]))
+                             % {CDC_MOD}) < {CDC_THRESH}) AS bpos
             FROM t),
         se AS (
             SELECT doc_id, source, tx,
@@ -1106,23 +1201,10 @@ CDC_D = 16   # boundary divisor -> expected chunk length ~ CDC_D chars
     """,
 )
 def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fanout(load(spark, sf_dir, "documents"))
-    tx = F.lower(F.trim(F.col("text")))
-    n = F.length(tx)
-    bpos = F.filter(
-        F.sequence(F.lit(CDC_W), n),
-        lambda i: _md5int(F.substring(tx, i - (CDC_W - 1), CDC_W)) % CDC_D == 0,
+    docs = fanout(load(spark, sf_dir, "documents")).select(
+        "doc_id", "source", F.lower(F.trim(F.col("text"))).alias("tx")
     )
-    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda b: b + 1))
-    ends = F.concat(bpos, F.array(n))
-    chunks = F.transform(
-        F.sequence(F.lit(1), F.size(starts)),
-        lambda j: tx.substr(
-            F.element_at(starts, j), F.element_at(ends, j) - F.element_at(starts, j) + 1
-        ),
-    )
-    expl = docs.select("doc_id", "source", F.explode(chunks).alias("chunk"))
-    return expl.groupBy("source").agg(
+    return cdc_chunks(docs).groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("total_chunks"),
         F.countDistinct("chunk").alias("distinct_chunks"),

@@ -157,6 +157,34 @@ def session_window_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 WM_BUCKETS = 64  # arrival-order range buckets for the distributed prefix-max
 
 
+def watermark_tracked(ev: DataFrame) -> DataFrame:
+    """events(+event_id, ts) → + wm column: the running max ts over arrival
+    order (event_id), minus the 30s lag, EXCLUDING the current row — exactly
+    WaterMarkEventGenerator's tracked watermark, computed with the
+    distributed prefix-max (prefixops): range-bucket by event_id, per-bucket
+    max ts partials, triangular-join carry-ins, within-bucket running max.
+    No unpartitioned window anywhere in the plan."""
+    from pulsar_3_2_codedump_spark.operators.prefixops import (
+        exclusive_prefix,
+        range_bucket,
+    )
+
+    t = range_bucket(ev, "event_id", WM_BUCKETS)
+    btot = t.groupBy("bucket").agg(F.max("ts").alias("bmax"))
+    carry = exclusive_prefix(btot, "bucket", "bmax", "max", "carry_max")
+    in_w = W.partitionBy("bucket").orderBy("event_id").rowsBetween(W.unboundedPreceding, -1)
+    return (
+        t.join(F.broadcast(carry), "bucket")
+        .withColumn("run_max", F.max("ts").over(in_w))
+        .withColumn(
+            "wm",
+            F.greatest(F.col("carry_max"), F.col("run_max"))
+            - F.expr("INTERVAL 30 SECOND"),
+        )
+        .drop("bucket", "carry_max", "run_max")
+    )
+
+
 @query(
     "watermark_late_data",
     section="2.G5",
@@ -181,30 +209,8 @@ WM_BUCKETS = 64  # arrival-order range buckets for the distributed prefix-max
 def watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The watermark is a running max over arrival order — sequential by
     # definition, but max is associative, so it distributes exactly like a
-    # prefix sum (operators/prefixops.py): range-bucket the log by event_id,
-    # take per-bucket max ts (a WM_BUCKETS-row metadata frame), derive
-    # exclusive per-bucket carry-ins via the triangular broadcast join,
-    # broadcast back, and run the within-bucket running max partitioned by
-    # bucket. NO unpartitioned window appears anywhere in this plan.
-    from pulsar_3_2_codedump_spark.operators.prefixops import (
-        exclusive_prefix,
-        range_bucket,
-    )
-
-    ev = load(spark, sf_dir, "events")
-    t = range_bucket(ev, "event_id", WM_BUCKETS)
-    btot = t.groupBy("bucket").agg(F.max("ts").alias("bmax"))
-    carry = exclusive_prefix(btot, "bucket", "bmax", "max", "carry_max")
-    in_w = W.partitionBy("bucket").orderBy("event_id").rowsBetween(W.unboundedPreceding, -1)
-    tracked = (
-        t.join(F.broadcast(carry), "bucket")
-        .withColumn("run_max", F.max("ts").over(in_w))
-        .withColumn(
-            "wm",
-            F.greatest(F.col("carry_max"), F.col("run_max"))
-            - F.expr("INTERVAL 30 SECOND"),
-        )
-    )
+    # prefix sum: see watermark_tracked / operators/prefixops.py.
+    tracked = watermark_tracked(load(spark, sf_dir, "events"))
     late = F.col("ts") < F.col("wm")
     return tracked.groupBy("event_type").agg(
         F.count(F.when(F.col("wm").isNull() | ~late, 1)).alias("n_on_time"),

@@ -446,3 +446,52 @@ def test_cdc_boundaries_are_content_anchored(spark):
     for r in out.values():
         assert r["total_chunks"] > 3
         assert 0 < r["unique_ratio"] <= 1.0
+
+
+def test_cdc_short_docs_one_chunk(spark):
+    # docs shorter than the window (incl. empty) have NO boundary positions
+    # and come back as exactly one whole-document chunk — the short-doc
+    # clamp class the shingles/chunk_payloads helpers also guard
+    import tempfile
+
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import cdc_chunk_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "", "en", "s_empty", 0),
+         (2, "tiny", "en", "s_tiny", 4),
+         (3, "exactly7", "en", "s_seven", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {r["source"]: r for r in cdc_chunk_dedup(spark, d).collect()}
+    for r in out.values():
+        assert r["total_chunks"] == 1
+        assert r["n_docs"] == 1
+    assert out["s_empty"]["avg_chunk_len"] == 0.0
+    assert out["s_tiny"]["avg_chunk_len"] == 4.0
+
+
+def test_cdc_rolling_kernel_matches_per_window_reference():
+    # the O(1)-per-char rolling form (prefix series + modular-inverse
+    # powers, numpy uint32 wraparound) must be BIT-IDENTICAL to the direct
+    # per-window polynomial hash the oracle SQL transcribes — same pin
+    # discipline as the PQ Arrow kernels
+    import random
+
+    import numpy as np
+
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import (
+        _cdc_boundaries_np,
+        _cdc_boundaries_ref,
+    )
+
+    rng = random.Random(7)
+    cases = ["", "a", "short", "exactly8", "the quick brown fox " * 40,
+             "ünïcødé ẞtrings — 日本語のテキストもここにある " * 10,
+             "aaaaaaaaaaaaaaaaaaaaaaaaaaaa"]
+    for _ in range(100):
+        n = rng.randint(0, 500)
+        cases.append("".join(chr(rng.randint(32, 0x2FFF)) for _ in range(n)))
+    for tx in cases:
+        assert _cdc_boundaries_np(tx, np) == _cdc_boundaries_ref(tx)

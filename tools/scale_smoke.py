@@ -219,6 +219,18 @@ def main() -> None:
         .limit(20),
     )
 
+    # ---- CDC rolling-hash chunking (Arrow kernel) at corpus scale ----------
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import cdc_chunks
+
+    run_docs(
+        "cdc_chunk_rolling_kernel",
+        cdc_chunks(
+            docs.select("doc_id", "source", F.lower(F.trim(F.col("text"))).alias("tx"))
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("total_chunks"), F.countDistinct("chunk").alias("dc")),
+    )
+
     # ---- behavioral analytics on a synthetic N-row event log ---------------
     from pyspark.sql import Window as W
 
@@ -232,6 +244,32 @@ def main() -> None:
         F.col("id").alias("event_id"),
     )
     run("funnel_3step", funnel(events, ["view", "click", "purchase"]))
+
+    # watermark running-max via distributed prefix-max — the repaired
+    # watermark_late_data plan shape at N-million rows (no global window)
+    from pulsar_3_2_codedump_spark.operators.windows import watermark_tracked
+
+    run(
+        "watermark_prefix_max",
+        watermark_tracked(events).groupBy("event_type").agg(
+            F.count(F.when(F.col("ts") < F.col("wm"), 1)).alias("n_late")
+        ),
+    )
+
+    # distributed NTILE (the repaired rfm_scores rank path) over 1M users
+    from pulsar_3_2_codedump_spark.operators.behavior import _distributed_ntile
+
+    per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).cast("double").alias("f"))
+    t0 = time.time()
+    cnt = (
+        _distributed_ntile(per_user, -F.col("f"), "user_id", 5, "f_score")
+        .groupBy("f_score")
+        .count()
+        .count()
+    )
+    dt = time.time() - t0
+    results["rfm_distributed_ntile_1m_users"] = {"sec": round(dt, 2), "rows_out": cnt}
+    print(f"# rfm_distributed_ntile_1m_users: {dt:.2f}s", file=sys.stderr)
     wnd = W.partitionBy("user_id").orderBy("ts", "event_id")
     run(
         "event_bigram_counts",
