@@ -222,25 +222,102 @@ RATE_TOKEN_US = 3_600_000_000  # one dispatch permit per hour per partition
     """,
 )
 def dispatch_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _token_bucket_pressure(
+        cached_envelope(spark, sf_dir), "partition", RATE_TOKEN_US
+    )
+
+
+def _token_bucket_pressure(env, key_col: str, token_us: int, byte_token_us: int = 0):
+    """Closed-form token-bucket backlog per ``key_col``: the sequential
+    recurrence s_j = max(a_j, s_{j-1} + c_{j-1}) (c = per-message permit
+    cost) distributes as s_j = cummax_i(a_i − D_i) + D_j with D the
+    exclusive prefix sum of costs — one window cummax per key, exact BIGINT
+    microseconds. ``byte_token_us`` adds the byte-rate leg: cost =
+    max(token_us, bytes * byte_token_us)."""
     from pyspark.sql.window import Window as W
 
-    env = cached_envelope(spark, sf_dir)
-    jw = W.partitionBy("partition").orderBy("publish_time", "offset")
+    jw = W.partitionBy(key_col).orderBy("publish_time", "offset")
+    cost = (
+        F.greatest(F.lit(token_us), F.length("value").cast("long") * byte_token_us)
+        if byte_token_us
+        else F.lit(token_us)
+    )
     r = env.select(
-        "partition",
+        key_col,
+        "offset",
+        "publish_time",
         F.unix_micros("publish_time").alias("a"),
-        (F.row_number().over(jw) - 1).cast("long").alias("j"),
+        cost.cast("long").alias("c"),
+    ).withColumn(
+        "d",
+        F.coalesce(
+            F.sum("c").over(jw.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ),
     )
-    cm = W.partitionBy("partition").orderBy("j").rowsBetween(W.unboundedPreceding, 0)
-    start = (
-        F.max(F.col("a") - F.col("j") * RATE_TOKEN_US).over(cm)
-        + F.col("j") * RATE_TOKEN_US
+    cm = W.partitionBy(key_col).orderBy("publish_time", "offset").rowsBetween(
+        W.unboundedPreceding, 0
     )
-    s = r.withColumn("start_us", start)
-    return s.groupBy("partition").agg(
+    s = r.withColumn("start_us", F.max(F.col("a") - F.col("d")).over(cm) + F.col("d"))
+    return s.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_msgs"),
         F.sum(F.when(F.col("start_us") > F.col("a"), 1).otherwise(0))
         .cast("long")
         .alias("n_throttled"),
         F.max(F.col("start_us") - F.col("a")).cast("long").alias("max_delay_us"),
     )
+
+
+PUB_TOKEN_US = 900_000_000      # one publish permit per 15 min per producer
+PUB_BYTE_TOKEN_US = 80_000_000  # byte-rate leg: 80s of drain per payload byte
+
+
+@query(
+    "publish_rate_limit",
+    section="2.J-rate",
+    doc="Publish-side rate limiting (PublishRateLimiterImpl, pulsar-broker/"
+    ".../service/PublishRateLimiterImpl.java: producers are throttled on "
+    "the publish path by BOTH a message-rate and a byte-rate token bucket; "
+    "same AsyncTokenBucket core as dispatch). Modeled per producer over the "
+    "envelope log: per-message permit cost = max(msg-token, payload_bytes × "
+    "byte-token) — the binding bucket — folded through the same closed-form "
+    "recurrence as dispatch_rate_limit (s_j = cummax(a_i − D_i) + D_j with "
+    "D the exclusive prefix sum of costs), so the whole throttle decision "
+    "is one window cummax per producer, exact BIGINT microseconds, no "
+    "sequential loop. Reports per-producer publish backpressure: throttled "
+    "count + worst-case added latency.",
+    oracle=f"""
+        {{_ENV}},
+        r AS (
+            SELECT producer_name, epoch_us(publish_time) AS a,
+                   GREATEST({PUB_TOKEN_US}, strlen(props) * {PUB_BYTE_TOKEN_US}) AS c,
+                   publish_time, "offset"
+            FROM envelope),
+        d AS (
+            SELECT producer_name, a, c,
+                   COALESCE(SUM(c) OVER (PARTITION BY producer_name
+                                         ORDER BY publish_time, "offset"
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS d,
+                   publish_time, "offset"
+            FROM r),
+        s AS (
+            SELECT producer_name, a,
+                   MAX(a - d) OVER (PARTITION BY producer_name
+                                    ORDER BY publish_time, "offset"
+                                    ROWS UNBOUNDED PRECEDING) + d AS start_us
+            FROM d)
+        SELECT producer_name,
+               COUNT(*) AS n_msgs,
+               CAST(SUM(CASE WHEN start_us > a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_throttled,
+               CAST(MAX(start_us - a) AS BIGINT) AS max_delay_us
+        FROM s GROUP BY producer_name
+    """.replace("{_ENV}", _ENV),
+)
+def publish_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = cached_envelope(spark, sf_dir)
+    return _token_bucket_pressure(
+        env, "producer_name", PUB_TOKEN_US, PUB_BYTE_TOKEN_US
+    )
+
+

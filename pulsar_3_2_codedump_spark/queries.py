@@ -174,6 +174,7 @@ def load_all() -> dict[str, Query]:
     )
     from pulsar_3_2_codedump_spark.functions import (  # noqa: F401
         avro_codec,
+        crypto,
         dedup_ml,
         multimodal,
         proto_codec,

@@ -160,6 +160,35 @@ def decode_value(
     return env.withColumn(out_col, F.from_json(F.col("value").cast("string"), schema))
 
 
+def validate_payloads(spark, df: DataFrame, topic_path: str) -> None:
+    """Produce-side schema validation (AutoProduceBytesSchema.java: a
+    producer publishing raw bytes has every payload validated against the
+    topic's registered schema before the broker accepts it). Decodes the
+    batch's ``value`` bytes with the LATEST registered schema and rejects
+    the whole append if any non-null payload fails to decode — for JSON,
+    malformed documents decode to NULL and documents missing a
+    non-nullable reader field leave that field NULL; both are rejections.
+    AVRO/PROTOBUF payloads go through the registered codec the consumers
+    will use, so 'validated' means literally 'the reader schema can decode
+    it'. One extra scan over the batch (the reference pays the same
+    per-message validation on the publish path); raises
+    SchemaIncompatibleError with the failing row count."""
+    schema, fmt = get_schema_entry(topic_path)  # raises LookupError if none
+    decoded = decode_value(df, topic_path, out_col="__vchk")
+    required = [f.name for f in schema.fields if not f.nullable]
+    bad = F.col("__vchk").isNull()
+    for name in required:
+        bad = bad | F.col("__vchk")[name].isNull()
+    n_bad = (
+        decoded.filter(F.col("value").isNotNull()).filter(bad).limit(1_000_000).count()
+    )
+    if n_bad:
+        raise SchemaIncompatibleError(
+            f"{n_bad} payload(s) do not decode under the registered "
+            f"{fmt} schema v{len(_load_log(topic_path)) - 1} of {topic_path}"
+        )
+
+
 def key_value_schema(key_schema: T.DataType, value_schema: T.StructType) -> T.StructType:
     """KEY_VALUE schema (SchemaType.KEY_VALUE, KeyValueEncodingType INLINE):
     a struct of both parts."""

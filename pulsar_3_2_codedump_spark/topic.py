@@ -128,12 +128,22 @@ def append(
     topic_path: str,
     dedup: bool = True,
     batch_token: str | None = None,
+    validate_schema: bool = False,
 ) -> dict[int, int]:
     """Concurrency-safe producer append: takes the topic writer lock
     (``_topic_write_lock``) then runs the route → offset-assign → stage →
     atomic-manifest-commit pipeline. Without the lock two concurrent
     appends race on the manifest read-modify-write and the loser's segments
-    vanish from the listing (the data files survive but are unreachable)."""
+    vanish from the listing (the data files survive but are unreachable).
+
+    ``validate_schema=True`` is AUTO_PRODUCE (AutoProduceBytesSchema.java):
+    every payload must decode under the topic's latest registered schema or
+    the whole append is rejected with SchemaIncompatibleError — run OUTSIDE
+    the writer lock (it's a read-only scan of the incoming batch)."""
+    if validate_schema:
+        from pulsar_3_2_codedump_spark.schema_registry import validate_payloads
+
+        validate_payloads(spark, df, topic_path)
     with _topic_write_lock(topic_path):
         return _append_unlocked(spark, df, topic_path, dedup, batch_token)
 

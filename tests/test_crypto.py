@@ -1,0 +1,88 @@
+"""Message-encryption envelope tests (MessageCryptoBc.java semantics;
+CryptoKeyReader.java; ConsumerCryptoFailureAction.java)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_3_2_codedump_spark.functions.crypto import (
+    CryptoKeyReader,
+    decrypt_at_scan,
+    encrypt_at_append,
+)
+
+KEY_A = bytes(range(16))
+KEY_B = bytes(range(16, 48))
+
+
+def _payloads(spark):
+    rows = [
+        (1, b"plain ascii payload"),
+        (2, bytes([0, 255, 13, 10, 128, 7]) * 9),  # non-UTF8 binary
+        (3, b""),                                   # empty payload
+        (4, None),                                  # null_value message
+    ]
+    return spark.createDataFrame(rows, "doc_id long, value binary")
+
+
+def test_encrypt_decrypt_byte_exact_roundtrip(spark):
+    df = _payloads(spark)
+    producer = CryptoKeyReader({"a": KEY_A, "b": KEY_B})
+    enc = encrypt_at_append(df, ["a", "b"], producer)
+    rows = {r["doc_id"]: r for r in enc.collect()}
+    # ciphertext differs from plaintext and carries envelope columns
+    assert rows[1]["value"] != b"plain ascii payload"
+    assert set(rows[1]["encryption_keys"].keys()) == {"a", "b"}
+    assert len(rows[1]["encryption_param"]) == 12
+    assert rows[4]["value"] is None and rows[4]["encryption_param"] is None
+
+    # either key alone decrypts byte-exactly
+    for key_name, key in (("a", KEY_A), ("b", KEY_B)):
+        dec = decrypt_at_scan(enc, CryptoKeyReader({key_name: key}))
+        got = {r["doc_id"]: r["value"] for r in dec.collect()}
+        assert got[1] == b"plain ascii payload"
+        assert got[2] == bytes([0, 255, 13, 10, 128, 7]) * 9
+        assert got[3] == b""
+        assert got[4] is None
+
+
+def test_unknown_key_fail_holds_rows_consume_delivers_ciphertext(spark):
+    df = _payloads(spark).filter(F.col("value").isNotNull())
+    # cache: encryption draws fresh randomness per materialization, and this
+    # test compares ciphertext across two actions
+    enc = encrypt_at_append(df, ["a"], CryptoKeyReader({"a": KEY_A})).cache()
+    enc.count()
+    stranger = CryptoKeyReader({"other": KEY_B})
+    # FAIL: rows the consumer cannot decrypt are held back entirely
+    assert decrypt_at_scan(enc, stranger, failure_action="FAIL").count() == 0
+    # CONSUME: ciphertext delivered as-is, flagged not-ok
+    ct = {r["doc_id"]: r["value"] for r in enc.collect()}
+    rows = decrypt_at_scan(enc, stranger, failure_action="CONSUME").collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["decrypt_ok"] is False
+        assert r["value"] == ct[r["doc_id"]]
+
+
+def test_tampered_ciphertext_fails_gcm_auth(spark):
+    df = spark.createDataFrame([(1, b"authentic payload")], "doc_id long, value binary")
+    enc = encrypt_at_append(df, ["a"], CryptoKeyReader({"a": KEY_A}))
+    # flip one ciphertext byte -> GCM tag must reject it
+    tampered = enc.withColumn(
+        "value",
+        F.concat(
+            F.expr("substring(value, 1, 1)"),  # keep first byte
+            F.expr("X'00'"),
+            F.expr("substring(value, 3, length(value) - 2)"),
+        ),
+    )
+    out = decrypt_at_scan(tampered, CryptoKeyReader({"a": KEY_A}), failure_action="CONSUME")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["decrypt_ok"] is False
+
+
+def test_encrypt_requires_known_wrap_keys(spark):
+    df = _payloads(spark)
+    with pytest.raises(KeyError):
+        encrypt_at_append(df, ["a", "missing"], CryptoKeyReader({"a": KEY_A}))
+    with pytest.raises(ValueError):
+        CryptoKeyReader({"short": b"123"})

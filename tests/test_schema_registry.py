@@ -139,3 +139,66 @@ def test_protobuf_decode_keeps_value_column(spark, tmp_root):
     got = decoded.select("value", "data.a", "data.b").collect()
     assert sorted((r["a"], r["b"]) for r in got) == [(1, "x"), (2, "y")]
     assert all(r["value"] is not None for r in got)
+
+
+def _env_rows(spark, payloads, seq_start=0):
+    from pyspark.sql import Row
+
+    rows = [
+        Row(
+            key=str(i),
+            value=p.encode() if p is not None else None,
+            properties={},
+            event_time=None,
+            publish_time=None,
+            producer_name="producer-0",
+            sequence_id=seq_start + i,
+            deliver_at=None,
+            marker_type=None,
+            replicated_from=None,
+        )
+        for i, p in enumerate(payloads)
+    ]
+    from pulsar_3_2_codedump_spark.envelope import ENVELOPE_SCHEMA
+    from pyspark.sql import types as T
+
+    schema = T.StructType([f for f in ENVELOPE_SCHEMA.fields if f.name not in ("partition", "offset")])
+    return spark.createDataFrame(rows, schema)
+
+
+def test_auto_produce_validation_rejects_undecodable_payloads(spark, tmp_root):
+    # AutoProduceBytesSchema.java: raw-bytes producers are validated against
+    # the topic's registered schema at publish time
+    tp = TP.create_topic(tmp_root, "t", 1)
+    strict = T.StructType(
+        [T.StructField("a", T.LongType(), False), T.StructField("b", T.StringType(), True)]
+    )
+    SR.register_schema(tp, strict)
+
+    good = _env_rows(spark, ['{"a": 1, "b": "x"}', '{"a": 2}'])
+    TP.append(spark, good, tp, validate_schema=True)  # decodes -> accepted
+    assert sum(TP.end_offsets(TP.read_manifest(tp)).values()) == 2
+
+    # malformed JSON -> rejected, nothing lands
+    with pytest.raises(SR.SchemaIncompatibleError):
+        TP.append(spark, _env_rows(spark, ['not-json at all']), tp, validate_schema=True)
+    # missing the non-nullable field 'a' -> rejected
+    with pytest.raises(SR.SchemaIncompatibleError):
+        TP.append(spark, _env_rows(spark, ['{"b": "no-a"}']), tp, validate_schema=True)
+    assert sum(TP.end_offsets(TP.read_manifest(tp)).values()) == 2
+
+    # same bad payload without validation appends fine (plain BYTES producer)
+    TP.append(
+        spark, _env_rows(spark, ['{"b": "no-a"}'], seq_start=10), tp, validate_schema=False
+    )
+    assert sum(TP.end_offsets(TP.read_manifest(tp)).values()) == 3
+
+    # null_value messages are never validated (no payload to decode)
+    TP.append(spark, _env_rows(spark, [None], seq_start=20), tp, validate_schema=True)
+    assert sum(TP.end_offsets(TP.read_manifest(tp)).values()) == 4
+
+
+def test_auto_produce_requires_registered_schema(spark, tmp_root):
+    tp = TP.create_topic(tmp_root, "t", 1)
+    with pytest.raises(LookupError):
+        TP.append(spark, _env_rows(spark, ['{"a": 1}']), tp, validate_schema=True)
