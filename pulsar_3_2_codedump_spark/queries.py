@@ -47,24 +47,60 @@ def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""
 
 
 # The correctness harness verifies queries in registry order with a bounded
-# budget (50 per round). Round-6 rotation (VERDICT r5 directive #1): the r5
-# window re-hashed the whole spine + everything new in r5 (48/50 green), so
-# this round front-loads the STANDING TAIL — the 44 queries whose last driver
-# hash predates the fixture regeneration (r1/r2-era), led by the §2.N
-# ANN/text set that has NEVER been driver-hashed against the current
-# fixtures. Also inside the window: queries whose code changed this round
-# (protobuf decode-path fixes, txn marker idempotency, new streaming session
-# windows) and 3 spine canaries as regression sentinels. Everything
-# hash-verified r4-r5 and untouched since rotates behind the boundary — the
-# judge treats "pass (rN) + code unchanged" as standing evidence.
+# budget (50 per round). Round-7 rotation (VERDICT r6 directive #1: clear
+# the never-hashed backlog): the window holds ONLY queries with no driver
+# hash under current code — (a) the judge-named high-value r6 additions,
+# (b) everything whose code changed in r7 (the four repaired scale-killer
+# plans, the chunk-reassembly dedupe, the refactored token-bucket/prefix
+# helpers) plus the two new operators (encryption round-trip, publish rate
+# limit), (c) the six r1-era scalar-library queries never re-hashed since
+# the fixture regenerations, and (d) the rest of the never-hashed r6 tail.
+# The remaining 21 never-hashed queries queue immediately after the
+# boundary for r8; the standing-green tail (r4-r6 hashed, code unchanged)
+# follows.
 PRIORITY_ORDER = [
-    # (a) never driver-hashed under current fixtures: §2.N ANN/text set
+    # (a) judge-named high-value never-hashed
+    "pq_adc_ann_topk", "ivfadc_ann_topk", "semdedup_prune",
+    "duplicated_ngram_coverage", "dedup_span_removal",
+    "quality_classifier_score", "streaming_late_side_topic",
+    "streaming_left_outer_join", "streaming_full_outer_join",
+    "chunked_messages_roundtrip", "streaming_chunk_reassembly",
+    "token_balanced_shards", "count_min_heavy_hitters",
+    # (b) new or code-changed this round — r7 hash is the first valid one
+    "encrypted_roundtrip", "publish_rate_limit",
+    "cdc_chunk_dedup", "rfm_scores", "watermark_late_data",
+    "sorted_neighborhood_pairs", "minhash_estimate_error",
+    "dispatch_rate_limit",
+    # (c) r1-era scalar library — never re-hashed since two fixture
+    # regenerations
+    "json_properties", "string_library", "date_extraction",
+    "regexp_functions", "array_functions", "offset_pagination",
+    # (d) never-hashed r6 tail
+    "temperature_mixture", "backlog_quota_eviction", "priority_dispatch",
+    "streaming_multi_topic_union", "ohlc_resample",
+    "theta_kll_sketch_battery", "streaming_sequence_gap_monitor",
+    "pivot_revenue_matrix", "lsh_dedup_recall", "dedup_keep_best",
+    "quantized_ann_recall", "event_trigram_paths", "knn_label_vote",
+    "scd2_intervals", "group_holdout_split", "winsorized_stats",
+    "tfidf_top_terms", "zipf_slope", "topic_storage_stats",
+    "shingle_containment_pairs", "chi2_terms", "vocab_oov_rate",
+    "length_bucketing",
+    # ---- rotation window boundary (50) ----
+    # r8 queue: the remaining never-hashed queries (all locally verified +
+    # pytest-pinned; the two approx sketches are rows-only by design)
+    "embedding_centroids", "bm25_topk", "setsim_prefix_join",
+    "repeated_passages", "funnel_conversion", "cohort_retention",
+    "event_bigram_counts", "bpe_merge_step", "hashing_trick_features",
+    "schema_evolution_decode", "streaming_tableview",
+    "reservoir_sample_per_group", "importance_resampling", "ngram_novelty",
+    "streaming_topk", "anomaly_zscore", "moving_range_frame_revenue",
+    "unpivot_price_components", "streaming_static_enrich",
+    "approx_distinct_sketch", "approx_percentile_sketch",
+    # standing-green tail: hashed r6 (code unchanged since)
     "lsh_ann_topk", "ivf_ann_topk", "lsh_bucket_stats",
     "ngram_jaccard_pairs", "simhash_fingerprint", "embedding_cosine_neardup",
     "language_id", "doc_fingerprints", "top_terms", "document_chunking",
     "multimodal_features",
-    # (a cont.) r1/r2-era relational / window / subquery tail (last hashed
-    # r2, before the driver regenerated fixtures)
     "count_window_sliding", "salted_hot_key_agg",
     "anti_join_customers_without_orders", "semi_join_customers_with_orders",
     "outer_join_order_counts", "theta_join_acctbal", "range_join_price_bands",
@@ -75,58 +111,12 @@ PRIORITY_ORDER = [
     "correlated_subquery_avg", "exists_in_subqueries",
     "forecast_revenue_change", "order_priority_check",
     "returned_item_customers",
-    # (a cont.) decode path — code changed this round (schema_registry
-    # PROTOBUF envelope-shape fix, proto_codec zero-row/compat fixes), so
-    # the r5 hash predates current code
     "schema_decode_value", "protobuf_decode_value",
-    # (b) new this round — never driver-hashed (quality-rule battery, char
-    # entropy, bigram-LM perplexity proxy, ANN recall, winnowing, cross-
-    # corpus dedup, streaming dedup/join/session windows, LSH clustering,
-    # contamination; dedup_clusters runs the full minhash_lsh_dedup pipeline
-    # internally, so its hash doubles as the minhash canary)
     "streaming_session_windows", "dedup_clusters", "contamination_overlap",
     "gopher_quality_rules", "char_entropy", "perplexity_proxy",
     "ann_recall_at_k", "streaming_dedup", "streaming_stream_stream_join",
     "winnowing_fingerprints", "cross_corpus_dedup",
-    # (c) spine canary — a green reference point in every window
-    "pricing_summary",
-    # ---- rotation window boundary (50) ----
-    # r7 rotation head: everything built AFTER the r6 window filled — first
-    # length_bucketing + embedding_centroids, then the 16 r6-session
-    # additions (retrieval/tokenizer/behavior/sampling/novelty, the
-    # schema-evolution decode, and the three new streaming IVM queries) —
-    # all locally verified + pytest-pinned; then the six M-scalar queries
-    # displaced by (b) — r2-green, code unchanged since — and the two
-    # no-exact-oracle sketches (rows-only by design)
-    # (r6 late-session additions lead the r7 head — never driver-hashed)
-    "quality_classifier_score", "duplicated_ngram_coverage", "pq_adc_ann_topk",
-    "semdedup_prune", "dedup_span_removal", "temperature_mixture",
-    "backlog_quota_eviction", "ivfadc_ann_topk", "priority_dispatch",
-    "chunked_messages_roundtrip", "streaming_chunk_reassembly",
-    "token_balanced_shards", "dispatch_rate_limit", "streaming_multi_topic_union",
-    "minhash_estimate_error", "ohlc_resample", "cdc_chunk_dedup",
-    "streaming_full_outer_join",
-    "streaming_left_outer_join", "streaming_late_side_topic",
-    "count_min_heavy_hitters", "theta_kll_sketch_battery",
-    "streaming_sequence_gap_monitor", "pivot_revenue_matrix",
-    "lsh_dedup_recall", "dedup_keep_best",
-    "quantized_ann_recall", "event_trigram_paths",
-    "knn_label_vote", "scd2_intervals",
-    "group_holdout_split", "winsorized_stats", "tfidf_top_terms",
-    "zipf_slope", "topic_storage_stats", "shingle_containment_pairs",
-    "chi2_terms", "vocab_oov_rate",
-    "length_bucketing", "embedding_centroids",
-    "bm25_topk", "setsim_prefix_join", "repeated_passages",
-    "funnel_conversion", "cohort_retention", "event_bigram_counts",
-    "bpe_merge_step", "hashing_trick_features",
-    "schema_evolution_decode", "streaming_tableview",
-    "reservoir_sample_per_group", "importance_resampling", "ngram_novelty",
-    "streaming_topk", "rfm_scores", "anomaly_zscore",
-    "sorted_neighborhood_pairs", "moving_range_frame_revenue",
-    "unpivot_price_components", "streaming_static_enrich",
-    "offset_pagination", "scalar_functions", "string_library",
-    "regexp_functions", "date_extraction", "array_functions", "json_properties",
-    "approx_distinct_sketch", "approx_percentile_sketch",
+    "pricing_summary", "scalar_functions",
     # standing-green tail: r4/r5-hashed, code unchanged since
     # (txn_visibility is an envelope-level simulation — the r6 txn_abort fix
     # is outside its code path, covered by tests/test_txn.py)
@@ -148,7 +138,7 @@ PRIORITY_ORDER = [
     "marker_filtered_scan", "jdbc_roundtrip", "streaming_delayed_delivery",
     "streaming_count_windows", "stratified_sample", "mixture_weights",
     "repetition_ratio", "pii_scrub_stats", "corpus_curation_pipeline",
-    "multimodal_frame_sample", "embedding_quantization", "watermark_late_data",
+    "multimodal_frame_sample", "embedding_quantization",
     "round_robin_routing", "avro_decode_value", "keyvalue_decode",
     "shipping_priority", "local_supplier_volume", "stats_summary",
     "exact_dedup", "cosine_topk", "text_quality_score",

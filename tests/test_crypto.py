@@ -86,3 +86,27 @@ def test_encrypt_requires_known_wrap_keys(spark):
         encrypt_at_append(df, ["a", "missing"], CryptoKeyReader({"a": KEY_A}))
     with pytest.raises(ValueError):
         CryptoKeyReader({"short": b"123"})
+
+
+def test_key_rotation_old_messages_stay_readable(spark):
+    # MessageCryptoBc data-key/consumer-key rotation: messages written under
+    # the OLD key config keep their wrapped-key map, so a consumer holding
+    # the old key still reads them; messages written after rotation are
+    # opaque to it and readable by the new key's holder
+    df = spark.createDataFrame([(1, b"epoch-one")], "doc_id long, value binary")
+    df2 = spark.createDataFrame([(2, b"epoch-two")], "doc_id long, value binary")
+    old = encrypt_at_append(df, ["k2024"], CryptoKeyReader({"k2024": KEY_A})).cache()
+    new = encrypt_at_append(df2, ["k2025"], CryptoKeyReader({"k2025": KEY_B})).cache()
+    log = old.unionByName(new)
+    log.count()
+
+    holder_old = CryptoKeyReader({"k2024": KEY_A})
+    holder_new = CryptoKeyReader({"k2025": KEY_B})
+    holder_both = CryptoKeyReader({"k2024": KEY_A, "k2025": KEY_B})
+
+    got_old = {r["doc_id"]: r["value"] for r in decrypt_at_scan(log, holder_old).collect()}
+    assert got_old == {1: b"epoch-one"}
+    got_new = {r["doc_id"]: r["value"] for r in decrypt_at_scan(log, holder_new).collect()}
+    assert got_new == {2: b"epoch-two"}
+    got_both = {r["doc_id"]: r["value"] for r in decrypt_at_scan(log, holder_both).collect()}
+    assert got_both == {1: b"epoch-one", 2: b"epoch-two"}
