@@ -313,7 +313,11 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("__k", k), F.substring(F.col("__k"), 1, 2),
         [F.col("__k"), F.col("doc_id")], "rn"
     )
-    r = ranked.select("doc_id", shingles(F.col("text")).alias("sh"), "rn")
+    # the ranked+shingled frame is referenced 4x (self + 3 rank shifts) —
+    # checkpoint so the rank machinery and shingle build run once, not 4x
+    r = ranked.select(
+        "doc_id", shingles(F.col("text")).alias("sh"), "rn"
+    ).localCheckpoint(eager=True)
     a = r.select(
         F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("rn").alias("a_rn")
     )
