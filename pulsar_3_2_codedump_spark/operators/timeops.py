@@ -321,3 +321,57 @@ def publish_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUB_TOKEN_US = 14_400_000_000  # one subscribe permit per 4 h per partition
+
+
+@query(
+    "subscribe_rate_limit",
+    section="2.J-rate",
+    doc="Subscription-creation rate limiting (SubscribeRateLimiter, "
+    "pulsar-broker/.../service/persistent/SubscribeRateLimiter.java: "
+    "subscribe calls per consumer are token-bucket throttled so a "
+    "reconnect storm cannot hammer the broker). Subscribe log modeled "
+    "deterministically from the envelope: each consumer's FIRST message "
+    "per day = one (re)subscribe attempt on its partition dispatcher; "
+    "attempts then fold through the SAME closed-form token bucket as "
+    "dispatch/publish (shared _token_bucket_pressure — cummax of "
+    "arrival − exclusive-prefix-cost per partition). Completes the QoS "
+    "family: dispatch (per partition), publish (per producer, msg+byte), "
+    "subscribe (per partition, attempt-rate).",
+    oracle=f"""
+        {{_ENV}},
+        attempts AS (
+            SELECT partition,
+                   MIN(publish_time) AS publish_time,
+                   MIN("offset") AS "offset"
+            FROM envelope
+            GROUP BY partition, key, date_trunc('day', publish_time)),
+        r AS (
+            SELECT partition, epoch_us(publish_time) AS a, publish_time, "offset",
+                   ROW_NUMBER() OVER (PARTITION BY partition
+                                      ORDER BY publish_time, "offset") - 1 AS j
+            FROM attempts),
+        s AS (
+            SELECT partition, a,
+                   MAX(a - j * {SUB_TOKEN_US}) OVER (
+                       PARTITION BY partition ORDER BY publish_time, "offset"
+                       ROWS UNBOUNDED PRECEDING) + j * {SUB_TOKEN_US} AS start_us
+            FROM r)
+        SELECT partition,
+               COUNT(*) AS n_msgs,
+               CAST(SUM(CASE WHEN start_us > a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_throttled,
+               CAST(MAX(start_us - a) AS BIGINT) AS max_delay_us
+        FROM s GROUP BY partition
+    """.replace("{_ENV}", _ENV),
+)
+def subscribe_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = cached_envelope(spark, sf_dir)
+    attempts = env.groupBy(
+        "partition", "key", F.date_trunc("day", "publish_time").alias("__day")
+    ).agg(
+        F.min("publish_time").alias("publish_time"), F.min("offset").alias("offset")
+    ).drop("key", "__day")
+    return _token_bucket_pressure(attempts, "partition", SUB_TOKEN_US)
+
+

@@ -165,7 +165,8 @@ def test_sorted_neighborhood_finds_exact_dups_and_is_subset_of_brute(spark):
     out = sorted_neighborhood_pairs(spark, SF_DIR)
     got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
     # exact duplicates sort adjacent -> every exact-dup pair must be found
-    docs = load(spark, SF_DIR, "documents").filter(F.col("doc_id") < 300)
+    # (query runs the FULL corpus since r7 — no doc_id cap here either)
+    docs = load(spark, SF_DIR, "documents")
     groups = defaultdict(list)
     for r in docs.select("doc_id", F.lower(F.trim(F.col("text"))).alias("t")).collect():
         groups[r["t"]].append(r["doc_id"])
