@@ -14,14 +14,13 @@ decrypt; on failure the ConsumerCryptoFailureAction
 Spark re-expression: two Arrow ``mapInPandas`` kernels over the envelope —
 encrypt-at-append adds ``encryption_keys MAP<STRING,BINARY>`` +
 ``encryption_param BINARY`` columns and replaces ``value`` with ciphertext;
-decrypt-at-scan inverts it. Crypto is python-``cryptography`` AES-GCM for
-both the payload and the key wrap (the reference wraps with RSA/ECDSA public
-keys; symmetric wrap under per-name master keys is the semantics-compatible
-stand-in — the envelope shape, rotation unit and failure modes are what the
-engine owns, the asymmetric primitive is a drop-in). The data key rotates
-per Arrow batch (the reference rotates on a timer, MessageCryptoBc data-key
-refresh) — every batch's rows share one wrapped-key map, every row gets a
-fresh 96-bit IV.
+decrypt-at-scan inverts it. Payloads are AES-GCM; the data-key wrap supports
+BOTH the reference's asymmetric scheme (RSA-OAEP under the consumer's
+public key — producers hold public PEMs, consumers private PEMs, exactly
+MessageCryptoBc's key flow) and a symmetric AES-GCM master-key wrap for
+deployments without a PKI. The data key rotates per Arrow batch (the
+reference rotates on a timer, MessageCryptoBc data-key refresh) — every
+batch's rows share one wrapped-key map, every row gets a fresh 96-bit IV.
 
 Scale posture: both kernels are scan-local (zero shuffle); AES-GCM via
 OpenSSL streams at GB/s per core, so encryption rides the same Arrow batch
@@ -51,15 +50,23 @@ def _aesgcm():
 
 
 class CryptoKeyReader:
-    """Semantic stand-in for pulsar-client-api CryptoKeyReader: resolves
-    key-name → key material. The producer side uses it to fetch wrap keys
-    (getPublicKey), the consumer side to fetch unwrap keys (getPrivateKey) —
-    with symmetric wrap both sides return the same 16/32-byte master key."""
+    """pulsar-client-api CryptoKeyReader: resolves key-name → key material.
+    The producer side fetches wrap keys (getPublicKey), the consumer side
+    fetches unwrap keys (getPrivateKey). Two key-material forms:
+
+    - RSA PEM (``-----BEGIN ...``): the reference's actual scheme
+      (MessageCryptoBc wraps the data key with the consumer's RSA public
+      key, RSA-OAEP here) — producers hold PUBLIC pems, consumers PRIVATE.
+    - raw 16/24/32-byte AES master key: the symmetric shortcut (same key
+      on both sides, AES-GCM key wrap) for deployments without a PKI.
+    """
 
     def __init__(self, keys: dict[str, bytes]):
         for name, k in keys.items():
-            if len(k) not in (16, 24, 32):
-                raise ValueError(f"key {name!r}: AES key must be 16/24/32 bytes")
+            if not _is_pem(k) and len(k) not in (16, 24, 32):
+                raise ValueError(
+                    f"key {name!r}: expected an RSA PEM or a 16/24/32-byte AES key"
+                )
         self._keys = dict(keys)
 
     def get_key(self, name: str) -> bytes | None:
@@ -67,6 +74,29 @@ class CryptoKeyReader:
 
     def names(self) -> list[str]:
         return sorted(self._keys)
+
+
+def _is_pem(k: bytes) -> bool:
+    return isinstance(k, (bytes, bytearray)) and bytes(k).startswith(b"-----BEGIN")
+
+
+def generate_rsa_keypair(bits: int = 2048) -> tuple[bytes, bytes]:
+    """(public_pem, private_pem) — the CryptoKeyReader material for the
+    reference's asymmetric wrap (consumer registers the public key with
+    producers, keeps the private key)."""
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    priv = rsa.generate_private_key(public_exponent=65537, key_size=bits)
+    pub_pem = priv.public_key().public_bytes(
+        serialization.Encoding.PEM, serialization.PublicFormat.SubjectPublicKeyInfo
+    )
+    priv_pem = priv.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption(),
+    )
+    return pub_pem, priv_pem
 
 
 _WRAP_AAD = b"pulsarlike-datakey-v1"  # binds wrapped blobs to this protocol
@@ -102,18 +132,29 @@ def encrypt_at_append(
     def kernel(batches):
         import os as _os
 
-        # import inside the task: capturing the Rust-backed class in the
-        # closure makes PySpark's pickler ship a methodless stub
+        # imports inside the task: capturing the Rust-backed classes in the
+        # closure makes PySpark's pickler ship methodless stubs
+        from cryptography.hazmat.primitives import hashes, serialization
+        from cryptography.hazmat.primitives.asymmetric import padding
         from cryptography.hazmat.primitives.ciphers.aead import AESGCM
 
+        oaep = padding.OAEP(
+            mgf=padding.MGF1(algorithm=hashes.SHA256()),
+            algorithm=hashes.SHA256(),
+            label=_WRAP_AAD,
+        )
         for pdf in batches:
             data_key = AESGCM.generate_key(bit_length=128)
             wrapped = {}
             for name, master in wrap_keys.items():
-                nonce = _os.urandom(12)
-                wrapped[name] = nonce + AESGCM(master).encrypt(
-                    nonce, data_key, _WRAP_AAD
-                )
+                if _is_pem(master):  # reference scheme: RSA public-key wrap
+                    pub = serialization.load_pem_public_key(bytes(master))
+                    wrapped[name] = pub.encrypt(data_key, oaep)
+                else:  # symmetric master-key wrap (no-PKI shortcut)
+                    nonce = _os.urandom(12)
+                    wrapped[name] = nonce + AESGCM(master).encrypt(
+                        nonce, data_key, _WRAP_AAD
+                    )
             gcm = AESGCM(data_key)
             ivs, cts = [], []
             for v in pdf[value_col]:
@@ -158,7 +199,25 @@ def decrypt_at_scan(
 
     def kernel(batches):
         from cryptography.exceptions import InvalidTag
+        from cryptography.hazmat.primitives import hashes, serialization
+        from cryptography.hazmat.primitives.asymmetric import padding
         from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+        oaep = padding.OAEP(
+            mgf=padding.MGF1(algorithm=hashes.SHA256()),
+            algorithm=hashes.SHA256(),
+            label=_WRAP_AAD,
+        )
+        priv_cache: dict[str, object] = {}
+
+        def unwrap(name, master, wb):
+            if _is_pem(master):
+                priv = priv_cache.get(name)
+                if priv is None:
+                    priv = serialization.load_pem_private_key(bytes(master), None)
+                    priv_cache[name] = priv
+                return priv.decrypt(wb, oaep)  # ValueError on wrong key
+            return AESGCM(master).decrypt(wb[:12], wb[12:], _WRAP_AAD)
 
         for pdf in batches:
             vals, oks = [], []
@@ -184,10 +243,8 @@ def decrypt_at_scan(
                     data_key = key_cache.get(wb)
                     if data_key is None:
                         try:
-                            data_key = AESGCM(master).decrypt(
-                                wb[:12], wb[12:], _WRAP_AAD
-                            )
-                        except InvalidTag:
+                            data_key = unwrap(name, master, wb)
+                        except (InvalidTag, ValueError):
                             continue
                         key_cache[wb] = data_key
                     try:

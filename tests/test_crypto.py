@@ -110,3 +110,34 @@ def test_key_rotation_old_messages_stay_readable(spark):
     assert got_new == {2: b"epoch-two"}
     got_both = {r["doc_id"]: r["value"] for r in decrypt_at_scan(log, holder_both).collect()}
     assert got_both == {1: b"epoch-one", 2: b"epoch-two"}
+
+
+def test_rsa_oaep_wrap_reference_key_flow(spark):
+    # the reference's actual scheme (MessageCryptoBc): producer wraps the
+    # data key under the consumer's RSA PUBLIC key; only the PRIVATE key
+    # holder can unwrap. Public-only holders (e.g. the producer itself)
+    # cannot read messages back.
+    from pulsar_3_2_codedump_spark.functions.crypto import generate_rsa_keypair
+
+    pub, priv = generate_rsa_keypair()
+    df = spark.createDataFrame(
+        [(1, b"rsa wrapped payload"), (2, bytes([0, 200, 9]) * 7)],
+        "doc_id long, value binary",
+    )
+    enc = encrypt_at_append(df, ["rsa-k"], CryptoKeyReader({"rsa-k": pub})).cache()
+    enc.count()
+    got = {
+        r["doc_id"]: r["value"]
+        for r in decrypt_at_scan(enc, CryptoKeyReader({"rsa-k": priv})).collect()
+    }
+    assert got == {1: b"rsa wrapped payload", 2: bytes([0, 200, 9]) * 7}
+    # the public key alone cannot unwrap
+    assert decrypt_at_scan(enc, CryptoKeyReader({"rsa-k": pub})).count() == 0
+    # mixed config: RSA name + symmetric name both wrap the same data key
+    enc2 = encrypt_at_append(
+        df, ["rsa-k", "sym"], CryptoKeyReader({"rsa-k": pub, "sym": KEY_A})
+    ).cache()
+    enc2.count()
+    for reader in (CryptoKeyReader({"rsa-k": priv}), CryptoKeyReader({"sym": KEY_A})):
+        got2 = {r["doc_id"]: r["value"] for r in decrypt_at_scan(enc2, reader).collect()}
+        assert got2[1] == b"rsa wrapped payload"
