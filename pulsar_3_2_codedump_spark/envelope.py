@@ -51,6 +51,13 @@ ENVELOPE_SCHEMA = T.StructType(
         T.StructField("deliver_at", T.TimestampType(), True),
         T.StructField("marker_type", T.IntegerType(), True),
         T.StructField("replicated_from", T.StringType(), True),
+        # end-to-end encryption envelope (PulsarApi.proto MessageMetadata
+        # encryption_keys/encryption_param; MessageCryptoBc.java): NULL on
+        # unencrypted messages — see functions/crypto.py
+        T.StructField(
+            "encryption_keys", T.MapType(T.StringType(), T.BinaryType()), True
+        ),
+        T.StructField("encryption_param", T.BinaryType(), True),
         T.StructField("partition", T.IntegerType(), False),
         T.StructField("offset", T.LongType(), False),
     ]
