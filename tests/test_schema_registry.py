@@ -162,7 +162,14 @@ def _env_rows(spark, payloads, seq_start=0):
     from pulsar_3_2_codedump_spark.envelope import ENVELOPE_SCHEMA
     from pyspark.sql import types as T
 
-    schema = T.StructType([f for f in ENVELOPE_SCHEMA.fields if f.name not in ("partition", "offset")])
+    # rows carry only the 10 producer-visible fields; conform_envelope adds
+    # the remaining nullable envelope columns (crypto fields) at append
+    names = {
+        "key", "value", "properties", "event_time", "publish_time",
+        "producer_name", "sequence_id", "deliver_at", "marker_type",
+        "replicated_from",
+    }
+    schema = T.StructType([f for f in ENVELOPE_SCHEMA.fields if f.name in names])
     return spark.createDataFrame(rows, schema)
 
 
