@@ -1171,3 +1171,78 @@ def streaming_multi_topic_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+ENC_STREAM_DOCS = 150  # doc_id < ENC_STREAM_DOCS feed the encrypted topic
+
+
+@query(
+    "streaming_encrypted_scan",
+    section="2.A12-stream",
+    doc="LIVE consumer decryption of an encrypted topic "
+    "(MessageCryptoBc.decrypt on the consumer receive path, "
+    "ConsumerImpl.messageReceived): document payloads are AES-GCM encrypted "
+    "at append (per-batch data key wrapped into the encryption_keys "
+    "envelope column, IV in encryption_param — both now at-rest parquet "
+    "columns), streamed back through the pulsarlike source across TWO "
+    "availableNow generations (the checkpointed cursor carries the "
+    "subscription over the growth boundary), and decrypted in-stream by "
+    "the scan-local Arrow kernel. Exact oracle: every delivered payload "
+    "byte-exact vs the original text (length + md5) — any cipher, "
+    "envelope-storage, or cursor defect hash-mismatches.",
+    oracle=f"""
+        SELECT CAST(doc_id AS VARCHAR) AS key,
+               CAST(LENGTH(text) AS BIGINT) AS payload_len,
+               md5(text) AS payload_md5
+        FROM documents WHERE doc_id < {ENC_STREAM_DOCS}
+    """,
+)
+def streaming_encrypted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.functions.crypto import (
+        CryptoKeyReader,
+        decrypt_at_scan,
+        encrypt_at_append,
+    )
+    from pulsar_3_2_codedump_spark.sources import register
+
+    register(spark)
+    keys = {"stream-key": bytes(range(100, 132))}
+
+    def append_docs(tp, lo, hi):
+        docs = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id").between(lo, hi - 1))
+            .select(
+                F.col("doc_id").cast("string").alias("key"),
+                F.to_binary(F.col("text"), F.lit("utf-8")).alias("value"),
+                F.timestamp_micros(F.col("doc_id") * 1_000_000).alias("publish_time"),
+                F.timestamp_micros(F.col("doc_id") * 1_000_000).alias("event_time"),
+                F.lit("producer-docs").alias("producer_name"),
+                F.col("doc_id").alias("sequence_id"),
+            )
+        )
+        enc = encrypt_at_append(docs, ["stream-key"], CryptoKeyReader(keys))
+        T.append(spark, enc, tp)
+
+    root = tempfile.mkdtemp(prefix="sencs_")
+    try:
+        tp = T.create_topic(root, "enc", n_partitions=2)
+        append_docs(tp, 0, 100)
+        stream = spark.readStream.format("pulsarlike").option("path", tp).load()
+        dec = decrypt_at_scan(stream, CryptoKeyReader(keys), failure_action="FAIL")
+        payload = F.col("value").cast("string")
+        out = dec.select(
+            "key",
+            F.length(payload).cast("long").alias("payload_len"),
+            F.md5(payload).alias("payload_md5"),
+        )
+        rows = _run_bounded(
+            out, root + "/ck", [None, lambda: append_docs(tp, 100, ENC_STREAM_DOCS)]
+        )
+        return (
+            spark.createDataFrame(rows, out.schema)
+            if rows
+            else spark.createDataFrame([], out.schema)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
