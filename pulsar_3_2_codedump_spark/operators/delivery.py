@@ -426,3 +426,86 @@ def chunked_messages_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").cast("long").alias("payload_len"),
         F.md5("payload").alias("payload_md5"),
     )
+
+
+# Admin cursor surgery dims: (subscription, markDelete cursor, skip count,
+# peek count) per subscription — the `pulsar-admin topics skip` / `peek`
+# arguments
+ADMIN_SUBS = [("sub-p", 100, 50, 5), ("sub-q", 4000, 200, 3)]
+
+
+@query(
+    "peek_skip_messages",
+    section="2.J-admin",
+    doc="Admin cursor surgery (PersistentTopicsBase.internalPeekNthMessage — "
+    "read N messages past markDelete WITHOUT moving the cursor — and "
+    "PersistentSubscription.skipMessages / ManagedCursor.skipEntries — "
+    "advance markDelete over the next N entries): per (subscription, "
+    "partition), the peeked window's first/last offsets and payload bytes, "
+    "plus the post-skip cursor (clamped to the log end when fewer than N "
+    "entries remain). One broadcast join against the 2-row subscription dim "
+    "+ a per-partition window rank — cursor math at metadata cost, "
+    "parallel across partitions.",
+    oracle=f"""
+        {_ENV},
+        subs AS (SELECT * FROM (VALUES {", ".join(f"('{s}', {c}, {sk}, {p})" for s, c, sk, p in ADMIN_SUBS)})
+                 AS t(sub, cursor, skip_n, peek_n)),
+        backlog AS (
+            SELECT s.sub, e.partition, s.cursor, s.skip_n, s.peek_n,
+                   e."offset", strlen(e.props) AS nbytes,
+                   ROW_NUMBER() OVER (PARTITION BY s.sub, e.partition
+                                      ORDER BY e."offset") AS rn
+            FROM envelope e JOIN subs s ON e."offset" > s.cursor)
+        SELECT sub, partition,
+               CAST(cursor AS BIGINT) AS old_cursor,
+               CAST(SUM(CASE WHEN rn <= peek_n THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_peeked,
+               MIN(CASE WHEN rn <= peek_n THEN "offset" END) AS peek_first,
+               MAX(CASE WHEN rn <= peek_n THEN "offset" END) AS peek_last,
+               CAST(SUM(CASE WHEN rn <= peek_n THEN nbytes ELSE 0 END) AS BIGINT)
+                   AS peek_bytes,
+               CAST(LEAST(COUNT(*), skip_n) AS BIGINT) AS n_skipped,
+               COALESCE(MAX(CASE WHEN rn = skip_n THEN "offset" END),
+                        MAX("offset")) AS new_cursor
+        FROM backlog GROUP BY sub, partition, cursor, skip_n, peek_n
+    """,
+)
+def peek_skip_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    env = cached_envelope(spark, sf_dir)
+    subs = spark.createDataFrame(
+        ADMIN_SUBS, "sub string, cursor int, skip_n int, peek_n int"
+    )
+    w = W.partitionBy("sub", "partition").orderBy("offset")
+    backlog = (
+        env.select("partition", "offset", F.length("value").alias("nbytes"))
+        .join(F.broadcast(subs), F.col("offset") > F.col("cursor"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    peeked = F.col("rn") <= F.col("peek_n")
+    return (
+        backlog.groupBy("sub", "partition", "cursor", "skip_n", "peek_n")
+        .agg(
+            F.sum(F.when(peeked, 1).otherwise(0)).cast("long").alias("n_peeked"),
+            F.min(F.when(peeked, F.col("offset"))).alias("peek_first"),
+            F.max(F.when(peeked, F.col("offset"))).alias("peek_last"),
+            F.sum(F.when(peeked, F.col("nbytes")).otherwise(0)).cast("long").alias("peek_bytes"),
+            F.least(F.count(F.lit(1)), F.col("skip_n").cast("long")).cast("long").alias("n_skipped"),
+            F.coalesce(
+                F.max(F.when(F.col("rn") == F.col("skip_n"), F.col("offset"))),
+                F.max("offset"),
+            ).alias("new_cursor"),
+        )
+        .select(
+            "sub",
+            "partition",
+            F.col("cursor").cast("long").alias("old_cursor"),
+            "n_peeked",
+            "peek_first",
+            "peek_last",
+            "peek_bytes",
+            "n_skipped",
+            "new_cursor",
+        )
+    )

@@ -68,7 +68,7 @@ PRIORITY_ORDER = [
     "token_balanced_shards", "count_min_heavy_hitters",
     # (b) new or code-changed this round — r7 hash is the first valid one
     "encrypted_roundtrip", "streaming_encrypted_scan",
-    "publish_rate_limit", "subscribe_rate_limit",
+    "publish_rate_limit", "subscribe_rate_limit", "peek_skip_messages",
     "cdc_chunk_dedup", "rfm_scores", "watermark_late_data",
     "sorted_neighborhood_pairs", "minhash_estimate_error",
     "dispatch_rate_limit",
@@ -84,11 +84,11 @@ PRIORITY_ORDER = [
     "quantized_ann_recall", "event_trigram_paths", "knn_label_vote",
     "scd2_intervals", "group_holdout_split", "winsorized_stats",
     "tfidf_top_terms", "zipf_slope", "topic_storage_stats",
-    "shingle_containment_pairs", "chi2_terms",
+    "shingle_containment_pairs",
     # ---- rotation window boundary (50) ----
     # r8 queue: the remaining never-hashed queries (all locally verified +
     # pytest-pinned; the two approx sketches are rows-only by design)
-    "vocab_oov_rate", "length_bucketing",
+    "chi2_terms", "vocab_oov_rate", "length_bucketing",
     "embedding_centroids", "bm25_topk", "setsim_prefix_join",
     "repeated_passages", "funnel_conversion", "cohort_retention",
     "event_bigram_counts", "bpe_merge_step", "hashing_trick_features",
