@@ -569,6 +569,14 @@ class PulsarLikeStreamWriter(DataSourceStreamWriter):
             # replayed micro-batch after restart — idempotent skip
             self._cleanup(messages)
             return
+        if "terminated_at" in manifest:
+            from pulsar_3_2_codedump_spark.topic import TopicTerminatedError
+
+            self._cleanup(messages)
+            raise TopicTerminatedError(
+                f"topic {manifest['name']} is terminated — streaming sink "
+                "cannot commit new micro-batches"
+            )
         ends = _end_offsets(manifest)
         stage_dir = os.path.join(self.path, "_stream_staging")
         for msg in messages:

@@ -80,6 +80,44 @@ def create_topic(root: str, name: str, n_partitions: int = 4) -> str:
     return topic_path
 
 
+class TopicTerminatedError(RuntimeError):
+    """Publish to a terminated topic (the reference's
+    TopicTerminatedException, raised broker-side once `pulsar-admin topics
+    terminate` seals the log — PersistentTopic.terminate)."""
+
+
+def terminate(topic_path: str) -> dict[int, int]:
+    """Seal the topic (`pulsar-admin topics terminate`;
+    PersistentTopic.terminate, pulsar-broker/.../persistent/
+    PersistentTopic.java — publishes are rejected from the recorded position
+    on, consumers drain to the end then observe hasReachedEndOfTopic).
+    Records the terminal end offsets in the manifest under the writer lock;
+    returns them (the reference returns the last MessageId)."""
+    with _topic_write_lock(topic_path):
+        manifest = read_manifest(topic_path)
+        if "terminated_at" not in manifest:
+            manifest["terminated_at"] = {
+                str(p): e for p, e in end_offsets(manifest).items()
+            }
+            _write_manifest_atomic(topic_path, manifest)
+        return {int(p): e for p, e in manifest["terminated_at"].items()}
+
+
+def is_terminated(topic_path: str) -> bool:
+    return "terminated_at" in read_manifest(topic_path)
+
+
+def has_reached_end_of_topic(topic_path: str, cursor: dict[int, int]) -> bool:
+    """Consumer.hasReachedEndOfTopic (pulsar-client-api/.../api/
+    Consumer.java): true iff the topic is terminated AND the cursor has
+    consumed every offset up to the terminal position."""
+    manifest = read_manifest(topic_path)
+    term = manifest.get("terminated_at")
+    if term is None:
+        return False
+    return all(int(cursor.get(int(p), 0)) >= e for p, e in term.items())
+
+
 def end_offsets(manifest: dict) -> dict[int, int]:
     """Exclusive end offset per partition (== next offset to assign).
 
@@ -174,7 +212,11 @@ def _append_unlocked(
     """
     manifest = read_manifest(topic_path)
     if batch_token is not None and batch_token in manifest.get("committed_batch_tokens", []):
-        return end_offsets(manifest)
+        return end_offsets(manifest)  # replay of a pre-termination commit: no-op
+    if "terminated_at" in manifest:
+        raise TopicTerminatedError(
+            f"topic {manifest['name']} is terminated at {manifest['terminated_at']}"
+        )
     n_part = manifest["n_partitions"]
     ends = end_offsets(manifest)
 

@@ -245,3 +245,39 @@ def test_exclusive_producer_fencing(spark, tmp_root):
     assert g3["epoch"] == g2["epoch"] + 1
     # only p1's first 20 + p2's 20 rows landed (p1's fenced write did not)
     assert T.read_topic(spark, tp).count() == 40
+
+
+def test_topic_termination_seals_the_log(spark, tmp_root):
+    # `pulsar-admin topics terminate` / PersistentTopic.terminate: publishes
+    # rejected past the terminal position, consumers drain then observe
+    # hasReachedEndOfTopic (Consumer.hasReachedEndOfTopic)
+    import pytest
+
+    tp = T.create_topic(tmp_root, "tterm", n_partitions=2)
+    env = _env(spark).filter(F.col("sequence_id") < 300)
+    T.append(spark, env, tp)
+
+    assert not T.is_terminated(tp)
+    assert not T.has_reached_end_of_topic(tp, {0: 10**9, 1: 10**9})
+
+    term = T.terminate(tp)
+    assert term == T.end_offsets(T.read_manifest(tp))
+    assert T.is_terminated(tp)
+    # terminate is idempotent and pins the ORIGINAL terminal position
+    assert T.terminate(tp) == term
+
+    late = _env(spark).filter(F.col("sequence_id").between(300, 399))
+    with pytest.raises(T.TopicTerminatedError):
+        T.append(spark, late, tp)
+    # nothing landed
+    assert T.end_offsets(T.read_manifest(tp)) == term
+
+    # a consumer that drained every partition has reached end-of-topic;
+    # a lagging one has not
+    assert T.has_reached_end_of_topic(tp, term)
+    lag = dict(term)
+    lag[0] = max(term[0] - 1, 0)
+    assert not T.has_reached_end_of_topic(tp, lag)
+
+    # the sealed log remains fully readable
+    assert T.read_topic(spark, tp).count() == env.count()
