@@ -42,6 +42,9 @@ N_PRODUCERS = 4
 ENVELOPE_SCHEMA = T.StructType(
     [
         T.StructField("key", T.StringType(), True),
+        # overrides key for Key_Shared dispatch when set (PulsarApi.proto:140,
+        # Message.getOrderingKey — see operators/routing.dispatch_key)
+        T.StructField("ordering_key", T.BinaryType(), True),
         T.StructField("value", T.BinaryType(), True),
         T.StructField("properties", T.MapType(T.StringType(), T.StringType()), True),
         T.StructField("event_time", T.TimestampType(), True),

@@ -47,6 +47,19 @@ def md5_hash32(col):
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
 
 
+def dispatch_key(df_or_cols=None):
+    """The Key_Shared dispatch key: ordering_key overrides the partition key
+    when present (PulsarApi.proto:140; Message.getOrderingKey —
+    PersistentStickyKeyDispatcherMultipleConsumers peeks the ordering key
+    first, StickyKeyConsumerSelector.makeStickyKeyHash). Returns
+    coalesce(ordering_key as string, key); envelopes without the column
+    fall back to key."""
+    cols = df_or_cols.columns if hasattr(df_or_cols, "columns") else df_or_cols
+    if cols is not None and "ordering_key" not in cols:
+        return F.col("key")
+    return F.coalesce(F.col("ordering_key").cast("string"), F.col("key"))
+
+
 def key_shared_bucket(key_col, n_consumers: int, oracle_compat: bool = True):
     """Key_Shared AUTO_SPLIT: equal hash ranges over the 64K slot space →
     consumer id.
@@ -98,7 +111,9 @@ def routing_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def key_shared_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = cached_envelope(spark, sf_dir)
     return (
-        env.withColumn("consumer", key_shared_bucket(F.col("key"), 4))
+        # dispatch_key: ordering_key would override key here if the fixture
+        # set it (PulsarApi.proto:140) — all-NULL in the events envelope
+        env.withColumn("consumer", key_shared_bucket(dispatch_key(env), 4))
         .groupBy("consumer")
         .agg(F.count(F.lit(1)).alias("n_messages"), F.countDistinct("key").alias("n_keys"))
     )

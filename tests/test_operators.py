@@ -143,3 +143,36 @@ def test_consistent_hash_ring_selector(spark):
     assert all(0.10 < s < 0.45 for s in share.values()), share
     moved = [r for r in both if r["with4"] != r["with3"]]
     assert moved and all(r["with4"] == "c3" for r in moved)
+
+
+def test_ordering_key_overrides_key_for_key_shared_dispatch(spark):
+    # PulsarApi.proto:140 / Message.getOrderingKey: Key_Shared dispatch
+    # hashes the ordering key when present, the partition key otherwise —
+    # two messages sharing a key but carrying different ordering keys may
+    # land on different consumers, and vice versa
+    from pulsar_3_2_codedump_spark.operators.routing import (
+        dispatch_key,
+        key_shared_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("user-1", None),            # falls back to key
+            ("user-1", b"device-a"),     # overridden
+            ("user-2", b"device-a"),     # same ordering key -> same consumer
+        ],
+        "key string, ordering_key binary",
+    )
+    out = df.withColumn("consumer", key_shared_bucket(dispatch_key(df), 4)).collect()
+    by = {(r["key"], bytes(r["ordering_key"]) if r["ordering_key"] else None): r["consumer"] for r in out}
+    # rows 2 and 3 share the ordering key -> identical consumer
+    assert by[("user-1", b"device-a")] == by[("user-2", b"device-a")]
+    # fallback row hashes the key itself
+    ref = df.filter("ordering_key IS NULL").withColumn(
+        "consumer", key_shared_bucket(F.col("key"), 4)
+    ).collect()[0]["consumer"]
+    assert by[("user-1", None)] == ref
+    # frames WITHOUT the column keep hashing the key (back-compat path)
+    plain = spark.createDataFrame([("user-1",)], "key string")
+    got = plain.withColumn("consumer", key_shared_bucket(dispatch_key(plain), 4)).collect()
+    assert got[0]["consumer"] == ref
