@@ -346,3 +346,48 @@ def test_dispatch_rate_limit_closed_form_matches_recurrence(spark):
         assert got["n_throttled"] == throttled, part
         assert got["max_delay_us"] == max_delay, part
     assert any(r["n_throttled"] > 0 for r in out.values())
+
+
+def test_token_bucket_variable_costs_match_recurrence(spark):
+    # the shared _token_bucket_pressure closed form with VARIABLE per-message
+    # permit costs (the publish msg+byte dual bucket): recompute
+    # s_j = max(a_j, s_{j-1} + c_{j-1}) sequentially over random arrival
+    # sequences and compare every aggregate
+    import random
+
+    from pulsar_3_2_codedump_spark.operators.timeops import _token_bucket_pressure
+
+    rng = random.Random(31)
+    T_MSG, T_BYTE = 1_000, 77
+    rows = []
+    for key in ("p0", "p1", "p2"):
+        t = 0
+        for i in range(200):
+            t += rng.randint(0, 3_000)
+            rows.append((key, i, t, bytes(b"x" * rng.randint(0, 40))))
+    env = spark.createDataFrame(
+        rows, "producer_name string, offset long, us long, value binary"
+    ).select(
+        "producer_name", "offset", F.timestamp_micros("us").alias("publish_time"), "value"
+    )
+    out = {
+        r["producer_name"]: r
+        for r in _token_bucket_pressure(env, "producer_name", T_MSG, T_BYTE).collect()
+    }
+    seq = {}
+    for key, _i, t, v in rows:
+        seq.setdefault(key, []).append((t, max(T_MSG, len(v) * T_BYTE)))
+    for key, arr in seq.items():
+        s_prev = c_prev = None
+        throttled, max_delay = 0, 0
+        for a, c in arr:
+            s = a if s_prev is None else max(a, s_prev + c_prev)
+            if s > a:
+                throttled += 1
+                max_delay = max(max_delay, s - a)
+            s_prev, c_prev = s, c
+        got = out[key]
+        assert got["n_msgs"] == len(arr)
+        assert got["n_throttled"] == throttled, key
+        assert got["max_delay_us"] == max_delay, key
+    assert any(r["n_throttled"] > 0 for r in out.values())
