@@ -118,6 +118,69 @@ def has_reached_end_of_topic(topic_path: str, cursor: dict[int, int]) -> bool:
     return all(int(cursor.get(int(p), 0)) >= e for p, e in term.items())
 
 
+def gc_inactive_topics(
+    root: str,
+    max_inactive_seconds: float,
+    mode: str = "delete_when_no_subscriptions",
+    now: float | None = None,
+) -> list[str]:
+    """Inactive-topic garbage collection (PersistentTopic.checkGC +
+    InactiveTopicPolicies — pulsar-broker/.../service/persistent/
+    PersistentTopic.java, ServiceConfiguration.brokerDeleteInactiveTopics*;
+    behaviors pinned by InactiveTopicDeleteTest/TopicGCTest): a topic whose
+    manifest hasn't moved within the window is deleted when
+
+    - ``delete_when_no_subscriptions``: it has NO durable subscriptions, or
+    - ``delete_when_subscriptions_caught_up``: every durable subscription's
+      cursor has consumed to the end of every partition (no backlog).
+
+    The activity stamp is the manifest's mtime — every append/stream-commit
+    atomically rewrites it, exactly when the reference touches the managed
+    ledger. Control-plane only (O(#topics) metadata); returns the deleted
+    topic names. ``now`` is injectable for deterministic tests."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    if mode not in ("delete_when_no_subscriptions", "delete_when_subscriptions_caught_up"):
+        raise ValueError(f"unknown GC mode: {mode}")
+    t = _time.time() if now is None else now
+    deleted = []
+    for name in sorted(os.listdir(root)):
+        tp = os.path.join(root, name)
+        mf = _manifest_path(tp)
+        if not os.path.isfile(mf):
+            continue
+        if t - os.path.getmtime(mf) <= max_inactive_seconds:
+            continue
+        sub_dir = os.path.join(tp, "subscriptions")
+        subs = (
+            [f for f in os.listdir(sub_dir) if f.endswith(".json")]
+            if os.path.isdir(sub_dir)
+            else []
+        )
+        if mode == "delete_when_no_subscriptions":
+            collectible = not subs
+        else:
+            ends = end_offsets(read_manifest(tp))
+
+            def caught_up(fn: str) -> bool:
+                # cursor file: {partition: {"mark_delete": last consumed
+                # offset (inclusive), "ranges": [...]}} (subscriptions.py)
+                with open(os.path.join(sub_dir, fn)) as f:
+                    cur = _json.load(f)
+                return all(
+                    int(cur.get(str(p), {}).get("mark_delete", -1)) >= e - 1
+                    for p, e in ends.items()
+                )
+
+            collectible = all(caught_up(fn) for fn in subs)
+        if collectible:
+            shutil.rmtree(tp)
+            deleted.append(name)
+    return deleted
+
+
 def end_offsets(manifest: dict) -> dict[int, int]:
     """Exclusive end offset per partition (== next offset to assign).
 

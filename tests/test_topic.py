@@ -281,3 +281,52 @@ def test_topic_termination_seals_the_log(spark, tmp_root):
 
     # the sealed log remains fully readable
     assert T.read_topic(spark, tp).count() == env.count()
+
+
+def test_gc_inactive_topics(spark, tmp_root):
+    # PersistentTopic.checkGC / InactiveTopicPolicies: idle topics with no
+    # durable subscriptions (or with all subscriptions caught up) are
+    # deleted; active topics and backlogged ones survive
+    import json
+    import os
+    import time
+
+    from pulsar_3_2_codedump_spark.subscriptions import subscription_cursor_path
+
+    env = _env(spark).filter(F.col("sequence_id") < 100)
+    tp_idle = T.create_topic(tmp_root, "idle-no-subs", n_partitions=2)
+    tp_subbed = T.create_topic(tmp_root, "idle-with-sub", n_partitions=2)
+    tp_active = T.create_topic(tmp_root, "active", n_partitions=2)
+    for tp in (tp_idle, tp_subbed, tp_active):
+        T.append(spark, env, tp)
+
+    # durable cursor on tp_subbed, mid-backlog
+    cpath = subscription_cursor_path(tp_subbed, "sub-a")
+    os.makedirs(os.path.dirname(cpath), exist_ok=True)
+    with open(cpath, "w") as f:
+        json.dump({"0": {"mark_delete": 3, "ranges": []}}, f)
+
+    # age the idle topics' manifests; keep tp_active fresh
+    old = time.time() - 3600
+    for tp in (tp_idle, tp_subbed):
+        os.utime(os.path.join(tp, "manifest.json"), (old, old))
+
+    deleted = T.gc_inactive_topics(tmp_root, max_inactive_seconds=600)
+    assert deleted == ["idle-no-subs"]
+    assert not os.path.exists(tp_idle)
+    assert os.path.exists(tp_subbed) and os.path.exists(tp_active)
+
+    # caught-up mode: tp_subbed still has backlog -> survives; advance the
+    # cursor to the end of every partition -> collected
+    assert T.gc_inactive_topics(
+        tmp_root, 600, mode="delete_when_subscriptions_caught_up"
+    ) == []
+    ends = T.end_offsets(T.read_manifest(tp_subbed))
+    with open(cpath, "w") as f:
+        json.dump({str(p): {"mark_delete": e - 1, "ranges": []} for p, e in ends.items()}, f)
+    os.utime(os.path.join(tp_subbed, "manifest.json"), (old, old))
+    assert T.gc_inactive_topics(
+        tmp_root, 600, mode="delete_when_subscriptions_caught_up"
+    ) == ["idle-with-sub"]
+    assert not os.path.exists(tp_subbed)
+    assert os.path.exists(tp_active)
