@@ -186,7 +186,14 @@ def decrypt_at_scan(
     ``decrypt_ok`` boolean; on failure (no known key / tampered ciphertext)
     ConsumerCryptoFailureAction semantics apply: FAIL drops the row from
     the decrypted stream (held back, as the reference consumer stalls it),
-    CONSUME delivers the ciphertext unchanged with decrypt_ok = false."""
+    CONSUME delivers the ciphertext unchanged with decrypt_ok = false AND
+    keeps its ``encryption_keys``/``encryption_param`` so a later holder of
+    the key can still recover it (the reference consumer delivers the raw
+    message with metadata intact). Rows with NULL/empty ``encryption_keys``
+    are unencrypted messages (the envelope documents the column as NULL on
+    plaintext appends; MessageCryptoBc only decrypts when
+    ``getEncryptionKeysCount() > 0``) and pass through unchanged with
+    decrypt_ok = true — a mixed/legacy topic scan must not lose them."""
     if failure_action not in ("FAIL", "CONSUME"):
         raise ValueError("failure_action must be FAIL or CONSUME")
     AESGCM = _aesgcm()
@@ -231,9 +238,13 @@ def decrypt_at_scan(
                     continue
                 # Arrow MapType round-trips as dict or as [(k, v), ...]
                 # depending on the conversion path — accept both
-                pairs = (
+                pairs = list(
                     ekeys.items() if hasattr(ekeys, "items") else (ekeys or [])
                 )
+                if not pairs:  # unencrypted message: deliver untouched
+                    vals.append(bytes(v))
+                    oks.append(True)
+                    continue
                 plain = None
                 for name, wrapped in pairs:
                     master = known.get(name)
@@ -265,8 +276,22 @@ def decrypt_at_scan(
 
     dec = df.mapInPandas(kernel, out_schema)
     if failure_action == "FAIL":
-        dec = dec.filter(F.col("decrypt_ok"))
-    return dec.drop("encryption_keys", "encryption_param")
+        return dec.filter(F.col("decrypt_ok")).drop(
+            "encryption_keys", "encryption_param"
+        )
+    # CONSUME: undecrypted rows keep their wrapped data key + IV (the
+    # reference delivers the raw message with its metadata intact);
+    # decrypted rows shed them like the FAIL path does
+    return dec.withColumns(
+        {
+            "encryption_keys": F.when(
+                ~F.col("decrypt_ok"), F.col("encryption_keys")
+            ),
+            "encryption_param": F.when(
+                ~F.col("decrypt_ok"), F.col("encryption_param")
+            ),
+        }
+    )
 
 
 ENC_DOCS = 200  # doc_id < ENC_DOCS feed the encrypted topic

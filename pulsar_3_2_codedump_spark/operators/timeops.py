@@ -233,19 +233,28 @@ def _token_bucket_pressure(env, key_col: str, token_us: int, byte_token_us: int 
     cost) distributes as s_j = cummax_i(a_i − D_i) + D_j with D the
     exclusive prefix sum of costs — one window cummax per key, exact BIGINT
     microseconds. ``byte_token_us`` adds the byte-rate leg: cost =
-    max(token_us, bytes * byte_token_us)."""
+    max(token_us, bytes * byte_token_us).
+
+    Ordering: ``offset`` is only unique within a topic partition, so when
+    ``key_col`` spans partitions (producer_name) the sort adds ``partition``
+    as a tiebreaker — (publish_time, partition, offset) is globally unique
+    and both engines break ties identically (oracle OVER clauses match)."""
     from pyspark.sql.window import Window as W
 
-    jw = W.partitionBy(key_col).orderBy("publish_time", "offset")
+    order_cols = (
+        ["publish_time", "offset"]
+        if key_col == "partition"
+        else ["publish_time", "partition", "offset"]
+    )
+    jw = W.partitionBy(key_col).orderBy(*order_cols)
     cost = (
         F.greatest(F.lit(token_us), F.length("value").cast("long") * byte_token_us)
         if byte_token_us
         else F.lit(token_us)
     )
+    sel_cols = {key_col, *order_cols}
     r = env.select(
-        key_col,
-        "offset",
-        "publish_time",
+        *sorted(sel_cols),
         F.unix_micros("publish_time").alias("a"),
         cost.cast("long").alias("c"),
     ).withColumn(
@@ -254,7 +263,7 @@ def _token_bucket_pressure(env, key_col: str, token_us: int, byte_token_us: int 
             F.sum("c").over(jw.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
         ),
     )
-    cm = W.partitionBy(key_col).orderBy("publish_time", "offset").rowsBetween(
+    cm = W.partitionBy(key_col).orderBy(*order_cols).rowsBetween(
         W.unboundedPreceding, 0
     )
     s = r.withColumn("start_us", F.max(F.col("a") - F.col("d")).over(cm) + F.col("d"))
@@ -290,20 +299,20 @@ PUB_BYTE_TOKEN_US = 80_000_000  # byte-rate leg: 80s of drain per payload byte
         r AS (
             SELECT producer_name, epoch_us(publish_time) AS a,
                    GREATEST({PUB_TOKEN_US}, strlen(props) * {PUB_BYTE_TOKEN_US}) AS c,
-                   publish_time, "offset"
+                   publish_time, partition, "offset"
             FROM envelope),
         d AS (
             SELECT producer_name, a, c,
                    COALESCE(SUM(c) OVER (PARTITION BY producer_name
-                                         ORDER BY publish_time, "offset"
+                                         ORDER BY publish_time, partition, "offset"
                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                             0) AS d,
-                   publish_time, "offset"
+                   publish_time, partition, "offset"
             FROM r),
         s AS (
             SELECT producer_name, a,
                    MAX(a - d) OVER (PARTITION BY producer_name
-                                    ORDER BY publish_time, "offset"
+                                    ORDER BY publish_time, partition, "offset"
                                     ROWS UNBOUNDED PRECEDING) + d AS start_us
             FROM d)
         SELECT producer_name,

@@ -153,31 +153,42 @@ def gc_inactive_topics(
             continue
         if t - os.path.getmtime(mf) <= max_inactive_seconds:
             continue
-        sub_dir = os.path.join(tp, "subscriptions")
-        subs = (
-            [f for f in os.listdir(sub_dir) if f.endswith(".json")]
-            if os.path.isdir(sub_dir)
-            else []
-        )
-        if mode == "delete_when_no_subscriptions":
-            collectible = not subs
-        else:
-            ends = end_offsets(read_manifest(tp))
+        # The delete races concurrent appends/stream-commits: a writer that
+        # passed its own checks could land between our mtime check and the
+        # rmtree (the reference's checkGC only collects topics with no
+        # connected producers). Take the topic writer lock and re-verify
+        # EVERYTHING under it — the mtime re-read catches a commit that
+        # just finished, the lock excludes one in flight.
+        with _topic_write_lock(tp):
+            if not os.path.isfile(mf):
+                continue
+            if t - os.path.getmtime(mf) <= max_inactive_seconds:
+                continue
+            sub_dir = os.path.join(tp, "subscriptions")
+            subs = (
+                [f for f in os.listdir(sub_dir) if f.endswith(".json")]
+                if os.path.isdir(sub_dir)
+                else []
+            )
+            if mode == "delete_when_no_subscriptions":
+                collectible = not subs
+            else:
+                ends = end_offsets(read_manifest(tp))
 
-            def caught_up(fn: str) -> bool:
-                # cursor file: {partition: {"mark_delete": last consumed
-                # offset (inclusive), "ranges": [...]}} (subscriptions.py)
-                with open(os.path.join(sub_dir, fn)) as f:
-                    cur = _json.load(f)
-                return all(
-                    int(cur.get(str(p), {}).get("mark_delete", -1)) >= e - 1
-                    for p, e in ends.items()
-                )
+                def caught_up(fn: str) -> bool:
+                    # cursor file: {partition: {"mark_delete": last consumed
+                    # offset (inclusive), "ranges": [...]}} (subscriptions.py)
+                    with open(os.path.join(sub_dir, fn)) as f:
+                        cur = _json.load(f)
+                    return all(
+                        int(cur.get(str(p), {}).get("mark_delete", -1)) >= e - 1
+                        for p, e in ends.items()
+                    )
 
-            collectible = all(caught_up(fn) for fn in subs)
-        if collectible:
-            shutil.rmtree(tp)
-            deleted.append(name)
+                collectible = all(caught_up(fn) for fn in subs)
+            if collectible:
+                shutil.rmtree(tp)
+                deleted.append(name)
     return deleted
 
 

@@ -63,6 +63,70 @@ def test_unknown_key_fail_holds_rows_consume_delivers_ciphertext(spark):
         assert r["value"] == ct[r["doc_id"]]
 
 
+def test_mixed_topic_plaintext_passthrough(spark):
+    # A mixed/legacy topic: some messages encrypted, some appended before
+    # encryption was enabled (encryption_keys NULL). The reference consumer
+    # only attempts decryption when encryption keys are present
+    # (MessageCryptoBc path gated on getEncryptionKeysCount() > 0) and
+    # delivers plaintext messages untouched — even under FAIL.
+    enc = encrypt_at_append(
+        spark.createDataFrame([(1, b"secret")], "doc_id long, value binary"),
+        ["a"],
+        CryptoKeyReader({"a": KEY_A}),
+    )
+    plain = spark.createDataFrame(
+        [(2, b"legacy plaintext")], "doc_id long, value binary"
+    ).select(
+        "doc_id",
+        "value",
+        F.lit(None).cast("map<string,binary>").alias("encryption_keys"),
+        F.lit(None).cast("binary").alias("encryption_param"),
+    )
+    mixed = enc.unionByName(plain)
+    for action in ("FAIL", "CONSUME"):
+        got = {
+            r["doc_id"]: r
+            for r in decrypt_at_scan(
+                mixed, CryptoKeyReader({"a": KEY_A}), failure_action=action
+            ).collect()
+        }
+        assert got[1]["value"] == b"secret" and got[1]["decrypt_ok"] is True
+        assert got[2]["value"] == b"legacy plaintext"
+        assert got[2]["decrypt_ok"] is True
+    # even a consumer with NO matching key must not lose plaintext rows
+    stranger = CryptoKeyReader({"other": KEY_B})
+    held = decrypt_at_scan(mixed, stranger, failure_action="FAIL").collect()
+    assert {r["doc_id"] for r in held} == {2}
+    assert held[0]["value"] == b"legacy plaintext"
+
+
+def test_consume_keeps_encryption_metadata(spark):
+    # ConsumerCryptoFailureAction.CONSUME delivers the raw message WITH its
+    # encryption metadata intact, so a later holder of the key can recover
+    # it; decrypted rows shed the metadata like the FAIL path.
+    df = spark.createDataFrame(
+        [(1, b"for-a"), (2, b"also-for-a")], "doc_id long, value binary"
+    )
+    enc = encrypt_at_append(df, ["a"], CryptoKeyReader({"a": KEY_A})).cache()
+    enc.count()
+    stranger = CryptoKeyReader({"other": KEY_B})
+    out = decrypt_at_scan(enc, stranger, failure_action="CONSUME")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    for r in rows.values():
+        assert r["decrypt_ok"] is False
+        assert set(r["encryption_keys"].keys()) == {"a"}
+        assert len(r["encryption_param"]) == 12
+    # the retained metadata is sufficient to decrypt later with the real key
+    recovered = decrypt_at_scan(out.drop("decrypt_ok"), CryptoKeyReader({"a": KEY_A}))
+    got = {r["doc_id"]: r["value"] for r in recovered.collect()}
+    assert got == {1: b"for-a", 2: b"also-for-a"}
+    # a holder of the key sees decrypted rows with metadata cleared
+    ok = decrypt_at_scan(enc, CryptoKeyReader({"a": KEY_A}), failure_action="CONSUME")
+    for r in ok.collect():
+        assert r["decrypt_ok"] is True
+        assert r["encryption_keys"] is None and r["encryption_param"] is None
+
+
 def test_tampered_ciphertext_fails_gcm_auth(spark):
     df = spark.createDataFrame([(1, b"authentic payload")], "doc_id long, value binary")
     enc = encrypt_at_append(df, ["a"], CryptoKeyReader({"a": KEY_A}))
