@@ -493,16 +493,45 @@ def offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     section="2.M-agg",
     doc="approx_percentile (mergeable sketch) — the 100 TB substitute for exact "
     "percentiles (partial+final agg instead of per-group value buffering). "
-    "Engine-specific estimates → rows-only check; the rank-error envelope "
-    "(accuracy=10000) is asserted in tests/test_sketches.py.",
-    oracle=None,
+    "Estimates are engine-specific, so the hashable surface is a RANK-ERROR "
+    "ENVELOPE: per group, booleans asserting the accuracy=10000 estimate "
+    "(rank error 1e-4) lies between the EXACT quantiles at p∓0.01 — computed "
+    "Spark-side from the same data; the oracle emits TRUE, so a drifting "
+    "sketch hash-mismatches. Exact group count + min/max price anchor the "
+    "hash to real values. Tighter envelopes in tests/test_sketches.py.",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               ROUND(MIN(l_extendedprice), 2) AS min_price,
+               ROUND(MAX(l_extendedprice), 2) AS max_price,
+               TRUE AS p50_in_bound,
+               TRUE AS p95_in_bound
+        FROM lineitem GROUP BY l_returnflag
+    """,
 )
 def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
-        F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("a50"),
+        F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("a95"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.49, 0.51, 0.94, 0.96))"
+        ).alias("qb"),
         F.count(F.lit(1)).alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "min_price",
+        "max_price",
+        ((F.col("a50") >= F.col("qb")[0]) & (F.col("a50") <= F.col("qb")[1])).alias(
+            "p50_in_bound"
+        ),
+        ((F.col("a95") >= F.col("qb")[2]) & (F.col("a95") <= F.col("qb")[3])).alias(
+            "p95_in_bound"
+        ),
     )
 
 
@@ -672,31 +701,61 @@ def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "theta_union_agg over the per-group sketches — the mergeability that "
     "makes these the 100 TB form (sketches, not rows, cross every shuffle "
     "and re-aggregate across partitions/days/topics). Sketch internals are "
-    "engine-specific ⇒ rows-only driver check; error envelopes vs exact "
-    "distinct counts and exact quantiles are asserted in "
+    "engine-specific, so the hashable surface is an ERROR ENVELOPE: exact "
+    "distinct-user counts (identical SQL both sides) plus booleans "
+    "asserting the Theta estimate is within 5% of exact and each KLL "
+    "quantile lies between the exact quantiles at rank ∓0.05 (KLL default "
+    "k=200 has ~1.7% rank error) — the oracle emits TRUE, so a drifting "
+    "sketch hash-mismatches. The '__all__' row's bound judges "
+    "theta_union_agg over the per-group sketches, proving mergeability, "
+    "not just per-group accuracy. Tighter envelopes in "
     "tests/test_sketches.py.",
-    oracle=None,
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS users_in_bound,
+               TRUE AS q50_in_bound,
+               TRUE AS q95_in_bound
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT '__all__' AS event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS users_in_bound,
+               CAST(NULL AS BOOLEAN) AS q50_in_bound,
+               CAST(NULL AS BOOLEAN) AS q95_in_bound
+        FROM events
+    """,
 )
 def theta_kll_sketch_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
+
+    def theta_bound(est, exact):
+        return F.abs(est - exact) <= F.greatest(F.lit(1.0), exact * 0.05)
+
     per = ev.groupBy("event_type").agg(
         F.theta_sketch_agg("user_id").alias("th"),
         F.kll_sketch_agg_double("value").alias("kll"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, array(0.45, 0.55, 0.90, 0.99))").alias("qb"),
     )
+    q50 = F.kll_sketch_get_quantile_double("kll", F.lit(0.5))
+    q95 = F.kll_sketch_get_quantile_double("kll", F.lit(0.95))
     by_type = per.select(
         "event_type",
-        F.theta_sketch_estimate("th").cast("long").alias("approx_distinct_users"),
-        F.round(F.kll_sketch_get_quantile_double("kll", F.lit(0.5)), 4).alias("q50_value"),
-        F.round(F.kll_sketch_get_quantile_double("kll", F.lit(0.95)), 4).alias("q95_value"),
+        "exact_users",
+        theta_bound(F.theta_sketch_estimate("th"), F.col("exact_users")).alias(
+            "users_in_bound"
+        ),
+        ((q50 >= F.col("qb")[0]) & (q50 <= F.col("qb")[1])).alias("q50_in_bound"),
+        ((q95 >= F.col("qb")[2]) & (q95 <= F.col("qb")[3])).alias("q95_in_bound"),
     )
     merged = per.agg(
-        F.theta_sketch_estimate(F.theta_union_agg("th")).cast("long").alias(
-            "approx_distinct_users"
-        )
-    ).select(
+        F.theta_sketch_estimate(F.theta_union_agg("th")).alias("m_est")
+    ).crossJoin(ev.agg(F.countDistinct("user_id").alias("exact_users"))).select(
         F.lit("__all__").alias("event_type"),
-        "approx_distinct_users",
-        F.lit(None).cast("double").alias("q50_value"),
-        F.lit(None).cast("double").alias("q95_value"),
+        "exact_users",
+        theta_bound(F.col("m_est"), F.col("exact_users")).alias("users_in_bound"),
+        F.lit(None).cast("boolean").alias("q50_in_bound"),
+        F.lit(None).cast("boolean").alias("q95_in_bound"),
     )
     return by_type.unionByName(merged)
