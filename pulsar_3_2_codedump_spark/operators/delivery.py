@@ -509,3 +509,176 @@ def peek_skip_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_cursor",
         )
     )
+
+
+NACK_MIN_DELAY_MS = 10_000   # MultiplierRedeliveryBackoff default minDelayMs
+NACK_MULTIPLIER = 2          # default multiplier (maxDelayMs=600s never binds at depth ≤ 3)
+
+
+@query(
+    "nack_redelivery_ladder",
+    section="2.J4",
+    doc="Negative-ack → backoff → redeliver → DLQ ladder (NegativeAcksTracker"
+    ".java:38,69,95-115: a nacked message re-enters dispatch after "
+    "RedeliveryBackoff.next(redeliveryCount); MultiplierRedeliveryBackoff"
+    ".java:45-54: next(k) = min(minDelay·multiplier^k, maxDelay); "
+    "DeadLetterPolicy.java:44-62: at maxRedeliverCount=3 nacks the message "
+    "routes to <topic>-DLQ instead of redelivering). Deterministic clock: "
+    "processing of 'error' messages fails sequence_id % 5 times, so each "
+    "message climbs LEAST(fails, 3) rungs; with the default 10s/×2 backoff "
+    "the total added latency has the closed form 10s·(2^nacks − 1) — the "
+    "whole ladder folds to scan-local integer expressions, one aggregate, "
+    "no shuffle beyond the final 4-group rollup. Output per rung: outcome "
+    "(acked vs DLQ), message count, ladder delay, and the latest final-"
+    "delivery instant.",
+    oracle=f"""
+        {_ENV},
+        ladder AS (
+            SELECT LEAST(sequence_id % 5, {MAX_REDELIVER}) AS nacks,
+                   CASE WHEN sequence_id % 5 >= {MAX_REDELIVER}
+                        THEN 'events-DLQ' ELSE 'acked' END AS outcome,
+                   publish_time
+            FROM envelope WHERE event_type = 'error')
+        SELECT nacks, outcome,
+               COUNT(*) AS n_msgs,
+               CAST({NACK_MIN_DELAY_MS} * ((1 << nacks) - 1) AS BIGINT) AS ladder_delay_ms,
+               STRFTIME(MAX(publish_time
+                            + to_microseconds({NACK_MIN_DELAY_MS} * 1000 * ((1 << nacks) - 1))),
+                        '%Y-%m-%d %H:%M:%S.%f') AS last_final_delivery
+        FROM ladder GROUP BY nacks, outcome
+    """,
+)
+def nack_redelivery_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = cached_envelope(spark, sf_dir).filter(
+        F.col("properties")["event_type"] == "error"
+    )
+    fails = F.col("sequence_id") % 5
+    nacks = F.least(fails, F.lit(MAX_REDELIVER).cast("long"))
+    delay_ms = F.expr(
+        f"CAST({NACK_MIN_DELAY_MS} * (shiftleft(1, CAST(least(sequence_id % 5, "
+        f"{MAX_REDELIVER}) AS INT)) - 1) AS BIGINT)"
+    )
+    ladder = env.select(
+        nacks.alias("nacks"),
+        F.when(fails >= MAX_REDELIVER, F.lit("events-DLQ"))
+        .otherwise(F.lit("acked"))
+        .alias("outcome"),
+        delay_ms.alias("ladder_delay_ms"),
+        F.timestamp_micros(
+            F.unix_micros("publish_time") + delay_ms * 1000
+        ).alias("final_delivery"),
+    )
+    return ladder.groupBy("nacks", "outcome", "ladder_delay_ms").agg(
+        F.count(F.lit(1)).alias("n_msgs"),
+        F.date_format(F.max("final_delivery"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_final_delivery"
+        ),
+    ).select("nacks", "outcome", "n_msgs", "ladder_delay_ms", "last_final_delivery")
+
+
+# GC / expiry admin-scan dims: sub-live tails every partition caught-up;
+# sub-lag is a backlogged subscription over partitions 0-3 only, its cursor
+# stuck at offset GC_LAG_CURSOR
+GC_LAG_CURSOR = 499
+
+
+@query(
+    "topic_gc_candidates",
+    section="2.A-admin",
+    doc="Inactive-topic GC decision scan (PersistentTopic.checkGC + "
+    "InactiveTopicPolicies delete_when_subscriptions_caught_up; the "
+    "filesystem sweep itself is topic.gc_inactive_topics, pytest-pinned in "
+    "tests/test_topic.py): treating each partition as a topic, a durable "
+    "tail subscription (sub-live) is caught up everywhere, while a "
+    "backlogged regex subscription (sub-lag, partitions 0-3, cursor stuck "
+    f"at {GC_LAG_CURSOR}) pins its partitions — a topic is collectible iff "
+    "EVERY durable subscription has consumed to the end. Pure metadata "
+    "aggregate: one scan, one group-by, the GC verdict is a scan-local "
+    "boolean.",
+    oracle=f"""
+        {_ENV},
+        ends AS (SELECT partition, MAX("offset") AS last_offset, COUNT(*) AS n_msgs
+                 FROM envelope GROUP BY partition)
+        SELECT partition, last_offset, n_msgs,
+               CAST(1 + CASE WHEN partition < 4 THEN 1 ELSE 0 END AS BIGINT) AS n_subs,
+               CAST(1 + CASE WHEN partition < 4 AND {GC_LAG_CURSOR} >= last_offset
+                             THEN 1 ELSE 0 END AS BIGINT) AS n_caught_up,
+               (partition >= 4 OR {GC_LAG_CURSOR} >= last_offset) AS collectible
+        FROM ends
+    """,
+)
+def topic_gc_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = cached_envelope(spark, sf_dir)
+    ends = env.groupBy("partition").agg(
+        F.max("offset").alias("last_offset"), F.count(F.lit(1)).alias("n_msgs")
+    )
+    lag_covers = F.col("partition") < 4
+    lag_caught = F.lit(GC_LAG_CURSOR) >= F.col("last_offset")
+    return ends.select(
+        "partition",
+        "last_offset",
+        "n_msgs",
+        (F.lit(1) + lag_covers.cast("int")).cast("long").alias("n_subs"),
+        (F.lit(1) + (lag_covers & lag_caught).cast("int")).cast("long").alias(
+            "n_caught_up"
+        ),
+        (~lag_covers | lag_caught).alias("collectible"),
+    )
+
+
+# Subscription-expiry scan dims: (subscription, stuck markDelete cursor)
+EXPIRY_SUBS = [("sub-idle", 100), ("sub-active", 1_000_000_000)]
+EXPIRY_WINDOW_DAYS = 7
+
+
+@query(
+    "subscription_expiry_scan",
+    section="2.J-admin",
+    doc="Subscription expiry decision scan (PersistentTopic."
+    "checkInactiveSubscriptions:2990-3014 — a durable subscription with no "
+    "connected consumer whose cursor lastActive is older than "
+    "subscriptionExpirationTimeMinutes is deleted; the filesystem sweep is "
+    "subscriptions.expire_inactive_subscriptions, pytest-pinned): cursor "
+    "lastActive modeled as the publish_time at the markDelete position, so "
+    "sub-idle (cursor stuck at offset 100) expired long ago while "
+    "sub-active (tailing) is live. Broadcast 2-row dim joined on the "
+    "cursor inequality, one aggregate per (sub, partition).",
+    oracle=f"""
+        {_ENV},
+        subs AS (SELECT * FROM (VALUES {", ".join(f"('{s}', {c})" for s, c in EXPIRY_SUBS)})
+                 AS t(sub, cursor)),
+        la AS (
+            SELECT s.sub, e.partition, s.cursor,
+                   MAX(e.publish_time) AS last_active
+            FROM envelope e JOIN subs s ON e."offset" <= s.cursor
+            GROUP BY s.sub, e.partition, s.cursor)
+        SELECT sub, partition, CAST(cursor AS BIGINT) AS cursor,
+               STRFTIME(last_active, '%Y-%m-%d %H:%M:%S.%f') AS last_active,
+               last_active < (SELECT MAX(publish_time) FROM envelope)
+                             - INTERVAL {EXPIRY_WINDOW_DAYS} DAY AS expired
+        FROM la
+    """,
+)
+def subscription_expiry_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = cached_envelope(spark, sf_dir)
+    subs = spark.createDataFrame(EXPIRY_SUBS, "sub string, cursor long")
+    la = (
+        env.select("partition", "offset", "publish_time")
+        .join(F.broadcast(subs), F.col("offset") <= F.col("cursor"))
+        .groupBy("sub", "partition", "cursor")
+        .agg(F.max("publish_time").alias("last_active"))
+    )
+    horizon = env.agg(
+        (F.max("publish_time") - F.expr(f"INTERVAL {EXPIRY_WINDOW_DAYS} DAY")).alias(
+            "h"
+        )
+    )
+    return la.crossJoin(F.broadcast(horizon)).select(
+        "sub",
+        "partition",
+        "cursor",
+        F.date_format("last_active", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_active"
+        ),
+        (F.col("last_active") < F.col("h")).alias("expired"),
+    )

@@ -148,6 +148,92 @@ def entry_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESCHEDULE_DELAY_H = 2  # postponement before a RESCHEDULE entry re-dispatches
+
+
+def entry_filter_dispatch(env: DataFrame, verdict, as_of: str, delay_hours: int = RESCHEDULE_DELAY_H) -> DataFrame:
+    """Full EntryFilter verdict routing (EntryFilter.FilterResult,
+    pulsar-broker/.../service/plugin/EntryFilter.java:42-54, applied in
+    AbstractBaseDispatcher.filterEntriesForConsumer:163-173): ACCEPT rows
+    dispatch immediately; REJECT rows are skipped permanently (acked past);
+    RESCHEDULE rows are "postponed — should not go to this consumer" now:
+    the dispatcher adds their position to the redelivery set and they come
+    back on a later read. Spark re-expression: RESCHEDULE stamps
+    ``deliver_at`` = publish_time + delay (the delayed-set form used by
+    streaming/delayed.py), and a dispatch at ``as_of`` classifies each row:
+
+    - ``delivered``    — ACCEPT, published by as_of
+    - ``redelivered``  — RESCHEDULE whose postponement has elapsed by as_of
+    - ``pending``      — RESCHEDULE still postponed (in the redelivery set)
+    - ``rejected``     — REJECT (dropped + acked, never delivered)
+
+    One scan, no shuffle: verdict and disposition are both scan-local
+    CASE expressions Catalyst folds into the read."""
+    ts = F.lit(as_of).cast("timestamp")
+    env = env.filter(F.col("publish_time") <= ts).withColumn("verdict", verdict)
+    resched_at = F.timestamp_micros(
+        F.unix_micros(F.col("publish_time")) + delay_hours * 3_600_000_000
+    )
+    return env.withColumn(
+        "disposition",
+        F.when(F.col("verdict") == "REJECT", F.lit("rejected"))
+        .when(F.col("verdict") == "ACCEPT", F.lit("delivered"))
+        .when(resched_at <= ts, F.lit("redelivered"))
+        .otherwise(F.lit("pending")),
+    )
+
+
+@query(
+    "entry_filter_reschedule",
+    section="2.C1",
+    doc="EntryFilter RESCHEDULE verdict routing (EntryFilter.java:42-54 "
+    "FilterResult; AbstractBaseDispatcher.filterEntriesForConsumer:163-173 "
+    "adds RESCHEDULE positions to entriesToRedeliver): click entries are "
+    "REJECTed, signup entries RESCHEDULEd (postponed 2h into the delayed "
+    "set), everything else ACCEPTed. Dispatch at an as-of instant counts "
+    "each disposition per partition — rescheduled entries whose "
+    "postponement elapsed show up as redelivered, the rest sit pending in "
+    "the redelivery set. Single scan, one aggregate.",
+    oracle=f"""
+        {_ENV}
+        SELECT partition,
+               CAST(SUM(CASE WHEN event_type NOT IN ('click', 'signup')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_delivered,
+               CAST(SUM(CASE WHEN event_type = 'signup'
+                              AND publish_time + INTERVAL {RESCHEDULE_DELAY_H} HOUR
+                                  <= TIMESTAMP '2024-01-15 00:00:00'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_redelivered,
+               CAST(SUM(CASE WHEN event_type = 'signup'
+                              AND publish_time + INTERVAL {RESCHEDULE_DELAY_H} HOUR
+                                  > TIMESTAMP '2024-01-15 00:00:00'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected
+        FROM envelope
+        WHERE publish_time <= TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY partition
+    """,
+)
+def entry_filter_reschedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = cached_envelope(spark, sf_dir)
+    et = F.col("properties")["event_type"]
+    verdict = (
+        F.when(et == "click", F.lit("REJECT"))
+        .when(et == "signup", F.lit("RESCHEDULE"))
+        .otherwise(F.lit("ACCEPT"))
+    )
+    routed = entry_filter_dispatch(env, verdict, "2024-01-15 00:00:00")
+    one_if = lambda d: F.sum(  # noqa: E731
+        F.when(F.col("disposition") == d, 1).otherwise(0)
+    ).cast("long")
+    return routed.groupBy("partition").agg(
+        one_if("delivered").alias("n_delivered"),
+        one_if("redelivered").alias("n_redelivered"),
+        one_if("pending").alias("n_pending"),
+        one_if("rejected").alias("n_rejected"),
+    )
+
+
 @query(
     "multi_topic_union",
     section="2.A5",

@@ -176,3 +176,52 @@ def test_ordering_key_overrides_key_for_key_shared_dispatch(spark):
     plain = spark.createDataFrame([("user-1",)], "key string")
     got = plain.withColumn("consumer", key_shared_bucket(dispatch_key(plain), 4)).collect()
     assert got[0]["consumer"] == ref
+
+
+def test_entry_filter_reschedule_redelivers_after_delay(spark):
+    # EntryFilter.FilterResult.RESCHEDULE (EntryFilter.java:42-54): a
+    # rescheduled entry is postponed, NOT dropped — it must re-dispatch once
+    # its postponement elapses, and a REJECTed entry must never appear.
+    from pulsar_3_2_codedump_spark.operators.routing import entry_filter_dispatch
+
+    rows = [
+        # (key, event_type, publish_time)
+        ("a", "purchase", "2024-01-10 00:00:00"),  # ACCEPT
+        ("b", "signup", "2024-01-14 23:00:00"),    # RESCHEDULE, due 01:00
+        ("c", "signup", "2024-01-14 21:00:00"),    # RESCHEDULE, due 23:00
+        ("d", "click", "2024-01-10 00:00:00"),     # REJECT
+    ]
+    env = spark.createDataFrame(rows, "key string, et string, pt string").select(
+        "key",
+        F.create_map(F.lit("event_type"), F.col("et")).alias("properties"),
+        F.col("pt").cast("timestamp").alias("publish_time"),
+    )
+    et = F.col("properties")["event_type"]
+    verdict = (
+        F.when(et == "click", F.lit("REJECT"))
+        .when(et == "signup", F.lit("RESCHEDULE"))
+        .otherwise(F.lit("ACCEPT"))
+    )
+
+    def dispositions(as_of):
+        out = entry_filter_dispatch(env, verdict, as_of, delay_hours=2)
+        return {r["key"]: r["disposition"] for r in out.collect()}
+
+    # T1 = 2024-01-15 00:00: c's 2h postponement elapsed (due 23:00), b's
+    # has not (due 01:00 next day) — b sits in the redelivery set
+    at_t1 = dispositions("2024-01-15 00:00:00")
+    assert at_t1 == {
+        "a": "delivered",
+        "b": "pending",
+        "c": "redelivered",
+        "d": "rejected",
+    }
+    # T2 = 2024-01-15 02:00: b's postponement elapsed too — the pending
+    # entry re-delivered; the REJECTed entry still never delivers
+    at_t2 = dispositions("2024-01-15 02:00:00")
+    assert at_t2 == {
+        "a": "delivered",
+        "b": "redelivered",
+        "c": "redelivered",
+        "d": "rejected",
+    }
