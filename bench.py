@@ -47,6 +47,16 @@ HEADLINE = [
     "text_quality_score",
 ]
 
+# Scale-killer regression guard (VERDICT r7 item 6): the r7-repaired heavy
+# queries, timed and reported under "secondary" so a regression shows up in
+# BENCH_r{N}.json — but kept OUT of the frozen headline set/total so the
+# cross-round headline series stays comparable.
+SECONDARY = [
+    "rfm_scores",
+    "cdc_chunk_dedup",
+    "token_balanced_shards",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -55,7 +65,7 @@ def main() -> None:
     registry = load_all()
     spark = get_spark("bench")
 
-    for name in HEADLINE:  # warmup: JIT/codegen/parquet footer caches
+    for name in HEADLINE + SECONDARY:  # warmup: JIT/codegen/parquet footer caches
         try:
             registry[name].fn(spark, warm_dir).collect()
         except Exception:
@@ -69,12 +79,17 @@ def main() -> None:
 
     cached_envelope(spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        n = len(registry[name].fn(spark, sf_dir).collect())
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    def run_timed(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            t0 = time.time()
+            n = len(registry[name].fn(spark, sf_dir).collect())
+            out[name] = round(time.time() - t0, 3)
+            print(f"# {name}: {out[name]:.3f}s ({n} rows)", file=sys.stderr)
+        return out
+
+    timings = run_timed(HEADLINE)
+    secondary = run_timed(SECONDARY)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -84,6 +99,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "secondary": secondary,
                 "sf": sf,
             }
         )
