@@ -47,47 +47,19 @@ def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""
 
 
 # The correctness harness verifies queries in registry order with a bounded
-# budget (50 per round). Round-7 rotation (VERDICT r6 directive #1: clear
-# the never-hashed backlog): the window holds ONLY queries with no driver
-# hash under current code — (a) the judge-named high-value r6 additions,
-# (b) everything whose code changed in r7 (the four repaired scale-killer
-# plans, the chunk-reassembly dedupe, the refactored token-bucket/prefix
-# helpers) plus the two new operators (encryption round-trip, publish rate
-# limit), (c) the six r1-era scalar-library queries never re-hashed since
-# the fixture regenerations, and (d) the rest of the never-hashed r6 tail.
-# The remaining 21 never-hashed queries queue immediately after the
-# boundary for r8; the standing-green tail (r4-r6 hashed, code unchanged)
-# follows.
+# budget (50 per round). Round-8 rotation (VERDICT r7 directive #1: finish
+# the never-hashed backlog): the window holds (a) the 24 queries that have
+# never had a driver hash — the r7 post-boundary queue, including the two
+# approx sketches that NOW carry envelope oracles, (b) the four operators
+# new in r8 (EntryFilter RESCHEDULE, nack ladder, the two admin decision
+# scans), (c) everything whose code changed in r8 (the sketch-battery
+# envelope rewrite, the crypto plaintext-passthrough/CONSUME fixes, the
+# rate-limit tiebreaker family), and (d) 16 freshness re-hashes of r4-era
+# rows whose hashes are the oldest in the series. After the boundary the
+# standing-green tail follows in prior order.
 PRIORITY_ORDER = [
-    # (a) judge-named high-value never-hashed
-    "pq_adc_ann_topk", "ivfadc_ann_topk", "semdedup_prune",
-    "duplicated_ngram_coverage", "dedup_span_removal",
-    "quality_classifier_score", "streaming_late_side_topic",
-    "streaming_left_outer_join", "streaming_full_outer_join",
-    "chunked_messages_roundtrip", "streaming_chunk_reassembly",
-    "token_balanced_shards", "count_min_heavy_hitters",
-    # (b) new or code-changed this round — r7 hash is the first valid one
-    "encrypted_roundtrip", "streaming_encrypted_scan",
-    "publish_rate_limit", "subscribe_rate_limit", "peek_skip_messages",
-    "cdc_chunk_dedup", "rfm_scores", "watermark_late_data",
-    "sorted_neighborhood_pairs", "minhash_estimate_error",
-    "dispatch_rate_limit",
-    # (c) r1-era scalar library — never re-hashed since two fixture
-    # regenerations
-    "json_properties", "string_library", "date_extraction",
-    "regexp_functions", "array_functions", "offset_pagination",
-    # (d) never-hashed r6 tail
-    "temperature_mixture", "backlog_quota_eviction", "priority_dispatch",
-    "streaming_multi_topic_union", "ohlc_resample",
-    "theta_kll_sketch_battery", "streaming_sequence_gap_monitor",
-    "pivot_revenue_matrix", "lsh_dedup_recall", "dedup_keep_best",
-    "quantized_ann_recall", "event_trigram_paths", "knn_label_vote",
-    "scd2_intervals", "group_holdout_split", "winsorized_stats",
-    "tfidf_top_terms", "zipf_slope", "topic_storage_stats",
-    "shingle_containment_pairs",
-    # ---- rotation window boundary (50) ----
-    # r8 queue: the remaining never-hashed queries (all locally verified +
-    # pytest-pinned; the two approx sketches are rows-only by design)
+    # (a) the last never-driver-hashed queries — after this round, every
+    # registered query has at least one green CORRECTNESS row
     "chi2_terms", "vocab_oov_rate", "length_bucketing",
     "embedding_centroids", "bm25_topk", "setsim_prefix_join",
     "repeated_passages", "funnel_conversion", "cohort_retention",
@@ -97,7 +69,41 @@ PRIORITY_ORDER = [
     "streaming_topk", "anomaly_zscore", "moving_range_frame_revenue",
     "unpivot_price_components", "streaming_static_enrich",
     "approx_distinct_sketch", "approx_percentile_sketch",
-    # standing-green tail: hashed r6 (code unchanged since)
+    # (b) new in r8
+    "entry_filter_reschedule", "nack_redelivery_ladder",
+    "topic_gc_candidates", "subscription_expiry_scan",
+    # (c) code changed in r8 — prior hashes invalidated
+    "theta_kll_sketch_battery", "encrypted_roundtrip",
+    "streaming_encrypted_scan", "publish_rate_limit",
+    "subscribe_rate_limit", "dispatch_rate_limit",
+    # (d) freshness: oldest (r4) hashes, code unchanged
+    "tableview_latest", "txn_visibility", "minhash_lsh_dedup",
+    "asof_join_prior_view", "text_token_stats", "sequence_packing",
+    "bpe_regex_tokens", "multimodal_metadata",
+    "compaction_tombstones", "strategic_compaction", "compacted_read",
+    "dedup_producer_sequence", "delayed_delivery_due", "ttl_expiry",
+    "seek_by_timestamp", "last_message_id",
+    # ---- rotation window boundary (50) ----
+    # standing-green tail (r5-r7 hashed, code unchanged since)
+    "pq_adc_ann_topk", "ivfadc_ann_topk", "semdedup_prune",
+    "duplicated_ngram_coverage", "dedup_span_removal",
+    "quality_classifier_score", "streaming_late_side_topic",
+    "streaming_left_outer_join", "streaming_full_outer_join",
+    "chunked_messages_roundtrip", "streaming_chunk_reassembly",
+    "token_balanced_shards", "count_min_heavy_hitters",
+    "peek_skip_messages",
+    "cdc_chunk_dedup", "rfm_scores", "watermark_late_data",
+    "sorted_neighborhood_pairs", "minhash_estimate_error",
+    "json_properties", "string_library", "date_extraction",
+    "regexp_functions", "array_functions", "offset_pagination",
+    "temperature_mixture", "backlog_quota_eviction", "priority_dispatch",
+    "streaming_multi_topic_union", "ohlc_resample",
+    "streaming_sequence_gap_monitor",
+    "pivot_revenue_matrix", "lsh_dedup_recall", "dedup_keep_best",
+    "quantized_ann_recall", "event_trigram_paths", "knn_label_vote",
+    "scd2_intervals", "group_holdout_split", "winsorized_stats",
+    "tfidf_top_terms", "zipf_slope", "topic_storage_stats",
+    "shingle_containment_pairs",
     "lsh_ann_topk", "ivf_ann_topk", "lsh_bucket_stats",
     "ngram_jaccard_pairs", "simhash_fingerprint", "embedding_cosine_neardup",
     "language_id", "doc_fingerprints", "top_terms", "document_chunking",
@@ -120,19 +126,15 @@ PRIORITY_ORDER = [
     "pricing_summary", "scalar_functions",
     # standing-green tail: r4/r5-hashed, code unchanged since
     # (txn_visibility is an envelope-level simulation — the r6 txn_abort fix
-    # is outside its code path, covered by tests/test_txn.py)
-    "tableview_latest", "txn_visibility", "minhash_lsh_dedup",
-    "asof_join_prior_view", "text_token_stats", "sequence_packing",
-    "bpe_regex_tokens", "multimodal_metadata",
+    # is outside its code path, covered by tests/test_txn.py; the 16 oldest
+    # r4 rows moved into window section (d) for a freshness re-hash)
     "min_acctbal_supplier_per_part", "nation_volume_shipping", "nation_market_share",
     "product_profit", "important_part_values", "priority_line_counts",
     "promo_revenue_pct", "top_supplier_revenue", "supplier_part_variety",
     "small_quantity_revenue", "large_volume_customers",
     "disjunctive_predicate_revenue", "excess_volume_suppliers",
     "sole_return_suppliers", "idle_wealthy_customers",
-    "compaction_tombstones", "strategic_compaction", "compacted_read",
-    "dedup_producer_sequence", "delayed_delivery_due", "ttl_expiry",
-    "seek_by_timestamp", "seek_reset_cursor", "last_message_id",
+    "seek_reset_cursor",
     "entry_filter_pushdown", "dlq_routing", "replicator_loop_guard",
     "multi_topic_union", "routing_partition_counts", "key_shared_assignment",
     "key_shared_sticky_ranges", "batch_receive_policy", "ack_holes_redelivery",
