@@ -447,3 +447,138 @@ def token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+SOURCE_CAP = 10  # max docs kept per source (the C4/RefinedWeb domain cap)
+
+
+@query(
+    "source_cap_sample",
+    section="2.N-sample",
+    doc="Per-source document caps (the C4/RefinedWeb 'domain balancing' "
+    "step of a web-scale training pipeline: no single source may dominate "
+    "the mix, and within its cap a source contributes its best documents): "
+    "rank documents within each source by length (n_chars DESC, doc_id "
+    "tiebreak) and keep the top " f"{SOURCE_CAP}" ". The rank window is "
+    "PARTITIONED by source — per-group top-k, the scale-safe form (no "
+    "global ordering anywhere) — and the output is a #sources-row summary "
+    "that drives the downstream sampling join.",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT source, doc_id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM documents)
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN rn <= {SOURCE_CAP} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN rn <= {SOURCE_CAP} THEN n_chars ELSE 0 END)
+                   AS BIGINT) AS kept_chars,
+               COUNT(*) > {SOURCE_CAP} AS cap_hit
+        FROM ranked GROUP BY source
+    """,
+)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") <= SOURCE_CAP
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).cast("long").alias(
+            "kept_chars"
+        ),
+        (F.count(F.lit(1)) > SOURCE_CAP).alias("cap_hit"),
+    )
+
+
+TOKEN_BUDGET_FRAC = 0.25  # train on the best quarter of the corpus by tokens
+
+
+@query(
+    "token_budget_selection",
+    section="2.N-sample",
+    doc="Greedy data selection under a token budget (the 'take the best "
+    "documents until the budget is spent' step of dataset curation — "
+    "quality-ordered greedy selection): documents ordered best-first "
+    "(n_chars DESC, doc_id tiebreak) are kept while the tokens consumed "
+    "BEFORE each document stay under "
+    f"{TOKEN_BUDGET_FRAC:.0%}" " of the corpus total. The running token "
+    "total over the global order is computed with the distributed prefix "
+    "decomposition (operators/prefixops.py: range-bucket partials + "
+    "triangular exclusive carry-ins + within-bucket running sum) — NO "
+    "unpartitioned window — and the budget itself is a one-row broadcast "
+    "(scalar-subquery pattern), so the whole selection is scale-invariant "
+    "and holds at 100 TB.",
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id, lang, n_chars,
+                   len(string_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM documents),
+        c AS (
+            SELECT *, COALESCE(SUM(tok) OVER (ORDER BY n_chars DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS prior
+            FROM t),
+        cut AS (SELECT {TOKEN_BUDGET_FRAC} * SUM(tok) AS budget FROM t)
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN prior < budget THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(SUM(CASE WHEN prior < budget THEN tok ELSE 0 END) AS BIGINT)
+                   AS tokens_kept
+        FROM c, cut GROUP BY lang
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from pulsar_3_2_codedump_spark.functions.text import token_count
+    from pulsar_3_2_codedump_spark.operators.prefixops import (
+        exclusive_prefix,
+        range_bucket,
+    )
+
+    NB = 32
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", token_count(F.col("text")).alias("tok")
+    )
+    # descending-monotone bucket: all rows of bucket b sort (by n_chars
+    # DESC) before all rows of bucket b+1; equal n_chars never straddles a
+    # boundary because the bucket is a pure function of the value
+    b = range_bucket(docs, "n_chars", NB).withColumn(
+        "__db", F.lit(NB - 1) - F.col("bucket")
+    )
+    partials = b.groupBy("__db").agg(F.sum("tok").alias("__t"))
+    carry = exclusive_prefix(partials, "__db", "__t", "sum", "__carry")
+    w = (
+        W.partitionBy("__db")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    run = (
+        b.join(F.broadcast(carry), "__db")
+        .withColumn(
+            "prior",
+            F.coalesce(F.col("__carry"), F.lit(0))
+            + F.sum("tok").over(w)
+            - F.col("tok"),
+        )
+    )
+    budget = docs.agg((F.lit(TOKEN_BUDGET_FRAC) * F.sum("tok")).alias("budget"))
+    kept = F.col("prior") < F.col("budget")
+    return (
+        run.crossJoin(F.broadcast(budget))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("tok")).otherwise(0)).cast("long").alias(
+                "tokens_kept"
+            ),
+        )
+    )

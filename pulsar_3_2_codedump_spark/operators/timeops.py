@@ -236,15 +236,18 @@ def _token_bucket_pressure(env, key_col: str, token_us: int, byte_token_us: int 
     max(token_us, bytes * byte_token_us).
 
     Ordering: ``offset`` is only unique within a topic partition, so when
-    ``key_col`` spans partitions (producer_name) the sort adds ``partition``
-    as a tiebreaker — (publish_time, partition, offset) is globally unique
-    and both engines break ties identically (oracle OVER clauses match)."""
+    ``key_col`` spans partitions (producer_name) and the frame carries a
+    ``partition`` column, the sort adds it as a tiebreaker — (publish_time,
+    partition, offset) is globally unique and both engines break ties
+    identically (oracle OVER clauses match). Frames without a partition
+    column (single-log inputs, where offset is already unique) keep the
+    two-column order."""
     from pyspark.sql.window import Window as W
 
     order_cols = (
-        ["publish_time", "offset"]
-        if key_col == "partition"
-        else ["publish_time", "partition", "offset"]
+        ["publish_time", "partition", "offset"]
+        if key_col != "partition" and "partition" in env.columns
+        else ["publish_time", "offset"]
     )
     jw = W.partitionBy(key_col).orderBy(*order_cols)
     cost = (
