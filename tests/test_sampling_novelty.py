@@ -78,3 +78,62 @@ def test_token_balanced_shards_partition_the_corpus(spark):
     ).collect()[0][0]
     for r in rows[:-1]:
         assert SHARD_TARGET_TOKENS - max_doc < r["shard_tokens"] <= SHARD_TARGET_TOKENS + max_doc
+
+
+def test_source_cap_binds_and_keeps_best(spark):
+    from pulsar_3_2_codedump_spark.functions.sampling import (
+        SOURCE_CAP,
+        source_cap_sample,
+    )
+
+    out = {r["source"]: r for r in source_cap_sample(spark, SF_DIR).collect()}
+    docs = load(spark, SF_DIR, "documents")
+    per_src = {
+        r["source"]: r
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+        .collect()
+    }
+    assert set(out) == set(per_src)
+    for src, r in out.items():
+        assert r["n_kept"] == min(SOURCE_CAP, per_src[src]["n"])
+        assert r["cap_hit"] == (per_src[src]["n"] > SOURCE_CAP)
+        # kept docs are the BEST by n_chars: their total beats any other
+        # n_kept-sized subset's minimum possible — check vs the true top-K sum
+        top = (
+            docs.filter(F.col("source") == src)
+            .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            .limit(SOURCE_CAP)
+            .agg(F.sum("n_chars"))
+            .collect()[0][0]
+        )
+        assert r["kept_chars"] == top
+
+
+def test_token_budget_selection_is_greedy_prefix(spark):
+    from pulsar_3_2_codedump_spark.functions.sampling import (
+        TOKEN_BUDGET_FRAC,
+        token_budget_selection,
+    )
+    from pulsar_3_2_codedump_spark.functions.text import token_count
+
+    out = token_budget_selection(spark, SF_DIR).collect()
+    docs = load(spark, SF_DIR, "documents").select(
+        "doc_id", "n_chars", token_count(F.col("text")).alias("tok")
+    )
+    rows = sorted(
+        docs.collect(), key=lambda r: (-r["n_chars"], r["doc_id"])
+    )
+    total = sum(r["tok"] for r in rows)
+    budget = TOKEN_BUDGET_FRAC * total
+    # sequential greedy reference: keep while tokens consumed BEFORE < budget
+    kept, tokens_kept, prior = 0, 0, 0
+    for r in rows:
+        if prior < budget:
+            kept += 1
+            tokens_kept += r["tok"]
+        prior += r["tok"]
+    assert sum(r["n_kept"] for r in out) == kept
+    assert sum(r["tokens_kept"] for r in out) == tokens_kept
+    # the budget binds: something kept, something dropped
+    assert 0 < kept < len(rows)
