@@ -538,20 +538,33 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     from pulsar_3_2_codedump_spark.functions.text import token_count
-    from pulsar_3_2_codedump_spark.operators.prefixops import (
-        exclusive_prefix,
-        range_bucket,
-    )
+    from pulsar_3_2_codedump_spark.operators.prefixops import exclusive_prefix
 
     NB = 32
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars", token_count(F.col("text")).alias("tok")
     )
+    # ONE stats pass feeds both the bucket bounds and the budget (a single
+    # broadcast row — at 100 TB this saves a full corpus scan vs separate
+    # range_bucket + budget aggregates)
+    stats = docs.agg(
+        F.min("n_chars").alias("__lo"),
+        F.max("n_chars").alias("__hi"),
+        (F.lit(TOKEN_BUDGET_FRAC) * F.sum("tok")).alias("budget"),
+    )
     # descending-monotone bucket: all rows of bucket b sort (by n_chars
     # DESC) before all rows of bucket b+1; equal n_chars never straddles a
     # boundary because the bucket is a pure function of the value
-    b = range_bucket(docs, "n_chars", NB).withColumn(
-        "__db", F.lit(NB - 1) - F.col("bucket")
+    asc_bucket = F.least(
+        F.floor(
+            (F.col("n_chars") - F.col("__lo"))
+            * NB
+            / (F.col("__hi") - F.col("__lo") + 1)
+        ),
+        F.lit(NB - 1),
+    )
+    b = docs.crossJoin(F.broadcast(stats)).withColumn(
+        "__db", F.lit(NB - 1) - asc_bucket
     )
     partials = b.groupBy("__db").agg(F.sum("tok").alias("__t"))
     carry = exclusive_prefix(partials, "__db", "__t", "sum", "__carry")
@@ -560,25 +573,15 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_chars"), F.asc("doc_id"))
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    run = (
-        b.join(F.broadcast(carry), "__db")
-        .withColumn(
-            "prior",
-            F.coalesce(F.col("__carry"), F.lit(0))
-            + F.sum("tok").over(w)
-            - F.col("tok"),
-        )
+    run = b.join(F.broadcast(carry), "__db").withColumn(
+        "prior",
+        F.coalesce(F.col("__carry"), F.lit(0)) + F.sum("tok").over(w) - F.col("tok"),
     )
-    budget = docs.agg((F.lit(TOKEN_BUDGET_FRAC) * F.sum("tok")).alias("budget"))
     kept = F.col("prior") < F.col("budget")
-    return (
-        run.crossJoin(F.broadcast(budget))
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(kept.cast("int")).cast("long").alias("n_kept"),
-            F.sum(F.when(kept, F.col("tok")).otherwise(0)).cast("long").alias(
-                "tokens_kept"
-            ),
-        )
+    return run.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("tok")).otherwise(0)).cast("long").alias(
+            "tokens_kept"
+        ),
     )
