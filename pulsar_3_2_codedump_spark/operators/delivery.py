@@ -682,3 +682,66 @@ def subscription_expiry_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("last_active") < F.col("h")).alias("expired"),
     )
+
+
+# expire-messages dims: (subscription, stuck markDelete cursor) — sub-deep
+# has a deep backlog to expire, sub-tail is nearly caught up
+EXPIRE_SUBS = [("sub-deep", 50), ("sub-tail", 5000)]
+EXPIRE_TTL_DAYS = 7
+
+
+@query(
+    "expire_messages_by_time",
+    section="2.J-admin",
+    doc="Admin per-subscription message expiry (`pulsar-admin topics "
+    "expire-messages`; PersistentMessageExpiryMonitor.java:77-104 — "
+    "asyncFindNewestMatching walks the subscription backlog for the NEWEST "
+    "entry older than the TTL and markDeletes up to it, skipping everything "
+    "older in one cumulative ack): per (subscription, partition), the new "
+    "cursor = max backlog offset whose publish_time is past the horizon "
+    "(valid as a cumulative ack because publish_time is monotone in offset "
+    "within a partition — broker-stamped, PulsarApi.proto broker_timestamp), "
+    "clamped to the old cursor when nothing expired. Completes the admin "
+    "cursor-surgery family (peek / skip / expire). One broadcast 2-row dim "
+    "join + per-group aggregate; horizon is a one-row broadcast.",
+    oracle=f"""
+        {_ENV},
+        subs AS (SELECT * FROM (VALUES {", ".join(f"('{s}', {c})" for s, c in EXPIRE_SUBS)})
+                 AS t(sub, cursor)),
+        horizon AS (SELECT MAX(publish_time) - INTERVAL {EXPIRE_TTL_DAYS} DAY AS h
+                    FROM envelope),
+        backlog AS (
+            SELECT s.sub, e.partition, s.cursor, e."offset", e.publish_time
+            FROM envelope e JOIN subs s ON e."offset" > s.cursor)
+        SELECT sub, partition, CAST(cursor AS BIGINT) AS old_cursor,
+               CAST(SUM(CASE WHEN publish_time < (SELECT h FROM horizon)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+               COALESCE(MAX(CASE WHEN publish_time < (SELECT h FROM horizon)
+                                 THEN "offset" END), cursor) AS new_cursor
+        FROM backlog GROUP BY sub, partition, cursor
+    """,
+)
+def expire_messages_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = cached_envelope(spark, sf_dir)
+    subs = spark.createDataFrame(EXPIRE_SUBS, "sub string, cursor long")
+    horizon = env.agg(
+        (F.max("publish_time") - F.expr(f"INTERVAL {EXPIRE_TTL_DAYS} DAY")).alias("h")
+    )
+    backlog = (
+        env.select("partition", "offset", "publish_time")
+        .join(F.broadcast(subs), F.col("offset") > F.col("cursor"))
+        .crossJoin(F.broadcast(horizon))
+    )
+    expired = F.col("publish_time") < F.col("h")
+    return backlog.groupBy("sub", "partition", "cursor").agg(
+        F.sum(expired.cast("int")).cast("long").alias("n_expired"),
+        F.coalesce(
+            F.max(F.when(expired, F.col("offset"))), F.first("cursor")
+        ).alias("new_cursor"),
+    ).select(
+        "sub",
+        "partition",
+        F.col("cursor").alias("old_cursor"),
+        "n_expired",
+        "new_cursor",
+    )
