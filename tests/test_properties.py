@@ -239,3 +239,69 @@ def test_chunk_roundtrip_is_identity(spark, payloads, max_bytes):
     got = {r["uuid"]: r["payload"] for r in reassemble_chunks(chunks).collect()}
     want = {str(i): p for i, p in enumerate(payloads)}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    fails=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=40),
+)
+def test_nack_ladder_closed_form_matches_sequential_backoff(spark, fails):
+    # nack_redelivery_ladder's closed form 10s*(2^nacks - 1) must equal the
+    # sequential MultiplierRedeliveryBackoff walk: sum of next(k) for
+    # k = 0..nacks-1 with next(k) = min(minDelay*2^k, maxDelay) — on the
+    # query's domain (nacks capped at MAX_REDELIVER=3 < the maxDelay knee)
+    from pulsar_3_2_codedump_spark.operators.delivery import (
+        MAX_REDELIVER,
+        NACK_MIN_DELAY_MS,
+    )
+
+    MAX_DELAY_MS = 600_000  # MultiplierRedeliveryBackoff default maxDelayMs
+    for f in fails:
+        nacks = min(f, MAX_REDELIVER)
+        sequential = sum(
+            min(NACK_MIN_DELAY_MS * 2**k, MAX_DELAY_MS) for k in range(nacks)
+        )
+        closed = NACK_MIN_DELAY_MS * (2**nacks - 1)
+        assert closed == sequential
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),   # order key (ties ok)
+            st.integers(min_value=0, max_value=99),    # value to prefix-sum
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_exclusive_prefix_matches_sequential_on_random_partials(spark, vals):
+    # prefixops.exclusive_prefix (triangular broadcast join) must equal the
+    # sequential exclusive running sum over bucket order for ANY partials
+    # frame, including duplicate bucket ids collapsing first
+    import pandas as pd
+
+    from pulsar_3_2_codedump_spark.operators.prefixops import exclusive_prefix
+
+    pdf = (
+        pd.DataFrame(vals, columns=["b", "v"])
+        .groupby("b", as_index=False)["v"]
+        .sum()
+        .sort_values("b")
+    )
+    df = spark.createDataFrame(pdf).select(
+        F.col("b").cast("long").alias("bucket"), F.col("v").cast("long").alias("val")
+    )
+    got = {
+        r["bucket"]: r["carry"]
+        for r in exclusive_prefix(df, "bucket", "val", "sum", "carry").collect()
+    }
+    run = 0
+    for _, row in pdf.iterrows():
+        # exclusive prefix of the FIRST bucket is NULL (no predecessor)
+        if row["b"] == pdf["b"].iloc[0]:
+            assert got[row["b"]] is None
+        else:
+            assert got[row["b"]] == run
+        run += row["v"]
