@@ -377,6 +377,46 @@ def main() -> None:
     # global avg would let Catalyst shortcut to a known 1-row count)
     run_docs("duplicated_ngram_coverage", ngram_coverage(docs))
 
+    # ---- token-budget greedy selection (r8): distributed prefix sum over
+    # the global quality order at millions of docs — same decomposition as
+    # functions/sampling.token_budget_selection, synthetic corpus
+    from pulsar_3_2_codedump_spark.operators.prefixops import exclusive_prefix
+
+    NB = 64
+    d2 = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("n_chars"),
+        n_tok.cast("long").alias("tok"),
+    )
+    stats = d2.agg(
+        F.min("n_chars").alias("__lo"),
+        F.max("n_chars").alias("__hi"),
+        (F.lit(0.25) * F.sum("tok")).alias("budget"),
+    )
+    asc_b = F.least(
+        F.floor((F.col("n_chars") - F.col("__lo")) * NB / (F.col("__hi") - F.col("__lo") + 1)),
+        F.lit(NB - 1),
+    )
+    bkt = d2.crossJoin(F.broadcast(stats)).withColumn("__db", F.lit(NB - 1) - asc_b)
+    partials = bkt.groupBy("__db").agg(F.sum("tok").alias("__t"))
+    carry = exclusive_prefix(partials, "__db", "__t", "sum", "__carry")
+    tbw = (
+        W.partitionBy("__db")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sel = (
+        bkt.join(F.broadcast(carry), "__db")
+        .withColumn(
+            "prior",
+            F.coalesce(F.col("__carry"), F.lit(0)) + F.sum("tok").over(tbw) - F.col("tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum((F.col("prior") < F.col("budget")).cast("int")).alias("n_kept"))
+    )
+    run_docs("token_budget_selection", sel)
+
     print(json.dumps({"metric": "scale_smoke", "rows": n, "n_docs": n_docs, "ops": results}))
 
 
