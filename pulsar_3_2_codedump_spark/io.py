@@ -365,3 +365,84 @@ def ingest_kafka(
     # (producer_name per kafka partition, sequence_id = offset) is a stable
     # retry identity, so incremental re-ingest is exactly-once.
     return T.append(spark, env, topic_path)
+
+
+TIER_DOCS = 120  # doc_id < TIER_DOCS feed the tiered/shadow topic
+TIER_PARTS = 4
+
+from pulsar_3_2_codedump_spark.queries import query  # noqa: E402
+
+
+@query(
+    "tiered_shadow_roundtrip",
+    section="2.A11",
+    doc="Tiered storage + shadow topics through REAL topic storage "
+    "(`pulsar-admin topics offload`, ManagedLedgerImpl offload path; "
+    "PIP-180 shadow topics, PersistentTopic.java:332-335 "
+    "ShadowManagedLedgerImpl): documents append to a topic in two "
+    "generations, the first generation's segments offload to a tiered base "
+    "(copy → manifest commit → delete-local), a SHADOW of the topic is "
+    "created, and the result reads back through the shadow — so the scan "
+    "crosses shadow resolution AND both storage tiers. Per-partition "
+    "count, char total, and an order-insensitive md5-prefix checksum must "
+    "equal the oracle computed from the ORIGINAL documents table: any loss "
+    "or corruption in offload, tier-union read, or shadow resolution "
+    "hash-mismatches. Deterministic routing (doc_id % 4) replays in SQL.",
+    oracle=f"""
+        SELECT CAST(doc_id % {TIER_PARTS} AS INT) AS partition,
+               COUNT(*) AS n_msgs,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS payload_chars,
+               CAST(SUM(CAST(concat('0x', SUBSTR(md5(text), 1, 8)) AS BIGINT))
+                   AS BIGINT) AS md5_sum
+        FROM documents WHERE doc_id < {TIER_DOCS}
+        GROUP BY 1
+    """,
+)
+def tiered_shadow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pulsar_3_2_codedump_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < TIER_DOCS)
+
+    def env_slice(lo, hi):
+        d = docs.filter(F.col("doc_id").between(lo, hi - 1))
+        return d.select(
+            F.col("doc_id").cast("string").alias("key"),
+            F.to_binary(F.col("text"), F.lit("utf-8")).alias("value"),
+            F.create_map(F.lit("source"), F.col("source")).alias("properties"),
+            F.timestamp_micros(F.col("doc_id") * 1_000_000).alias("event_time"),
+            F.timestamp_micros(F.col("doc_id") * 1_000_000).alias("publish_time"),
+            F.lit("producer-docs").alias("producer_name"),
+            F.col("doc_id").alias("sequence_id"),
+            F.lit(None).cast("timestamp").alias("deliver_at"),
+            F.lit(None).cast("int").alias("marker_type"),
+            F.lit(None).cast("string").alias("replicated_from"),
+            (F.col("doc_id") % TIER_PARTS).cast("int").alias("partition"),
+        )
+
+    root = tempfile.mkdtemp(prefix="tiershadow_")
+    try:
+        tp = T.create_topic(root + "/topics", "docs", n_partitions=TIER_PARTS)
+        T.append(spark, env_slice(0, TIER_DOCS // 2), tp)
+        ends = T.end_offsets(T.read_manifest(tp))
+        assert T.offload_segments(tp, root + "/tier", ends) > 0
+        T.append(spark, env_slice(TIER_DOCS // 2, TIER_DOCS), tp)
+        shadow = T.create_shadow_topic(root + "/topics", "docs-shadow", tp)
+        text = F.col("value").cast("string")
+        out = (
+            T.read_topic(spark, shadow)
+            .groupBy("partition")
+            .agg(
+                F.count(F.lit(1)).alias("n_msgs"),
+                F.sum(F.length(text)).cast("long").alias("payload_chars"),
+                F.sum(
+                    F.conv(F.substring(F.md5("value"), 1, 8), 16, 10).cast("long")
+                ).cast("long").alias("md5_sum"),
+            )
+        )
+        rows = out.collect()  # #partitions rows — materialize before cleanup
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -97,11 +97,19 @@ def _end_offsets(manifest: dict) -> dict[str, int]:
     return out
 
 
+def _seg_location(topic_path: str, p: str, seg: dict) -> str:
+    # offloaded segments (topic.offload_segments) carry their tiered-store
+    # location in the manifest entry; local ones live under the topic dir
+    return seg.get("offload_path") or os.path.join(
+        topic_path, f"partition={p}", seg["path"]
+    )
+
+
 def _segment_batches(
     topic_path: str, p: str, seg: dict, lo: int, hi: int
 ) -> list[pa.RecordBatch]:
     """Read one segment, slice to [lo, hi), stamp partition/offset columns."""
-    seg_path = os.path.join(topic_path, f"partition={p}", seg["path"])
+    seg_path = _seg_location(topic_path, p, seg)
     table = pq.read_table(seg_path)
     base = seg["start"]
     if "offset" in table.column_names:
@@ -165,7 +173,7 @@ def _seek_offset_for_timestamp(topic_path: str, p: str, segs: list[dict], ts_us:
         if seg.get("min_pt") is not None and int(seg["min_pt"]) >= ts_us:
             return seg["start"]  # wholly at/after — first offset, no IO
         # boundary (or unindexed legacy) segment: vectorized exact search
-        seg_path = os.path.join(topic_path, f"partition={p}", seg["path"])
+        seg_path = _seg_location(topic_path, p, seg)
         try:  # segment may be a file (stream sink) or a directory (batch append)
             tbl = pq.read_table(seg_path, columns=["publish_time", "offset"])
             has_offset = True
@@ -209,6 +217,16 @@ class _SegmentScanMixin:
         self.path = options.get("path") or options.get("topic")
         if not self.path:
             raise ValueError("pulsarlike requires option 'path' (topic directory)")
+        # shadow topics (PIP-180, topic.create_shadow_topic) read the SOURCE
+        # topic's ledgers; the shadow keeps its own subscriptions (here:
+        # its own checkpoints) — only the data path re-points
+        seen = set()
+        while True:
+            src = _read_manifest(self.path).get("shadow_source")
+            if not src or src in seen:
+                break
+            seen.add(src)
+            self.path = src
         self.options = options
 
     def _manifest(self) -> dict:
@@ -503,6 +521,9 @@ class PulsarLikeStreamWriter(DataSourceStreamWriter):
         self.path = options.get("path") or options.get("topic")
         if not self.path:
             raise ValueError("pulsarlike sink requires option 'path'")
+        if _read_manifest(self.path).get("shadow_source"):
+            # shadow topics are read-only replicas (PersistentTopic.java:332)
+            raise ValueError(f"cannot publish to shadow topic {self.path}")
         self.options = options
 
     def write(self, iterator) -> SegmentCommit:

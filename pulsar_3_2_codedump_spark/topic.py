@@ -57,6 +57,58 @@ def _write_manifest_atomic(topic_path: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(topic_path))  # atomic commit point
 
 
+class ShadowTopicError(RuntimeError):
+    """Produce to a shadow topic (shadow topics are read-only replicas:
+    PersistentTopic.java:332-335 — a topic backed by ShadowManagedLedgerImpl
+    points at its shadow source's ledgers and cannot be published to)."""
+
+
+def resolve_data_topic(topic_path: str) -> str:
+    """Follow a shadow topic's source pointer to the topic that owns the
+    ledgers (ShadowManagedLedgerImpl reads the SOURCE managed ledger's
+    metadata; the shadow has its own subscriptions but no data of its own).
+    Non-shadow topics resolve to themselves."""
+    seen = set()
+    while True:
+        src = read_manifest(topic_path).get("shadow_source")
+        if not src:
+            return topic_path
+        if src in seen:
+            raise ValueError(f"shadow source cycle at {src}")
+        seen.add(src)
+        topic_path = src
+
+
+def create_shadow_topic(root: str, name: str, source_topic_path: str) -> str:
+    """Shadow topic (PIP-180; PersistentTopic.java:332-335,
+    ShadowManagedLedgerImpl): a read-only replica sharing the SOURCE
+    topic's ledgers — readers see the source's segments live (the shadow
+    follows source growth because every scan re-reads the source manifest),
+    subscriptions/cursors are the shadow's own, and produce is rejected
+    (``append``/the streaming sink raise ShadowTopicError)."""
+    src_manifest = read_manifest(source_topic_path)  # validates the source
+    topic_path = os.path.join(root, name)
+    os.makedirs(topic_path, exist_ok=True)
+    _write_manifest_atomic(
+        topic_path,
+        {
+            "name": name,
+            "n_partitions": src_manifest["n_partitions"],
+            "shadow_source": os.path.abspath(source_topic_path),
+        },
+    )
+    return topic_path
+
+
+def _seg_path(topic_path: str, p: str, s: dict) -> str:
+    """Physical location of a segment: offloaded segments live in the
+    tiered-storage base recorded at offload time, local ones under the
+    topic's partition dir."""
+    return s.get("offload_path") or os.path.join(
+        topic_path, f"partition={p}", s["path"]
+    )
+
+
 def create_topic(root: str, name: str, n_partitions: int = 4) -> str:
     topic_path = os.path.join(root, name)
     os.makedirs(topic_path, exist_ok=True)
@@ -199,7 +251,8 @@ def end_offsets(manifest: dict) -> dict[int, int]:
     a partition cannot reset the high-water mark and reissue offsets."""
     nxt = manifest.get("next_offset", {})
     out = {}
-    for p, segs in manifest["segments"].items():
+    # shadow manifests own no segments (their source does)
+    for p, segs in manifest.get("segments", {}).items():
         live = max((s["start"] + s["count"] for s in segs), default=0)
         out[int(p)] = max(live, int(nxt.get(p, 0)))
     return out
@@ -252,6 +305,8 @@ def append(
     every payload must decode under the topic's latest registered schema or
     the whole append is rejected with SchemaIncompatibleError — run OUTSIDE
     the writer lock (it's a read-only scan of the incoming batch)."""
+    if read_manifest(topic_path).get("shadow_source"):
+        raise ShadowTopicError(f"cannot publish to shadow topic {topic_path}")
     if validate_schema:
         from pulsar_3_2_codedump_spark.schema_registry import validate_payloads
 
@@ -446,8 +501,9 @@ def read_topic(
     before dispatch (§2.C3). ``read_markers=True`` is the broker-internal
     reader posture. The predicate is pushed into the parquet scan, so marker
     row-groups prune for free."""
+    topic_path = resolve_data_topic(topic_path)  # shadow → source ledgers
     manifest = read_manifest(topic_path)
-    paths = []
+    paths, off_paths = [], []
     for p, segs in manifest["segments"].items():
         lo = (start_offsets or {}).get(int(p), 0)
         hi = (end or {}).get(int(p))
@@ -456,12 +512,35 @@ def read_topic(
                 continue
             if hi is not None and s["start"] >= hi:
                 continue
-            paths.append(os.path.join(topic_path, f"partition={p}", s["path"]))
-    if not paths:
+            (off_paths if s.get("offload_path") else paths).append(
+                _seg_path(topic_path, p, s)
+            )
+    if not paths and not off_paths:
         return spark.createDataFrame([], ENVELOPE_SCHEMA)
-    df = _materialize_offsets(
-        spark.read.schema(ENVELOPE_SCHEMA).option("basePath", topic_path).parquet(*paths)
-    )
+    # offloaded segments read from the tiered base with its own basePath —
+    # both tiers keep the partition=<p> hive layout so the partition column
+    # materializes identically, and the two scans union (the reference's
+    # transparent offloaded-ledger read path)
+    # offsets materialize per tier scan (the _metadata hidden column does
+    # not survive a Union), then the tiers union
+    tiers = []
+    if paths:
+        tiers.append(
+            _materialize_offsets(
+                spark.read.schema(ENVELOPE_SCHEMA)
+                .option("basePath", topic_path)
+                .parquet(*paths)
+            )
+        )
+    if off_paths:
+        tiers.append(
+            _materialize_offsets(
+                spark.read.schema(ENVELOPE_SCHEMA)
+                .option("basePath", manifest["offload_base"])
+                .parquet(*off_paths)
+            )
+        )
+    df = tiers[0] if len(tiers) == 1 else tiers[0].unionByName(tiers[1])
     if not read_markers:
         df = df.filter(F.col("marker_type").isNull())
     if start_offsets:
@@ -479,6 +558,59 @@ def read_topic(
             F.col("__hi").isNull() | (F.col("offset") < F.col("__hi"))
         ).drop("__hi")
     return df
+
+
+def offload_segments(
+    topic_path: str, offload_root: str, below: dict[int, int]
+) -> int:
+    """Tiered-storage offload (§2.A11; `pulsar-admin topics offload`;
+    ManagedLedgerImpl offload path + LedgerOffloader: cold whole ledgers
+    move to object storage, reads stay transparent, the local copy is
+    deleted only after the offload is durably recorded). Segments wholly
+    below the per-partition ``below`` offset move to
+    ``<offload_root>/<topic>/partition=<p>/`` with the copy → commit →
+    delete-local ordering: a crash before the manifest commit leaves the
+    local copy authoritative, a crash after it leaves the (already durable)
+    tiered copy authoritative — readers never see a missing segment.
+    Idempotent; returns the number of segments offloaded. Reads resolve
+    through ``_seg_path`` (batch, streaming, seek, stats — all tiers
+    transparent); retention trims offloaded segments from the tiered base.
+    On a real object store the copytree becomes a multipart upload and the
+    same manifest commit point applies."""
+    import shutil
+
+    with _topic_write_lock(topic_path):
+        manifest = read_manifest(topic_path)
+        if manifest.get("shadow_source"):
+            raise ShadowTopicError("shadow topics own no ledgers to offload")
+        base = os.path.abspath(os.path.join(offload_root, manifest["name"]))
+        prior = manifest.get("offload_base")
+        if prior is not None and prior != base:
+            raise ValueError(f"topic already offloads to {prior}")
+        moved, local_copies = 0, []
+        for p, segs in manifest["segments"].items():
+            for s in segs:
+                if s.get("offload_path"):
+                    continue  # already offloaded (idempotence)
+                if s["start"] + s["count"] > below.get(int(p), 0):
+                    continue
+                src = os.path.join(topic_path, f"partition={p}", s["path"])
+                dst = os.path.join(base, f"partition={p}", s["path"])
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                if not os.path.exists(dst):  # copy, don't move — see ordering
+                    if os.path.isdir(src):
+                        shutil.copytree(src, dst)
+                    else:
+                        shutil.copy2(src, dst)
+                s["offload_path"] = dst
+                local_copies.append(src)
+                moved += 1
+        if moved:
+            manifest["offload_base"] = base
+            _write_manifest_atomic(topic_path, manifest)  # the commit point
+            for src in local_copies:  # deletion lag = immediate here
+                shutil.rmtree(src, ignore_errors=True)
+    return moved
 
 
 def trim_retention(spark: SparkSession, topic_path: str, min_offset: dict[int, int]) -> int:
@@ -502,9 +634,10 @@ def _trim_unlocked(topic_path, min_offset, shutil) -> int:
         keep = []
         for s in segs:
             if s["start"] + s["count"] <= min_offset.get(int(p), 0):
-                shutil.rmtree(
-                    os.path.join(topic_path, f"partition={p}", s["path"]), ignore_errors=True
-                )
+                # offloaded segments trim from the tiered base (retention
+                # applies across tiers, ManagedLedgerImpl.internalTrimLedgers
+                # deletes offloaded ledgers through the offloader)
+                shutil.rmtree(_seg_path(topic_path, p, s), ignore_errors=True)
                 dropped += 1
             else:
                 keep.append(s)
@@ -629,6 +762,14 @@ def _merge_unlocked(spark, topic_path, target_rows, shutil) -> int:
         cur: list[dict] = []
         cur_rows = 0
         for s in segs:
+            if s.get("offload_path"):
+                # offloaded segments stay in the tiered store as-is: the
+                # merge only compacts the local (hot) tier
+                if cur:
+                    runs.append(cur)
+                    cur, cur_rows = [], 0
+                runs.append([s])
+                continue
             if cur and cur_rows + s["count"] > target_rows:
                 runs.append(cur)
                 cur, cur_rows = [], 0
@@ -806,7 +947,7 @@ def topic_stats(topic_path: str) -> dict:
     for p, segs in manifest["segments"].items():
         size = 0
         for s in segs:
-            sp = os.path.join(topic_path, f"partition={p}", s["path"])
+            sp = _seg_path(topic_path, p, s)
             if os.path.isfile(sp):
                 size += os.path.getsize(sp)
             elif os.path.isdir(sp):
