@@ -165,3 +165,147 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6).alias("prob"),
         (margin >= 0.0).alias("keep"),
     )
+
+
+BPE_TRAIN_MERGES = 3  # unrolled training iterations (merge table depth)
+_SEP = "·"       # symbol-boundary sentinel (chr(183); never in [a-z]+ words)
+
+
+def _bpe_iteration(repr_df: DataFrame):
+    """One BPE training iteration over the symbolized vocabulary: count
+    every adjacent symbol pair (weighted by word frequency), pick the top
+    merge (deterministic tiebreak), and apply it leftmost-first
+    non-overlapping to every word. The word representation is a
+    sentinel-delimited string (``·a··b··c·``) so the merge application is
+    ONE string REPLACE — both engines' REPLACE scans leftmost
+    non-overlapping, which is exactly BPE's merge order. Returns
+    (best 1-row DataFrame, merged repr DataFrame)."""
+    s = F.split(F.expr(f"trim(BOTH '{_SEP}' FROM r)"), _SEP + _SEP)
+    pr = F.when(
+        F.size(s) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(s) - 1),
+            lambda i: F.struct(
+                F.element_at(s, i).alias("a"), F.element_at(s, i + 1).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pairs = (
+        repr_df.select(F.explode(pr).alias("p"), "c")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("c").cast("long").alias("cnt"))
+    )
+    best = pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1)
+    merged = (
+        repr_df.crossJoin(
+            F.broadcast(
+                best.select(F.col("a").alias("__a"), F.col("b").alias("__b"))
+            )
+        )
+        .withColumn(
+            "r",
+            F.replace(
+                F.col("r"),
+                F.concat(
+                    F.lit(_SEP), F.col("__a"), F.lit(_SEP + _SEP), F.col("__b"), F.lit(_SEP)
+                ),
+                F.concat(F.lit(_SEP), F.col("__a"), F.col("__b"), F.lit(_SEP)),
+            ),
+        )
+        .select("r", "c")
+    )
+    return best, merged
+
+
+@query(
+    "bpe_train_merges",
+    section="2.N-features",
+    doc="ITERATIVE BPE tokenizer training, fully declarative (Sennrich et "
+    "al., 'Neural Machine Translation of Rare Words with Subword Units' — "
+    f"the merge-count-merge loop, {BPE_TRAIN_MERGES} unrolled iterations): "
+    "the en vocabulary symbolizes to sentinel-delimited char strings, then "
+    "each iteration counts adjacent symbol pairs (weighted by word "
+    "frequency), takes the argmax merge, and applies it to every word as "
+    "ONE leftmost-non-overlapping string REPLACE — BPE's exact merge "
+    "order, identical in both engines, so even this iterative algorithm "
+    "carries a full hash oracle (unrolled CTE chain). Scale shape: the "
+    "whole loop runs on the VOCABULARY table (bounded, never the corpus "
+    "after the first agg); each iteration is one pair-count shuffle over "
+    "it plus a 1-row broadcast argmax — the standard Spark BPE-trainer "
+    "topology at any corpus size. Output: the learned merge table.",
+    oracle=r"""
+        WITH words AS (
+            SELECT tok AS word, COUNT(*) AS c
+            FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                  FROM documents WHERE lang = 'en')
+            WHERE regexp_full_match(tok, '[a-z]+')
+            GROUP BY tok
+        ),
+        r0 AS (
+            SELECT chr(183) || array_to_string(string_split(word, ''),
+                                               chr(183)||chr(183)) || chr(183) AS r, c
+            FROM words
+        ),
+        p1 AS (
+            SELECT s[i] AS a, s[i+1] AS b, CAST(SUM(c) AS BIGINT) AS cnt
+            FROM (SELECT string_split(trim(r, chr(183)), chr(183)||chr(183)) AS s, c FROM r0),
+                 (SELECT unnest(range(1, 200)) AS i)
+            WHERE i < len(s) GROUP BY a, b
+        ),
+        best1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+        r1 AS (
+            SELECT REPLACE(r, chr(183)||best1.a||chr(183)||chr(183)||best1.b||chr(183),
+                              chr(183)||best1.a||best1.b||chr(183)) AS r, c
+            FROM r0, best1
+        ),
+        p2 AS (
+            SELECT s[i] AS a, s[i+1] AS b, CAST(SUM(c) AS BIGINT) AS cnt
+            FROM (SELECT string_split(trim(r, chr(183)), chr(183)||chr(183)) AS s, c FROM r1),
+                 (SELECT unnest(range(1, 200)) AS i)
+            WHERE i < len(s) GROUP BY a, b
+        ),
+        best2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+        r2 AS (
+            SELECT REPLACE(r, chr(183)||best2.a||chr(183)||chr(183)||best2.b||chr(183),
+                              chr(183)||best2.a||best2.b||chr(183)) AS r, c
+            FROM r1, best2
+        ),
+        p3 AS (
+            SELECT s[i] AS a, s[i+1] AS b, CAST(SUM(c) AS BIGINT) AS cnt
+            FROM (SELECT string_split(trim(r, chr(183)), chr(183)||chr(183)) AS s, c FROM r2),
+                 (SELECT unnest(range(1, 200)) AS i)
+            WHERE i < len(s) GROUP BY a, b
+        ),
+        best3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
+        SELECT 1 AS merge_rank, a AS left_sym, b AS right_sym, cnt AS pair_count FROM best1
+        UNION ALL SELECT 2, a, b, cnt FROM best2
+        UNION ALL SELECT 3, a, b, cnt FROM best3
+    """,
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fanout(load(spark, sf_dir, "documents").filter(F.col("lang") == "en"))
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    ).filter(F.col("word").rlike("^[a-z]+$"))
+    words = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    repr_df = words.select(
+        F.concat(
+            F.lit(_SEP), F.array_join(F.split("word", ""), _SEP + _SEP), F.lit(_SEP)
+        ).alias("r"),
+        "c",
+    )
+    bests = []
+    for k in range(1, BPE_TRAIN_MERGES + 1):
+        best, repr_df = _bpe_iteration(repr_df)
+        bests.append(
+            best.select(
+                F.lit(k).alias("merge_rank"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out

@@ -122,3 +122,49 @@ def test_duplicated_ngram_coverage_positions(spark):
     # doc2: "a b c d" at pos 2 covers 2..5 -> 4 of 8
     assert out[2]["dup_tokens"] == 4
     assert out[3]["dup_tokens"] == 0 and out[3]["dup_fraction"] == 0.0
+
+
+def test_bpe_train_merges_matches_sequential_reference(spark):
+    # the declarative 3-iteration trainer must equal a plain-Python BPE
+    # (Sennrich et al.) run on the same vocabulary: count weighted adjacent
+    # pairs, argmax with (count desc, pair asc) tiebreak, merge
+    # leftmost-first non-overlapping, repeat
+    import re
+    from collections import Counter
+
+    from pulsar_3_2_codedump_spark.catalog import load
+    from pulsar_3_2_codedump_spark.functions.tokenize_ml import (
+        BPE_TRAIN_MERGES,
+        bpe_train_merges,
+    )
+    from tests.conftest import SF_DIR
+
+    got = {r["merge_rank"]: r for r in bpe_train_merges(spark, SF_DIR).collect()}
+    assert len(got) == BPE_TRAIN_MERGES
+
+    texts = [
+        r["text"]
+        for r in load(spark, SF_DIR, "documents").filter("lang = 'en'").collect()
+    ]
+    vocab = Counter(
+        w for t in texts for w in t.lower().strip().split() if re.fullmatch("[a-z]+", w)
+    )
+    words = {w: list(w) for w in vocab}
+    for k in range(1, BPE_TRAIN_MERGES + 1):
+        pairs = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += vocab[w]
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (got[k]["left_sym"], got[k]["right_sym"]) == (a, b), k
+        assert got[k]["pair_count"] == cnt, k
+        for w, syms in words.items():  # leftmost-first non-overlapping merge
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
