@@ -384,3 +384,103 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("e1", "e2", "e3")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+PR_SCALE = 1_000_000_000_000  # fixed-point PageRank scale (exact integer math)
+PR_ITERS = 2
+
+
+@query(
+    "event_graph_pagerank",
+    section="2.N-behavior",
+    doc="PageRank power iteration over the event-type transition graph "
+    f"(Brin & Page; d=0.85, {PR_ITERS} unrolled iterations): nodes = event "
+    "types, edge weights = per-user consecutive transitions (the "
+    "event_bigram edge build — ONE user_id window over the corpus), then "
+    "every iteration is a join-aggregate over the |types|² edge table — "
+    "metadata-scale, broadcast-everything; the corpus is touched exactly "
+    "once no matter how many iterations. All arithmetic is FIXED-POINT "
+    "BIGINT (pr scaled by 1e12, DIV for every division), so both engines "
+    "produce bit-identical ranks — a full hash oracle for a float-free "
+    "power iteration. Dangling-mass redistribution is omitted (every "
+    "fixture node has out-edges; documented deviation).",
+    oracle=f"""
+        WITH seq AS (
+            SELECT event_type AS src,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS dst
+            FROM events),
+        edges AS (SELECT src, dst, COUNT(*) AS w FROM seq
+                  WHERE dst IS NOT NULL GROUP BY src, dst),
+        nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        outd AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+        n AS (SELECT COUNT(*) AS n FROM nodes),
+        pr0 AS (SELECT node, {PR_SCALE} // n.n AS pr FROM nodes, n),
+        c1 AS (SELECT e.dst AS node, SUM((p.pr * e.w) // o.outw) AS contrib
+               FROM edges e JOIN pr0 p ON p.node = e.src
+               JOIN outd o ON o.src = e.src GROUP BY e.dst),
+        pr1 AS (SELECT nd.node,
+                       (15 * {PR_SCALE}) // (100 * n.n)
+                       + (85 * COALESCE(c1.contrib, 0)) // 100 AS pr
+                FROM nodes nd LEFT JOIN c1 ON c1.node = nd.node, n),
+        c2 AS (SELECT e.dst AS node, SUM((p.pr * e.w) // o.outw) AS contrib
+               FROM edges e JOIN pr1 p ON p.node = e.src
+               JOIN outd o ON o.src = e.src GROUP BY e.dst),
+        pr2 AS (SELECT nd.node,
+                       (15 * {PR_SCALE}) // (100 * n.n)
+                       + (85 * COALESCE(c2.contrib, 0)) // 100 AS pr
+                FROM nodes nd LEFT JOIN c2 ON c2.node = nd.node, n)
+        SELECT pr2.node AS event_type,
+               CAST(pr2.pr AS BIGINT) AS pr_scaled,
+               CAST(COALESCE(outd.outw, 0) AS BIGINT) AS out_weight
+        FROM pr2 LEFT JOIN outd ON outd.src = pr2.node
+    """,
+)
+def event_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    edges = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = events.select(F.col("event_type").alias("node")).distinct()
+    outd = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+
+    def base_pr():
+        return F.expr(f"(15 * {PR_SCALE}) DIV (100 * n)")
+
+    pr = nodes.crossJoin(F.broadcast(n)).select(
+        "node", F.expr(f"{PR_SCALE} DIV n").alias("pr")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(F.broadcast(pr.withColumnRenamed("node", "src")), "src")
+            .join(F.broadcast(outd), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("(pr * w) DIV outw")).alias("contrib"))
+        )
+        pr = (
+            nodes.join(F.broadcast(contrib), "node", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    base_pr()
+                    + F.expr("(85 * COALESCE(contrib, 0)) DIV 100")
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.join(F.broadcast(outd.withColumnRenamed("src", "node")), "node", "left")
+        .select(
+            F.col("node").alias("event_type"),
+            F.col("pr").cast("long").alias("pr_scaled"),
+            F.coalesce(F.col("outw"), F.lit(0)).cast("long").alias("out_weight"),
+        )
+    )
