@@ -287,7 +287,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
     ).filter(F.col("word").rlike("^[a-z]+$"))
-    words = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    # vocabulary-bounded after the agg; localCheckpoint cuts the lineage so
+    # the three unrolled iterations never re-scan the corpus
+    words = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
     repr_df = words.select(
         F.concat(
             F.lit(_SEP), F.array_join(F.split("word", ""), _SEP + _SEP), F.lit(_SEP)

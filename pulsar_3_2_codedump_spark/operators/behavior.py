@@ -443,12 +443,16 @@ def event_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("src"),
         F.lead("event_type").over(w).alias("dst"),
     )
+    # localCheckpoint the |types|²-row edge table and the node list: the
+    # unrolled iterations reference them repeatedly, and without the cut
+    # every iteration's lineage re-scans the corpus (rfm_scores precedent —
+    # flatten lineage once the frame is metadata-scale)
     edges = (
         seq.filter(F.col("dst").isNotNull())
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
-    )
-    nodes = events.select(F.col("event_type").alias("node")).distinct()
+    ).localCheckpoint()
+    nodes = events.select(F.col("event_type").alias("node")).distinct().localCheckpoint()
     outd = edges.groupBy("src").agg(F.sum("w").alias("outw"))
     n = nodes.agg(F.count(F.lit(1)).alias("n"))
 
