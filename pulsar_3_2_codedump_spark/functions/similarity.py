@@ -1440,3 +1440,123 @@ def ivfadc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PQ_TOP_K)
         .select("query_id", "neighbor_id", F.round("adc_dist", 4).alias("adc_dist"), "rank")
     )
+
+
+KMEANS_K = 8  # Lloyd clusters
+
+
+def _sqdist(v, c):
+    """In-order fold of squared L2 distance — both engines sum dimension
+    index 1..d sequentially (zip_with + aggregate here, list_aggregate in
+    the oracle), so the double accumulation is bit-identical."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query(
+    "kmeans_lloyd_iterations",
+    section="2.N-sim",
+    doc="ITERATIVE k-means (Lloyd's algorithm), fully declarative with a "
+    f"full hash oracle: md5-ranked seed sample of {KMEANS_K} vectors, then "
+    "assign → recompute means → reassign (two assignment rounds). "
+    "Determinism engineering: distances fold dimension-by-dimension in "
+    "index order (bit-identical across engines); updated centroid means "
+    "round to 6dp before the second assignment so per-group sum-order "
+    "noise cannot propagate; argmin tiebreaks on cluster_id. Output: "
+    "per-cluster membership, inertia, and centroid checksum after the "
+    "second assignment. Scale shape: each iteration is one broadcast of K "
+    "centroid rows against the corpus + one per-dimension partial-agg "
+    "shuffle (the k-means-on-Spark topology; same machinery the PQ "
+    "codebook and IVF coarse quantizer already use one-shot).",
+    oracle=f"""
+        WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+        seeds AS (SELECT vec_id AS cluster_id, v FROM (
+            SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                                 vec_id) AS rn
+            FROM emb) WHERE rn <= {KMEANS_K}),
+        a1 AS (SELECT vec_id, cluster_id FROM (
+            SELECT e.vec_id, s.cluster_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_aggregate(list_transform(generate_series(1, len(e.v)),
+                         i -> (e.v[i]-s.v[i])*(e.v[i]-s.v[i])), 'sum') ASC,
+                     s.cluster_id) AS rn
+            FROM emb e, seeds s) WHERE rn = 1),
+        srs AS (SELECT unnest(generate_series(1, (SELECT MAX(len(v)) FROM emb))) AS i),
+        dims AS (SELECT a1.cluster_id, srs.i AS pos, e.v[srs.i] AS val
+                 FROM a1 JOIN emb e USING (vec_id), srs),
+        cent1 AS (SELECT cluster_id, list(val ORDER BY pos) AS v FROM (
+            SELECT cluster_id, pos, ROUND(AVG(val), 6) AS val FROM dims GROUP BY 1, 2)
+            GROUP BY 1),
+        a2 AS (SELECT vec_id, cluster_id, dist FROM (
+            SELECT e.vec_id, c.cluster_id,
+                   list_aggregate(list_transform(generate_series(1, len(e.v)),
+                       i -> (e.v[i]-c.v[i])*(e.v[i]-c.v[i])), 'sum') AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_aggregate(list_transform(generate_series(1, len(e.v)),
+                         i -> (e.v[i]-c.v[i])*(e.v[i]-c.v[i])), 'sum') ASC,
+                     c.cluster_id) AS rn
+            FROM emb e, cent1 c) WHERE rn = 1)
+        SELECT a2.cluster_id,
+               COUNT(*) AS n_members,
+               ROUND(SUM(a2.dist), 2) AS inertia,
+               ROUND(list_aggregate(cent1.v, 'sum'), 4) AS centroid_sum
+        FROM a2 JOIN cent1 ON cent1.cluster_id = a2.cluster_id
+        GROUP BY a2.cluster_id, cent1.v
+    """,
+)
+def kmeans_lloyd_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(KMEANS_K)
+        .select(F.col("vec_id").alias("cluster_id"), F.col("v").alias("c"))
+    )
+
+    def assign(cents):
+        aw = W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cluster_id"))
+        return (
+            fanout(emb)
+            .crossJoin(F.broadcast(cents))
+            .withColumn("dist", _sqdist(F.col("v"), F.col("c")))
+            .withColumn("rn", F.row_number().over(aw))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster_id", "v", "dist")
+        )
+
+    a1 = assign(seeds)
+    # mean per (cluster, dimension), rounded BEFORE reuse so both engines'
+    # second assignment sees identical centroids; re-assembled in dimension
+    # order (metadata-scale: K x d rows); lineage cut once it's tiny
+    cent1 = (
+        a1.select("cluster_id", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster_id", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("val"))
+        .groupBy("cluster_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s["val"],
+            ).alias("c")
+        )
+    ).localCheckpoint()
+    a2 = assign(cent1)
+    cs = cent1.select(
+        "cluster_id",
+        F.round(
+            F.aggregate("c", F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("centroid_sum"),
+    )
+    return (
+        a2.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.sum("dist"), 2).alias("inertia"),
+        )
+        .join(F.broadcast(cs), "cluster_id")
+    )

@@ -495,3 +495,43 @@ def test_cdc_rolling_kernel_matches_per_window_reference():
         cases.append("".join(chr(rng.randint(32, 0x2FFF)) for _ in range(n)))
     for tx in cases:
         assert _cdc_boundaries_np(tx, np) == _cdc_boundaries_ref(tx)
+
+
+def test_kmeans_lloyd_iterations_monotone_inertia(spark):
+    # Lloyd guarantees J(assign2, cent1) <= J(assign1, seeds): recomputing
+    # means then reassigning never increases total inertia. Also the
+    # clusters partition the corpus and every cluster keeps its seed-id key.
+    from pyspark.sql import functions as F
+
+    from pulsar_3_2_codedump_spark.catalog import load
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        KMEANS_K,
+        _sqdist,
+        kmeans_lloyd_iterations,
+    )
+    from tests.conftest import SF_DIR
+
+    out = kmeans_lloyd_iterations(spark, SF_DIR).collect()
+    n = load(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_members"] for r in out) == n
+    assert 1 <= len(out) <= KMEANS_K
+
+    # recompute J(assign1, seeds) independently
+    emb = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(KMEANS_K)
+        .select(F.col("vec_id").alias("cluster_id"), F.col("v").alias("c"))
+    )
+    j1 = (
+        emb.crossJoin(F.broadcast(seeds))
+        .withColumn("dist", _sqdist(F.col("v"), F.col("c")))
+        .groupBy("vec_id")
+        .agg(F.min("dist").alias("d"))
+        .agg(F.sum("d"))
+        .collect()[0][0]
+    )
+    j2 = sum(r["inertia"] for r in out)
+    assert j2 <= j1 + 1e-6
