@@ -179,7 +179,9 @@ def _bpe_iteration(repr_df: DataFrame):
     sentinel-delimited string (``·a··b··c·``) so the merge application is
     ONE string REPLACE — both engines' REPLACE scans leftmost
     non-overlapping, which is exactly BPE's merge order. Returns
-    (best 1-row DataFrame, merged repr DataFrame)."""
+    (best 1-row DataFrame, merged repr DataFrame). Columns other than
+    ``r``/``c`` (e.g. the word key for the encode path) pass through the
+    merge untouched."""
     s = F.split(F.expr(f"trim(BOTH '{_SEP}' FROM r)"), _SEP + _SEP)
     pr = F.when(
         F.size(s) >= 2,
@@ -212,7 +214,7 @@ def _bpe_iteration(repr_df: DataFrame):
                 F.concat(F.lit(_SEP), F.col("__a"), F.col("__b"), F.lit(_SEP)),
             ),
         )
-        .select("r", "c")
+        .select(*repr_df.columns)
     )
     return best, merged
 
@@ -311,3 +313,126 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in bests[1:]:
         out = out.unionByName(b)
     return out
+
+
+@query(
+    "bpe_apply_encode",
+    section="2.N-features",
+    doc="BPE ENCODING — applying the trained merge table back to the "
+    f"corpus (closes the train→apply tokenizer loop): re-runs the "
+    f"{BPE_TRAIN_MERGES}-merge training chain carrying the word key "
+    "through every REPLACE, so the final sentinel representation IS each "
+    "word's subword segmentation under the learned merges (exact BPE "
+    "apply order — merges replay in training order, leftmost "
+    "non-overlapping, identical in both engines). Per-document output: "
+    "word count, subword count, and fertility (subwords per word) — the "
+    "statistic tokenizer evaluations report. Scale shape: training runs "
+    "on the bounded vocabulary table; encoding is a BROADCAST join of "
+    "that vocabulary against the corpus words (no corpus shuffle) + one "
+    "per-doc agg. Reference analogue: none (Pulsar has no corpus ops) — "
+    "§2.N training-pipeline extension.",
+    oracle=r"""
+        WITH words AS (
+            SELECT tok AS word, COUNT(*) AS c
+            FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                  FROM documents WHERE lang = 'en')
+            WHERE regexp_full_match(tok, '[a-z]+')
+            GROUP BY tok
+        ),
+        r0 AS (
+            SELECT word, chr(183) || array_to_string(string_split(word, ''),
+                                               chr(183)||chr(183)) || chr(183) AS r, c
+            FROM words
+        ),
+        p1 AS (
+            SELECT s[i] AS a, s[i+1] AS b, CAST(SUM(c) AS BIGINT) AS cnt
+            FROM (SELECT string_split(trim(r, chr(183)), chr(183)||chr(183)) AS s, c FROM r0),
+                 (SELECT unnest(range(1, 200)) AS i)
+            WHERE i < len(s) GROUP BY a, b
+        ),
+        best1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+        r1 AS (
+            SELECT word, REPLACE(r, chr(183)||best1.a||chr(183)||chr(183)||best1.b||chr(183),
+                              chr(183)||best1.a||best1.b||chr(183)) AS r, c
+            FROM r0, best1
+        ),
+        p2 AS (
+            SELECT s[i] AS a, s[i+1] AS b, CAST(SUM(c) AS BIGINT) AS cnt
+            FROM (SELECT string_split(trim(r, chr(183)), chr(183)||chr(183)) AS s, c FROM r1),
+                 (SELECT unnest(range(1, 200)) AS i)
+            WHERE i < len(s) GROUP BY a, b
+        ),
+        best2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+        r2 AS (
+            SELECT word, REPLACE(r, chr(183)||best2.a||chr(183)||chr(183)||best2.b||chr(183),
+                              chr(183)||best2.a||best2.b||chr(183)) AS r, c
+            FROM r1, best2
+        ),
+        p3 AS (
+            SELECT s[i] AS a, s[i+1] AS b, CAST(SUM(c) AS BIGINT) AS cnt
+            FROM (SELECT string_split(trim(r, chr(183)), chr(183)||chr(183)) AS s, c FROM r2),
+                 (SELECT unnest(range(1, 200)) AS i)
+            WHERE i < len(s) GROUP BY a, b
+        ),
+        best3 AS (SELECT a, b FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+        r3 AS (
+            SELECT word, REPLACE(r, chr(183)||best3.a||chr(183)||chr(183)||best3.b||chr(183),
+                              chr(183)||best3.a||best3.b||chr(183)) AS r
+            FROM r2, best3
+        ),
+        enc AS (
+            SELECT word,
+                   CAST(len(string_split(trim(r, chr(183)), chr(183)||chr(183))) AS BIGINT)
+                       AS n_sub
+            FROM r3
+        ),
+        docw AS (
+            SELECT doc_id, tok AS word
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                  FROM documents WHERE lang = 'en')
+            WHERE regexp_full_match(tok, '[a-z]+')
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+               ROUND(CAST(SUM(n_sub) AS BIGINT) * 1.0 / COUNT(*), 4) AS fertility
+        FROM docw JOIN enc USING (word)
+        GROUP BY doc_id
+    """,
+)
+def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fanout(load(spark, sf_dir, "documents").filter(F.col("lang") == "en"))
+    docw = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    ).filter(F.col("word").rlike("^[a-z]+$"))
+    # train exactly as bpe_train_merges, but carry the word key through the
+    # merge chain; vocabulary-bounded after the agg, lineage cut once
+    words = (
+        docw.groupBy("word").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    )
+    repr_df = words.select(
+        "word",
+        F.concat(
+            F.lit(_SEP), F.array_join(F.split("word", ""), _SEP + _SEP), F.lit(_SEP)
+        ).alias("r"),
+        "c",
+    )
+    for _ in range(BPE_TRAIN_MERGES):
+        _, repr_df = _bpe_iteration(repr_df)
+    enc = repr_df.select(
+        "word",
+        F.size(
+            F.split(F.expr(f"trim(BOTH '{_SEP}' FROM r)"), _SEP + _SEP)
+        ).cast("long").alias("n_sub"),
+    )
+    return (
+        docw.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+            F.round(F.sum("n_sub") / F.count(F.lit(1)), 4).alias("fertility"),
+        )
+    )

@@ -168,3 +168,64 @@ def test_bpe_train_merges_matches_sequential_reference(spark):
                     out.append(syms[i])
                     i += 1
             words[w] = out
+
+def test_bpe_apply_encode_matches_sequential_reference(spark):
+    # encode must equal a plain-Python BPE trained the same way then applied
+    # per word: n_subwords(doc) = sum over its [a-z]+ words of the merged
+    # symbol count; fertility = n_subwords / n_words
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pulsar_3_2_codedump_spark.catalog import load
+    from pulsar_3_2_codedump_spark.functions.tokenize_ml import (
+        BPE_TRAIN_MERGES,
+        bpe_apply_encode,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = load(spark, SF_DIR, "documents").filter("lang = 'en'").collect()
+    doc_words = {
+        r["doc_id"]: [
+            w
+            for w in r["text"].lower().strip().split()
+            if re.fullmatch("[a-z]+", w)
+        ]
+        for r in rows
+    }
+    vocab = Counter(w for ws in doc_words.values() for w in ws)
+    words = {w: list(w) for w in vocab}
+    for _ in range(BPE_TRAIN_MERGES):
+        pairs = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += vocab[w]
+        (a, b), _cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+
+    got = {r["doc_id"]: r for r in bpe_apply_encode(spark, SF_DIR).collect()}
+    expected = {
+        d: (len(ws), sum(len(words[w]) for w in ws))
+        for d, ws in doc_words.items()
+        if ws
+    }
+    assert set(got) == set(expected)
+    for d, (n_words, n_subwords) in expected.items():
+        assert got[d]["n_words"] == n_words, d
+        assert got[d]["n_subwords"] == n_subwords, d
+        # Spark/DuckDB ROUND are HALF_UP, not Python's banker's rounding
+        want = float(
+            Decimal(n_subwords / n_words).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert abs(got[d]["fertility"] - want) < 1e-9, d
