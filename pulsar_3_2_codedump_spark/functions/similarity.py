@@ -1560,3 +1560,143 @@ def kmeans_lloyd_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(cs), "cluster_id")
     )
+
+
+PI_SCALE = 1_000_000  # fixed-point scale for the power-iteration vector
+PI_ITERS = 3
+
+
+def _pi_step(qdf: DataFrame, vdf: DataFrame) -> DataFrame:
+    """One matrix-free power-iteration step v' ~ X^T (X v) in pure BIGINT:
+    broadcast the 1-row fixed-point vector, fold s = q.v exactly, rescale
+    with sign-magnitude truncating division (identical on both engines;
+    avoids floor-vs-truncate divergence on negatives), per-dimension
+    partial-agg n_j = sum(q_j * sd), then renormalize so max|v'| is back at
+    PI_SCALE with the sign anchored to the max-|n| dimension (tiebreak:
+    smallest dim). All arithmetic exact → order-independent → hashable."""
+    scored = (
+        qdf.crossJoin(F.broadcast(vdf))
+        .withColumn(
+            "s",
+            F.aggregate(
+                F.zip_with("q", "v", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "sd",
+            F.expr(
+                f"CASE WHEN s < 0 THEN -((-s) div {PI_SCALE}) "
+                f"ELSE s div {PI_SCALE} END"
+            ),
+        )
+    )
+    n = (
+        scored.select(F.posexplode("q").alias("pos", "qv"), "sd")
+        .groupBy("pos")
+        .agg(F.sum(F.col("qv") * F.col("sd")).alias("n"))
+    )
+    m = n.orderBy(F.desc(F.abs("n")), F.asc("pos")).limit(1).select(
+        F.col("n").alias("m")
+    )
+    return (
+        n.crossJoin(F.broadcast(m))
+        .withColumn(
+            "val",
+            F.expr(
+                "(CASE WHEN n < 0 THEN -1 ELSE 1 END) * "
+                "(CASE WHEN m < 0 THEN -1 ELSE 1 END) * "
+                f"(abs(n) div (abs(m) div {PI_SCALE} + 1))"
+            ),
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda st: st["val"],
+            ).alias("v")
+        )
+    ).localCheckpoint()
+
+
+def _pi_oracle_iteration(k: int) -> str:
+    """One unrolled oracle iteration: v{k} from v{k-1} (DuckDB CTEs)."""
+    p = k - 1
+    return f"""
+        s{k} AS (SELECT vec_id, CAST(SUM(qv * val) AS BIGINT) AS s
+                 FROM q JOIN v{p} USING (pos) GROUP BY vec_id),
+        sd{k} AS (SELECT vec_id,
+                         CASE WHEN s < 0 THEN -((-s) // {PI_SCALE})
+                              ELSE s // {PI_SCALE} END AS sd
+                  FROM s{k}),
+        n{k} AS (SELECT pos, CAST(SUM(qv * sd) AS BIGINT) AS n
+                 FROM q JOIN sd{k} USING (vec_id) GROUP BY pos),
+        m{k} AS (SELECT n AS m FROM n{k} ORDER BY abs(n) DESC, pos LIMIT 1),
+        v{k} AS (SELECT pos,
+                        (CASE WHEN n < 0 THEN -1 ELSE 1 END) *
+                        (CASE WHEN m < 0 THEN -1 ELSE 1 END) *
+                        (abs(n) // (abs(m) // {PI_SCALE} + 1)) AS val
+                 FROM n{k}, m{k})"""
+
+
+@query(
+    "pca_power_iteration",
+    section="2.N-sim",
+    doc="ITERATIVE distributed PCA/SVD: power iteration for the top "
+    "right-singular direction of the embedding matrix (uncentred Gram "
+    f"X^T X), {PI_ITERS} unrolled iterations ENTIRELY IN FIXED-POINT "
+    f"BIGINT (embeddings quantized at {PI_SCALE}, truncating sign-"
+    "magnitude rescales, max-|component| renormalization with "
+    "deterministic sign anchor) so every sum is exact integer arithmetic "
+    "— order-independent across engines, hence an iterative numerical "
+    "algorithm with a FULL hash oracle. Matrix-free: the Gram matrix is "
+    "never materialized; each iteration is ONE corpus pass — broadcast "
+    "the d-long vector, fold s = q.v per row, then a d-row partial-agg "
+    "shuffle (map-side combine leaves d rows per partition). This is the "
+    "Krylov topology distributed SVD implementations use at any scale. "
+    "Output: the fixed-point vector after iterations 2 and 3 per "
+    "dimension. Reference analogue: none (Pulsar has no corpus ops) — "
+    "§2.N training-pipeline extension.",
+    oracle=f"""
+        WITH emb AS (SELECT vec_id,
+                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                     FROM embeddings),
+        q AS (SELECT vec_id, i - 1 AS pos,
+                     CAST(FLOOR(e[i] * {PI_SCALE} + 0.5) AS BIGINT) AS qv
+              FROM emb,
+                   (SELECT unnest(generate_series(1,
+                        (SELECT MAX(len(e)) FROM emb))) AS i)
+              WHERE i <= len(e)),
+        v0 AS (SELECT DISTINCT pos, CAST({PI_SCALE} AS BIGINT) AS val FROM q),
+        {_pi_oracle_iteration(1)},
+        {_pi_oracle_iteration(2)},
+        {_pi_oracle_iteration(3)}
+        SELECT v2.pos AS dim, v2.val AS v2, v3.val AS v3
+        FROM v2 JOIN v3 USING (pos)
+    """,
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qdf = fanout(emb).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * PI_SCALE + F.lit(0.5)).cast("long"),
+        ).alias("q"),
+    )
+    # v0 = all-ones at fixed-point scale; 1-row array frame (constant value,
+    # so the limit(1) row choice is immaterial)
+    v = qdf.limit(1).select(
+        F.transform("q", lambda _: F.lit(PI_SCALE).cast("long")).alias("v")
+    ).localCheckpoint()
+    vs = []
+    for _ in range(PI_ITERS):
+        v = _pi_step(qdf, v)
+        vs.append(v)
+    v2 = vs[1].select(F.posexplode("v").alias("dim", "v2"))
+    v3 = vs[2].select(F.posexplode("v").alias("dim", "v3"))
+    return (
+        v2.join(v3, "dim")
+        .select(F.col("dim").cast("long"), "v2", "v3")
+    )

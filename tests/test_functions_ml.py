@@ -535,3 +535,51 @@ def test_kmeans_lloyd_iterations_monotone_inertia(spark):
     )
     j2 = sum(r["inertia"] for r in out)
     assert j2 <= j1 + 1e-6
+
+
+def test_pca_power_iteration_matches_numpy_and_aligns_with_svd(spark):
+    # (1) bit-exact: the fixed-point recurrence replayed in numpy int64
+    # must equal the Spark/oracle output; (2) semantic: the fixed-point
+    # trajectory must track FLOAT power iteration (same start) essentially
+    # exactly, and the Rayleigh quotient must be strictly increasing —
+    # the data's near-flat spectrum (sigma2/sigma1 ~ 0.97) means no
+    # 3-iteration method converges to the top singular vector itself.
+    import numpy as np
+
+    from pulsar_3_2_codedump_spark.catalog import load
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        PI_ITERS,
+        PI_SCALE,
+        pca_power_iteration,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Q = np.floor(X * PI_SCALE + 0.5).astype(np.int64)
+
+    v = np.full(Q.shape[1], PI_SCALE, dtype=np.int64)
+    history = []
+    for _ in range(PI_ITERS):
+        s = Q @ v
+        sd = np.sign(s) * (np.abs(s) // PI_SCALE)
+        n = Q.T @ sd
+        m_idx = np.lexsort((np.arange(len(n)), -np.abs(n)))[0]
+        m = n[m_idx]
+        v = np.sign(n) * np.sign(m) * (np.abs(n) // (np.abs(m) // PI_SCALE + 1))
+        history.append(v.copy())
+
+    got = sorted(pca_power_iteration(spark, SF_DIR).collect(), key=lambda r: r["dim"])
+    assert [r["v2"] for r in got] == history[1].tolist()
+    assert [r["v3"] for r in got] == history[2].tolist()
+
+    vf = np.ones(X.shape[1], dtype=np.float64)
+    rayleighs = []
+    for k in range(PI_ITERS):
+        w = X.T @ (X @ vf)
+        rayleighs.append((vf @ w) / (vf @ vf))
+        vf = w / np.linalg.norm(w)
+        vq = history[k].astype(np.float64)
+        cos = abs(vq @ vf) / (np.linalg.norm(vq) * np.linalg.norm(vf))
+        assert cos > 0.9999, (k, cos)
+    assert rayleighs == sorted(rayleighs) and rayleighs[0] < rayleighs[-1]
