@@ -75,7 +75,7 @@ PRIORITY_ORDER = [
     "source_cap_sample", "token_budget_selection",
     "expire_messages_by_time", "tiered_shadow_roundtrip",
     "bpe_train_merges", "event_graph_pagerank", "kmeans_lloyd_iterations",
-    "bpe_apply_encode", "pca_power_iteration",
+    "bpe_apply_encode", "pca_power_iteration", "constraint_audit",
     # (c) code changed in r8 — prior hashes invalidated
     "theta_kll_sketch_battery", "encrypted_roundtrip",
     "streaming_encrypted_scan", "publish_rate_limit",
@@ -83,9 +83,8 @@ PRIORITY_ORDER = [
     # (d) freshness: oldest (r4) hashes, code unchanged
     "tableview_latest", "txn_visibility", "minhash_lsh_dedup",
     "asof_join_prior_view", "text_token_stats", "sequence_packing",
-    "bpe_regex_tokens",
     # ---- rotation window boundary (50) ----
-    "multimodal_metadata", "compaction_tombstones",
+    "bpe_regex_tokens", "multimodal_metadata", "compaction_tombstones",
     "strategic_compaction", "compacted_read", "dedup_producer_sequence",
     "delayed_delivery_due", "ttl_expiry", "seek_by_timestamp",
     "last_message_id",
@@ -176,6 +175,7 @@ def load_all() -> dict[str, Query]:
         dedup_ml,
         multimodal,
         proto_codec,
+        quality_audit,
         retrieval,
         sampling,
         similarity,
