@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from pulsar_3_2_codedump_spark.catalog import load
-from pulsar_3_2_codedump_spark.functions.dedup_ml import _D_WORDS
+from pulsar_3_2_codedump_spark.functions.dedup_ml import _D_SHINGLES, _D_WORDS
 from pulsar_3_2_codedump_spark.queries import query
 
 # per-language sampling rates (the training-mix knob); .items() order is the
@@ -585,3 +585,135 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_kept"
         ),
     )
+
+
+KFOLD_K = 5
+
+
+@query(
+    "kfold_assignment",
+    section="2.N-sampling",
+    doc=f"Stratified {KFOLD_K}-fold cross-validation assignment: fold = "
+    "md5-hash(doc_id) mod K (the same auditable hash the stratified "
+    "sampler and Key_Shared bucketing use — deterministic, reproducible, "
+    "no RNG state), reported per (lang, fold) with the within-language "
+    "share so balance is visible. Disjointness and full coverage hold by "
+    "construction (a doc hashes to exactly one fold). One partial-agg "
+    "scan; the share join is over the metadata-scale per-lang totals.",
+    oracle=f"""
+        WITH f AS (
+            SELECT lang,
+                   CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % {KFOLD_K} AS fold,
+                   n_chars
+            FROM documents
+        ),
+        per AS (SELECT lang, fold, COUNT(*) AS n_docs,
+                       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+                FROM f GROUP BY lang, fold),
+        tot AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang FROM per GROUP BY lang)
+        SELECT per.lang, per.fold, per.n_docs, per.total_chars,
+               ROUND(per.n_docs * 1.0 / tot.n_lang, 4) AS fold_share
+        FROM per JOIN tot ON per.lang = tot.lang
+    """,
+)
+def kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.operators.routing import md5_hash32
+
+    docs = load(spark, sf_dir, "documents")
+    per = (
+        docs.withColumn("fold", md5_hash32(F.col("doc_id")) % KFOLD_K)
+        .groupBy("lang", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    tot = per.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    return per.join(F.broadcast(tot), "lang").select(
+        "lang", "fold", "n_docs", "total_chars",
+        F.round(F.col("n_docs") / F.col("n_lang"), 4).alias("fold_share"),
+    )
+
+
+GREEDY_STEPS = 3
+
+
+@query(
+    "greedy_coverage_selection",
+    section="2.N-sampling",
+    doc="ITERATIVE greedy MAX-COVERAGE corpus selection (the submodular "
+    f"selection family data-curation pipelines use): {GREEDY_STEPS} "
+    "unrolled greedy steps, each picking the document whose DISTINCT "
+    "3-word shingles add the most not-yet-covered shingles (argmax with "
+    "doc_id-asc tiebreak), then folding them into the covered set. "
+    "The classic (1 - 1/e) greedy for submodular coverage — exact integer "
+    "gains, so even this iterative optimizer has a FULL hash oracle. "
+    "Scale shape: the (doc, token) incidence table is built ONCE "
+    "(lineage cut); each step is one anti-join against the bounded "
+    "covered-token set + one partial-agg argmax — no all-pairs, no "
+    "driver-side loops over data.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, tok
+            FROM (SELECT doc_id, unnest({_D_SHINGLES}) AS tok FROM documents)
+        ),
+        g1 AS (SELECT doc_id, COUNT(*) AS c FROM tok GROUP BY doc_id),
+        b1 AS (SELECT doc_id, c FROM g1 ORDER BY c DESC, doc_id LIMIT 1),
+        cov1 AS (SELECT DISTINCT tok FROM tok JOIN b1 USING (doc_id)),
+        g2 AS (SELECT t.doc_id, COUNT(*) AS c FROM tok t
+               WHERE NOT EXISTS (SELECT 1 FROM cov1 WHERE cov1.tok = t.tok)
+                 AND t.doc_id <> (SELECT doc_id FROM b1)
+               GROUP BY t.doc_id),
+        b2 AS (SELECT doc_id, c FROM g2 ORDER BY c DESC, doc_id LIMIT 1),
+        cov2 AS (SELECT tok FROM cov1 UNION
+                 SELECT tok FROM tok JOIN b2 USING (doc_id)),
+        g3 AS (SELECT t.doc_id, COUNT(*) AS c FROM tok t
+               WHERE NOT EXISTS (SELECT 1 FROM cov2 WHERE cov2.tok = t.tok)
+                 AND t.doc_id NOT IN (SELECT doc_id FROM b1
+                                      UNION SELECT doc_id FROM b2)
+               GROUP BY t.doc_id),
+        b3 AS (SELECT doc_id, c FROM g3 ORDER BY c DESC, doc_id LIMIT 1)
+        SELECT 1 AS step, doc_id, c AS marginal_gain FROM b1
+        UNION ALL SELECT 2, doc_id, c FROM b2
+        UNION ALL SELECT 3, doc_id, c FROM b3
+    """,
+)
+def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.catalog import fanout
+
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import shingles
+
+    docs = fanout(load(spark, sf_dir, "documents"))
+    tok = (
+        docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("tok"))
+        .distinct()
+        .localCheckpoint()  # incidence table built once; steps never re-scan text
+    )
+    covered = None
+    selected = None
+    outs = []
+    for step in range(1, GREEDY_STEPS + 1):
+        cand = tok
+        if covered is not None:
+            cand = cand.join(covered, "tok", "left_anti")
+        if selected is not None:
+            cand = cand.join(selected, "doc_id", "left_anti")
+        best = (
+            cand.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("marginal_gain"))
+            .orderBy(F.desc("marginal_gain"), F.asc("doc_id"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        outs.append(best.select(F.lit(step).alias("step"), "doc_id", "marginal_gain"))
+        picked_toks = tok.join(F.broadcast(best.select("doc_id")), "doc_id").select("tok")
+        covered = (
+            picked_toks if covered is None else covered.unionByName(picked_toks)
+        ).distinct().localCheckpoint()
+        sel = best.select("doc_id")
+        selected = sel if selected is None else selected.unionByName(sel)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

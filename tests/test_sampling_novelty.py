@@ -137,3 +137,73 @@ def test_token_budget_selection_is_greedy_prefix(spark):
     assert sum(r["tokens_kept"] for r in out) == tokens_kept
     # the budget binds: something kept, something dropped
     assert 0 < kept < len(rows)
+
+
+def test_kfold_assignment_partitions_every_language(spark):
+    import hashlib
+
+    from pulsar_3_2_codedump_spark.catalog import load
+    from pulsar_3_2_codedump_spark.functions.sampling import (
+        KFOLD_K,
+        kfold_assignment,
+    )
+    from tests.conftest import SF_DIR
+
+    out = kfold_assignment(spark, SF_DIR).collect()
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "lang", "n_chars").collect()
+
+    # independent recomputation of the md5 fold assignment
+    def fold(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % KFOLD_K
+
+    from collections import defaultdict
+    want = defaultdict(lambda: [0, 0])
+    for r in docs:
+        k = (r["lang"], fold(r["doc_id"]))
+        want[k][0] += 1
+        want[k][1] += r["n_chars"]
+    got = {(r["lang"], r["fold"]): r for r in out}
+    assert set(got) == set(want)
+    for k, (n, chars) in want.items():
+        assert got[k]["n_docs"] == n, k
+        assert got[k]["total_chars"] == chars, k
+    # shares sum to ~1 within each language
+    from collections import Counter
+    share = Counter()
+    for r in out:
+        assert 0 <= r["fold"] < KFOLD_K
+        share[r["lang"]] += r["fold_share"]
+    for lang, s in share.items():
+        assert abs(s - 1.0) < 0.001, (lang, s)
+
+
+def test_greedy_coverage_selection_matches_sequential_greedy(spark):
+    from pulsar_3_2_codedump_spark.catalog import load
+    from pulsar_3_2_codedump_spark.functions.sampling import (
+        GREEDY_STEPS,
+        greedy_coverage_selection,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    inc = {}
+    for r in rows:
+        ws = r["text"].lower().strip().split()
+        n = max(len(ws) - 2, 1)
+        inc[r["doc_id"]] = {" ".join(ws[i:i + 3]) for i in range(n)}
+
+    covered, selected, expect = set(), set(), []
+    for step in range(1, GREEDY_STEPS + 1):
+        best = min(
+            ((d, len(sh - covered)) for d, sh in inc.items() if d not in selected),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        expect.append((step, best[0], best[1]))
+        covered |= inc[best[0]]
+        selected.add(best[0])
+
+    got = sorted(
+        [(r["step"], r["doc_id"], r["marginal_gain"])
+         for r in greedy_coverage_selection(spark, SF_DIR).collect()]
+    )
+    assert got == expect
