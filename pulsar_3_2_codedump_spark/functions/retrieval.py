@@ -406,3 +406,62 @@ def tfidf_keywords(docs: DataFrame, topk: int) -> DataFrame:
         .select("doc_id", "term", F.col("rank").cast("long").alias("rank"),
                 F.round(score, 4).alias("score"))
     )
+
+
+FUZZY_PROBE_LEN = 60   # chars of normalized text compared per pair
+FUZZY_MAX_DIST = 20    # edit-distance match threshold
+
+
+@query(
+    "fuzzy_blocking_pairs",
+    section="2.N-dedup",
+    doc="Blocked FUZZY record linkage (the Fellegi-Sunter blocking+compare "
+    "shape; complements sorted-neighborhood's Jaccard with EDIT DISTANCE "
+    "verification): candidate pairs share a blocking key (lang + first "
+    f"two normalized words), then the first {FUZZY_PROBE_LEN} chars are "
+    f"compared with levenshtein and pairs at distance <= {FUZZY_MAX_DIST} "
+    "are linked. Blocking is the scale story: the equi-join on the "
+    "blocking key prunes the quadratic comparison space to within-block "
+    "pairs — never an all-pairs product; levenshtein runs JVM-side in "
+    "whole-stage codegen.",
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id, lang,
+                   substr(lower(trim(text)), 1, {FUZZY_PROBE_LEN}) AS probe,
+                   array_to_string(
+                       string_split_regex(lower(trim(text)), '\\s+')[1:2],
+                       ' ') AS blk
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, a.lang,
+               CAST(levenshtein(a.probe, c.probe) AS BIGINT) AS edit_dist
+        FROM b a JOIN b c
+          ON a.lang = c.lang AND a.blk = c.blk AND a.doc_id < c.doc_id
+        WHERE levenshtein(a.probe, c.probe) <= {FUZZY_MAX_DIST}
+    """,
+)
+def fuzzy_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fanout(load(spark, sf_dir, "documents"))
+    norm = F.lower(F.trim(F.col("text")))
+    ws = F.split(norm, r"\s+")
+    b = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(norm, 1, FUZZY_PROBE_LEN).alias("probe"),
+        F.concat_ws(" ", F.slice(ws, 1, 2)).alias("blk"),
+    )
+    a = b.select(
+        F.col("doc_id").alias("doc_a"), "lang", "blk",
+        F.col("probe").alias("probe_a"),
+    )
+    c = b.select(
+        F.col("doc_id").alias("doc_b"), "lang", "blk",
+        F.col("probe").alias("probe_b"),
+    )
+    return (
+        a.join(c, ["lang", "blk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("edit_dist", F.levenshtein("probe_a", "probe_b").cast("long"))
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        .select("doc_a", "doc_b", "lang", "edit_dist")
+    )

@@ -76,16 +76,15 @@ PRIORITY_ORDER = [
     "expire_messages_by_time", "tiered_shadow_roundtrip",
     "bpe_train_merges", "event_graph_pagerank", "kmeans_lloyd_iterations",
     "bpe_apply_encode", "pca_power_iteration", "constraint_audit",
-    "kfold_assignment", "greedy_coverage_selection",
+    "kfold_assignment", "greedy_coverage_selection", "fuzzy_blocking_pairs",
     # (c) code changed in r8 — prior hashes invalidated
     "theta_kll_sketch_battery", "encrypted_roundtrip",
     "streaming_encrypted_scan", "publish_rate_limit",
     "subscribe_rate_limit", "dispatch_rate_limit",
     # (d) freshness: oldest (r4) hashes, code unchanged
     "tableview_latest", "txn_visibility", "minhash_lsh_dedup",
-    "asof_join_prior_view",
     # ---- rotation window boundary (50) ----
-    "text_token_stats", "sequence_packing",
+    "asof_join_prior_view", "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata", "compaction_tombstones",
     "strategic_compaction", "compacted_read", "dedup_producer_sequence",
     "delayed_delivery_due", "ttl_expiry", "seek_by_timestamp",

@@ -189,3 +189,45 @@ def test_sorted_neighborhood_finds_exact_dups_and_is_subset_of_brute(spark):
         .select("doc_a", "doc_b").collect()
     }
     assert got <= brute
+
+
+def test_fuzzy_blocking_pairs_matches_python_edit_distance(spark):
+    from pulsar_3_2_codedump_spark.catalog import load
+    from pulsar_3_2_codedump_spark.functions.retrieval import (
+        FUZZY_MAX_DIST,
+        FUZZY_PROBE_LEN,
+        fuzzy_blocking_pairs,
+    )
+    from tests.conftest import SF_DIR
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = load(spark, SF_DIR, "documents").select("doc_id", "lang", "text").collect()
+    recs = []
+    for r in rows:
+        norm = r["text"].lower().strip()
+        blk = " ".join(norm.split()[:2])
+        recs.append((r["doc_id"], r["lang"], blk, norm[:FUZZY_PROBE_LEN]))
+
+    expect = set()
+    for i, (da, la, ba, pa) in enumerate(recs):
+        for db, lb, bb, pb in recs[i + 1:]:
+            if la == lb and ba == bb:
+                lo, hi = min(da, db), max(da, db)
+                d = lev(pa, pb)
+                if d <= FUZZY_MAX_DIST:
+                    expect.add((lo, hi, la, d))
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["lang"], r["edit_dist"])
+        for r in fuzzy_blocking_pairs(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert expect, "fixture should produce at least one fuzzy link"
