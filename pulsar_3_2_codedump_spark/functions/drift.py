@@ -1,0 +1,288 @@
+"""Dataset-drift and model-evaluation operators for training-data pipelines.
+
+A production corpus pipeline re-ingests continuously; before a new slice is
+admitted it is compared against the reference distribution and the quality
+gate's classifier is re-audited. Beyond-reference §2.N extensions (the
+reference broker has no analytics surface; these are the standard public
+formulations):
+
+  - **Population Stability Index** (the banking/industry drift score;
+    Karakoulas 2004 formulation): per-category
+    ``(p_cur - p_ref) * ln(p_cur / p_ref)`` between a reference and a
+    current window of the event stream. Both halves come out of ONE scan
+    (conditional aggregation), the per-category frame is metadata-scale,
+    and the totals are a single broadcast row — no second pass, no driver
+    collect.
+  - **Kolmogorov-Smirnov two-sample statistic** (exact, not binned):
+    ``D = max_v |F1(v) - F2(v)|`` over the observed support. The running
+    CDFs are EXACT INTEGER prefix counts computed with the distributed
+    prefix decomposition (`operators/prefixops.py`) — no single-partition
+    window anywhere — and the max is scale-free:
+    ``D_num = max |c1*n2 - c2*n1|`` stays in BIGINT, so both engines hash
+    identically; the float D is derived once at the end.
+  - **Calibration bins** (reliability diagram, Niculescu-Mizil & Caruana
+    2005): decile-bucket a deterministic quality score, per bin emit count,
+    positive count and exact-integer mean score / positive rate. The decile
+    assignment uses the exact distributed global rank (no NTILE over an
+    unpartitioned window), so bucket membership is reproducible under any
+    partitioning.
+
+All arithmetic that crosses the hash oracle is integer (counts, scaled
+scores) or a ratio of integers rounded once at emission — no float
+aggregation order-sensitivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from pulsar_3_2_codedump_spark.catalog import fanout, load
+from pulsar_3_2_codedump_spark.operators.prefixops import (
+    distributed_rank,
+    exclusive_prefix,
+    range_bucket,
+)
+from pulsar_3_2_codedump_spark.queries import query
+
+
+@query(
+    "psi_drift",
+    section="2.N-quality",
+    doc="Population Stability Index between the first and second half of "
+    "the event stream (split at the midpoint of the observed epoch-"
+    "microsecond range — integer arithmetic, both engines agree exactly): "
+    "per event_type, psi_term = (p_cur - p_ref) * ln(p_cur / p_ref). ONE "
+    "corpus scan with conditional aggregation produces both windows' "
+    "counts; the category frame and the totals row are metadata-scale "
+    "broadcasts. Counts are exact BIGINT; only the final per-category term "
+    "is floating, computed once from exact integers and rounded 6dp.",
+    oracle="""
+        WITH bounds AS (
+            SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+            FROM events
+        ),
+        cat AS (
+            SELECT event_type,
+                   SUM(CASE WHEN epoch_us(ts) <= bounds.mid THEN 1 ELSE 0 END) AS n_ref,
+                   SUM(CASE WHEN epoch_us(ts) > bounds.mid THEN 1 ELSE 0 END) AS n_cur
+            FROM events, bounds
+            GROUP BY event_type
+        ),
+        tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM cat)
+        SELECT cat.event_type,
+               CAST(cat.n_ref AS BIGINT) AS n_ref,
+               CAST(cat.n_cur AS BIGINT) AS n_cur,
+               ROUND((CAST(cat.n_cur AS DOUBLE) / tot.t_cur
+                      - CAST(cat.n_ref AS DOUBLE) / tot.t_ref)
+                     * LN((CAST(cat.n_cur AS DOUBLE) / tot.t_cur)
+                          / (CAST(cat.n_ref AS DOUBLE) / tot.t_ref)), 6)
+                   AS psi_term
+        FROM cat, tot
+    """,
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    bounds = events.agg(
+        F.min(us).alias("__mn"), F.max(us).alias("__mx")
+    ).select(F.expr("(__mn + __mx) DIV 2").alias("mid"))
+    cat = (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(us <= F.col("mid"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(us > F.col("mid"), 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    tot = cat.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
+    p_ref = F.col("n_ref").cast("double") / F.col("t_ref")
+    p_cur = F.col("n_cur").cast("double") / F.col("t_cur")
+    return cat.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )
+
+
+KS_SEG_A = "BUILDING"
+KS_SEG_B = "MACHINERY"
+KS_BUCKETS = 32
+
+
+@query(
+    "ks_two_sample",
+    section="2.N-quality",
+    doc="Exact two-sample Kolmogorov-Smirnov statistic between the order-"
+    f"value distributions of the {KS_SEG_A} and {KS_SEG_B} market segments: "
+    "D = max over observed values of |F_a(v) - F_b(v)|. The comparison "
+    "stays in EXACT INTEGERS (D_num = max |c_a*n_b - c_b*n_a|) so the "
+    "hash oracle is sound; the running per-value counts are computed with "
+    "the distributed prefix-sum decomposition (range-bucket partials + "
+    "triangular carry-in join) — no unpartitioned window, holds at any "
+    "corpus size. One output row.",
+    oracle=f"""
+        WITH s AS (
+            SELECT o.o_totalprice AS v,
+                   CASE WHEN c.c_mktsegment = '{KS_SEG_A}' THEN 1 ELSE 0 END AS ga
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment IN ('{KS_SEG_A}', '{KS_SEG_B}')
+        ),
+        pv AS (
+            SELECT v, SUM(ga) AS na, SUM(1 - ga) AS nb
+            FROM s GROUP BY v
+        ),
+        run AS (
+            SELECT v,
+                   SUM(na) OVER (ORDER BY v) AS ca,
+                   SUM(nb) OVER (ORDER BY v) AS cb
+            FROM pv
+        ),
+        tot AS (SELECT SUM(na) AS n_a, SUM(nb) AS n_b FROM pv)
+        SELECT CAST(MAX(ABS(run.ca * tot.n_b - run.cb * tot.n_a)) AS BIGINT)
+                   AS ks_num,
+               CAST(tot.n_a AS BIGINT) AS n_a,
+               CAST(tot.n_b AS BIGINT) AS n_b,
+               ROUND(CAST(MAX(ABS(run.ca * tot.n_b - run.cb * tot.n_a))
+                          AS DOUBLE) / (tot.n_a * tot.n_b), 6) AS ks_d
+        FROM run, tot
+        GROUP BY tot.n_a, tot.n_b
+    """,
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    s = (
+        orders.join(
+            F.broadcast(
+                customer.filter(
+                    F.col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B)
+                ).select("c_custkey", "c_mktsegment")
+            ),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("c_mktsegment") == KS_SEG_A, 1).otherwise(0).alias("ga"),
+        )
+    )
+    pv = s.groupBy("v").agg(
+        F.sum("ga").alias("na"), F.sum(F.lit(1) - F.col("ga")).alias("nb")
+    )
+    # exact running counts without a global window: range-bucket the distinct
+    # values, per-bucket partials, triangular exclusive carry, within-bucket
+    # running sums partitioned by bucket
+    b = range_bucket(pv, "v", KS_BUCKETS)
+    parts = b.groupBy("bucket").agg(
+        F.sum("na").alias("pa"), F.sum("nb").alias("pb")
+    )
+    carry_a = exclusive_prefix(parts, "bucket", "pa", "sum", "ca0")
+    carry_b = exclusive_prefix(parts, "bucket", "pb", "sum", "cb0")
+    w = Window.partitionBy("bucket").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = (
+        b.join(F.broadcast(carry_a), "bucket")
+        .join(F.broadcast(carry_b), "bucket")
+        .select(
+            "v",
+            (F.coalesce("ca0", F.lit(0)) + F.sum("na").over(w)).alias("ca"),
+            (F.coalesce("cb0", F.lit(0)) + F.sum("nb").over(w)).alias("cb"),
+        )
+    )
+    tot = pv.agg(F.sum("na").alias("n_a"), F.sum("nb").alias("n_b"))
+    diff = F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+    return (
+        run.crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(F.max(diff).alias("ks_num"))
+        .select(
+            F.col("ks_num").cast("long").alias("ks_num"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("ks_num").cast("double") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("ks_d"),
+        )
+    )
+
+
+CAL_BINS = 10
+
+
+@query(
+    "score_calibration_bins",
+    section="2.N-quality",
+    doc="Classifier reliability diagram over the documents corpus: a "
+    "deterministic integer quality score (percent of alphabetic chars, "
+    "0..100) is decile-bucketed by EXACT global rank (distributed_rank — "
+    "range-bucketed partials + carry-in, no unpartitioned NTILE) against "
+    "the lang='en' label; per bin the count, positive count, mean score "
+    "and positive rate come from exact integer sums. The standard "
+    "calibration audit for the corpus quality gate (Niculescu-Mizil & "
+    "Caruana 2005), reproducible under any partitioning.",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   (100 * LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+                       // LENGTH(text) AS score,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+            FROM documents
+            WHERE LENGTH(text) > 0
+        ),
+        ranked AS (
+            SELECT score, pos,
+                   ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM scored
+        )
+        SELECT CAST(((rn - 1) * {CAL_BINS}) // n AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               ROUND(CAST(SUM(score) AS DOUBLE) / COUNT(*), 6) AS mean_score,
+               ROUND(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+        FROM ranked
+        GROUP BY 1
+    """,
+)
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fanout(load(spark, sf_dir, "documents")).filter(F.length("text") > 0)
+    scored = docs.select(
+        "doc_id",
+        F.floor(
+            F.lit(100)
+            * F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+            / F.length("text")
+        ).cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    # exact global rank without a single-partition window; score is already
+    # 0..100 so it is its own monotone range bucket
+    ranked = distributed_rank(
+        scored, F.col("score"), [F.col("score"), F.col("doc_id")], out="rn"
+    )
+    n = scored.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            "bin", ((F.col("rn") - 1) * CAL_BINS / F.col("n")).cast("long")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pos").alias("n_pos"),
+            F.sum("score").alias("sum_score"),
+        )
+        .select(
+            "bin",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.round(
+                F.col("sum_score").cast("double") / F.col("n_docs"), 6
+            ).alias("mean_score"),
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n_docs"), 6
+            ).alias("pos_rate"),
+        )
+    )

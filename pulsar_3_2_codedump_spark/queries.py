@@ -84,6 +84,8 @@ PRIORITY_ORDER = [
     # (d) freshness: oldest (r4) hashes, code unchanged
     "tableview_latest", "txn_visibility", "minhash_lsh_dedup",
     # ---- rotation window boundary (50) ----
+    # r9 queue head: new post-window additions, locally oracle-verified
+    "psi_drift", "ks_two_sample", "score_calibration_bins",
     "asof_join_prior_view", "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata", "compaction_tombstones",
     "strategic_compaction", "compacted_read", "dedup_producer_sequence",
@@ -174,6 +176,7 @@ def load_all() -> dict[str, Query]:
         avro_codec,
         crypto,
         dedup_ml,
+        drift,
         multimodal,
         proto_codec,
         quality_audit,
