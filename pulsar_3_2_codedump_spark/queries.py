@@ -86,6 +86,7 @@ PRIORITY_ORDER = [
     # ---- rotation window boundary (50) ----
     # r9 queue head: new post-window additions, locally oracle-verified
     "psi_drift", "ks_two_sample", "score_calibration_bins",
+    "bloom_filter_semi_join",
     "asof_join_prior_view", "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata", "compaction_tombstones",
     "strategic_compaction", "compacted_read", "dedup_producer_sequence",
@@ -167,6 +168,7 @@ def load_all() -> dict[str, Query]:
         dedup,
         relational,
         routing,
+        runtime_filter,
         skew,
         timeops,
         tpch_extra,
