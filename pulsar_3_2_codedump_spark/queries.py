@@ -87,6 +87,7 @@ PRIORITY_ORDER = [
     # r9 queue head: new post-window additions, locally oracle-verified
     "psi_drift", "ks_two_sample", "score_calibration_bins",
     "bloom_filter_semi_join",
+    "connected_components_star", "triangle_count",
     "asof_join_prior_view", "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata", "compaction_tombstones",
     "strategic_compaction", "compacted_read", "dedup_producer_sequence",
@@ -166,6 +167,7 @@ def load_all() -> dict[str, Query]:
         advanced,
         compaction,
         dedup,
+        graph,
         relational,
         routing,
         runtime_filter,
