@@ -759,3 +759,68 @@ def theta_kll_sketch_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("boolean").alias("q95_in_bound"),
     )
     return by_type.unionByName(merged)
+
+
+@query(
+    "skyline_pareto",
+    section="2.M-agg",
+    doc="Skyline (Pareto frontier) over the part table — minimize "
+    "p_retailprice, maximize p_size: a part survives iff no other part is "
+    "at-least-as-good in both dimensions and strictly better in one. The "
+    "naive form is the quadratic NOT EXISTS self-join (the oracle); the "
+    "Spark plan is the sort-order decomposition that holds at 100 TB: per-"
+    "price group max (one hash-agg), then the running strictly-before "
+    "maximum via the distributed prefix-max (range-bucketed partials + "
+    "triangular carry — operators/prefixops.py, no unpartitioned window), "
+    "and one co-partitioned join back. A row survives iff it equals its "
+    "price group's max size AND beats the prefix max of all cheaper "
+    "prices — provably the NOT EXISTS semantics, in two linear passes.",
+    oracle="""
+        SELECT p.p_partkey, p.p_retailprice,
+               CAST(p.p_size AS BIGINT) AS p_size
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+        )
+    """,
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.operators.prefixops import (
+        exclusive_prefix,
+        range_bucket,
+    )
+
+    part = load(spark, sf_dir, "part")
+    g = part.groupBy("p_retailprice").agg(F.max("p_size").alias("mx"))
+    b = range_bucket(g, "p_retailprice", 32)
+    parts = b.groupBy("bucket").agg(F.max("mx").alias("pm"))
+    carry = exclusive_prefix(parts, "bucket", "pm", "max", "cm")
+    w = W.partitionBy("bucket").orderBy("p_retailprice").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    pref = (
+        b.join(F.broadcast(carry), "bucket")
+        .select(
+            "p_retailprice",
+            "mx",
+            F.greatest(
+                F.coalesce(F.max("mx").over(w), F.lit(-1)),
+                F.coalesce(F.col("cm"), F.lit(-1)),
+            ).alias("prefmax"),
+        )
+    )
+    return (
+        part.join(pref, "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("mx"))
+            & (F.col("p_size") > F.col("prefmax"))
+        )
+        .select(
+            "p_partkey",
+            "p_retailprice",
+            F.col("p_size").cast("long").alias("p_size"),
+        )
+    )

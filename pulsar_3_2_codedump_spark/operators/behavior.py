@@ -488,3 +488,56 @@ def event_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("outw"), F.lit(0)).cast("long").alias("out_weight"),
         )
     )
+
+
+@query(
+    "attribution_last_touch",
+    section="2.N-behavior",
+    doc="Last-touch marketing attribution: every purchase event is credited "
+    "to the user's most recent preceding non-purchase event type ('direct' "
+    "when the purchase is the user's first touch), then conversions and "
+    "revenue aggregate per channel. One user_id-partitioned window (the "
+    "same shuffle key every behavioral query here reuses) + one bounded "
+    "hash-agg — linear at any log size. Revenue sums are rounded 2dp, two "
+    "orders above double reassociation noise at this magnitude.",
+    oracle="""
+        WITH touched AS (
+            SELECT event_type, value,
+                   LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS chan
+            FROM events
+        )
+        SELECT COALESCE(chan, 'direct') AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               ROUND(SUM(value), 2) AS revenue
+        FROM touched
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = events.select(
+        "event_type",
+        "value",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w).alias("chan"),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("chan", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+    )

@@ -88,6 +88,7 @@ PRIORITY_ORDER = [
     "psi_drift", "ks_two_sample", "score_calibration_bins",
     "bloom_filter_semi_join",
     "connected_components_star", "triangle_count",
+    "skyline_pareto", "attribution_last_touch",
     "asof_join_prior_view", "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata", "compaction_tombstones",
     "strategic_compaction", "compacted_read", "dedup_producer_sequence",
