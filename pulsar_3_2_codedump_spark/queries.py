@@ -81,14 +81,14 @@ PRIORITY_ORDER = [
     "theta_kll_sketch_battery", "encrypted_roundtrip",
     "streaming_encrypted_scan", "publish_rate_limit",
     "subscribe_rate_limit", "dispatch_rate_limit",
-    # (d) freshness: oldest (r4) hashes, code unchanged
-    "tableview_latest", "txn_visibility", "minhash_lsh_dedup",
+    # (d) new late-r8 operators (the three strongest take the slots the r4
+    # freshness re-hashes held — those rows are already green, these are new)
+    "connected_components_star", "bloom_filter_semi_join", "ks_two_sample",
     # ---- rotation window boundary (50) ----
     # r9 queue head: new post-window additions, locally oracle-verified
-    "psi_drift", "ks_two_sample", "score_calibration_bins",
-    "bloom_filter_semi_join",
-    "connected_components_star", "triangle_count",
-    "skyline_pareto", "attribution_last_touch",
+    "psi_drift", "score_calibration_bins",
+    "triangle_count", "skyline_pareto", "attribution_last_touch",
+    "tableview_latest", "txn_visibility", "minhash_lsh_dedup",
     "asof_join_prior_view", "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata", "compaction_tombstones",
     "strategic_compaction", "compacted_read", "dedup_producer_sequence",

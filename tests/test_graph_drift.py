@@ -1,0 +1,168 @@
+"""Property tests for the late-r8 operators: graph (connected components,
+triangles), runtime bloom filter, drift battery, skyline, attribution."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_connected_components_labels_are_component_minima(spark):
+    from pulsar_3_2_codedump_spark.operators.graph import (
+        _linkage_edges,
+        connected_components_star,
+    )
+
+    out = {
+        r["component"]: r
+        for r in connected_components_star(spark, SF_DIR).collect()
+    }
+    assert out, "fixture produced no linkage components"
+    # every emitted row converged (the fixed unroll reached the fixed point)
+    assert all(r["converged"] for r in out.values())
+
+    # recompute ground truth with a driver-side union-find over the edges
+    edges = _linkage_edges(spark, SF_DIR).collect()
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for e in edges:
+        ra, rb = find(e["va"]), find(e["vb"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for v in parent:
+        comps.setdefault(find(v), []).append(v)
+    truth = {
+        min(m): (len(m), sum(m)) for m in comps.values()
+    }
+    got = {c: (r["n_members"], r["member_checksum"]) for c, r in out.items()}
+    assert got == truth
+
+
+def test_triangle_count_matches_brute_force(spark):
+    from pulsar_3_2_codedump_spark.operators.graph import triangle_count
+    from pulsar_3_2_codedump_spark.catalog import load
+    from pyspark.sql.window import Window
+    from itertools import combinations
+
+    rows = triangle_count(spark, SF_DIR).collect()
+    events = load(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        events.select(
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .filter(F.col("t").isNotNull() & (F.col("s") != F.col("t")))
+        .select(F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b"))
+        .distinct()
+        .collect()
+    )
+    und = {(r["a"], r["b"]) for r in seq}
+    nodes = sorted({x for e in und for x in e})
+    tri_per_node = {n: 0 for n in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in und and (b, c) in und and (a, c) in und:
+            for n in (a, b, c):
+                tri_per_node[n] += 1
+    deg = {n: sum(1 for e in und if n in e) for n in nodes}
+    assert {r["event_type"]: (r["degree"], r["n_triangles"]) for r in rows} == {
+        n: (deg[n], tri_per_node[n]) for n in nodes
+    }
+
+
+def test_bloom_filter_has_no_false_negatives(spark):
+    from pulsar_3_2_codedump_spark.operators.runtime_filter import (
+        bloom_filter_semi_join,
+    )
+
+    rows = bloom_filter_semi_join(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # no false negatives: every true member passes the filter
+        assert r["n_pass"] >= r["n_true"]
+        assert r["n_false_pos"] == r["n_pass"] - r["n_true"]
+        assert 0 <= r["n_pass"] <= r["n_probe"]
+
+
+def test_psi_drift_terms_are_nonnegative_and_counts_cover(spark):
+    from pulsar_3_2_codedump_spark.functions.drift import psi_drift
+    from pulsar_3_2_codedump_spark.catalog import load
+
+    rows = psi_drift(spark, SF_DIR).collect()
+    total = load(spark, SF_DIR, "events").count()
+    # PSI terms are individually nonnegative ((p2-p1) and ln(p2/p1) share sign)
+    assert all(r["psi_term"] >= 0 for r in rows)
+    assert sum(r["n_ref"] + r["n_cur"] for r in rows) == total
+
+
+def test_ks_statistic_bounds_and_self_test(spark):
+    from pulsar_3_2_codedump_spark.functions.drift import ks_two_sample
+
+    r = ks_two_sample(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["ks_d"] <= 1.0
+    assert r["ks_num"] <= r["n_a"] * r["n_b"]
+
+
+def test_calibration_bins_partition_the_corpus(spark):
+    from pulsar_3_2_codedump_spark.functions.drift import (
+        CAL_BINS,
+        score_calibration_bins,
+    )
+    from pulsar_3_2_codedump_spark.catalog import load
+
+    rows = score_calibration_bins(spark, SF_DIR).collect()
+    n_docs = (
+        load(spark, SF_DIR, "documents").filter(F.length("text") > 0).count()
+    )
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert {r["bin"] for r in rows} <= set(range(CAL_BINS))
+    # decile sizes differ by at most 1 (exact-rank bucketing)
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for r in rows:
+        assert 0.0 <= r["pos_rate"] <= 1.0
+
+
+def test_skyline_is_exactly_the_non_dominated_set(spark):
+    from pulsar_3_2_codedump_spark.operators.advanced import skyline_pareto
+    from pulsar_3_2_codedump_spark.catalog import load
+
+    sky = {r["p_partkey"] for r in skyline_pareto(spark, SF_DIR).collect()}
+    parts = load(spark, SF_DIR, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    ).collect()
+
+    def dominated(p):
+        return any(
+            q["p_retailprice"] <= p["p_retailprice"]
+            and q["p_size"] >= p["p_size"]
+            and (
+                q["p_retailprice"] < p["p_retailprice"]
+                or q["p_size"] > p["p_size"]
+            )
+            for q in parts
+        )
+
+    truth = {p["p_partkey"] for p in parts if not dominated(p)}
+    assert sky == truth
+
+
+def test_attribution_conserves_purchases(spark):
+    from pulsar_3_2_codedump_spark.operators.behavior import (
+        attribution_last_touch,
+    )
+    from pulsar_3_2_codedump_spark.catalog import load
+
+    rows = attribution_last_touch(spark, SF_DIR).collect()
+    events = load(spark, SF_DIR, "events")
+    n_purch = events.filter(F.col("event_type") == "purchase").count()
+    assert sum(r["n_purchases"] for r in rows) == n_purch
+    assert all(r["channel"] != "purchase" for r in rows)
