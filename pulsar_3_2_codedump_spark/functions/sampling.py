@@ -717,3 +717,70 @@ def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+PRIO_K = 5            # docs kept per source group
+PRIO_SCALE = 1 << 40  # fixed-point priority quantization
+
+
+@query(
+    "priority_sample_topk",
+    section="2.N-sampling",
+    doc="Weighted sampling WITHOUT replacement via priority sampling "
+    "(Duffield, Lund & Thorup 'Priority Sampling for Estimation of "
+    f"Arbitrary Subset Sums'): each document draws priority w/u — weight "
+    "w = n_chars, u a deterministic md5-uniform in (0,1] — and the top-"
+    f"{PRIO_K} priorities per source win. The division is FIXED-POINT "
+    f"({PRIO_SCALE}-scaled BIGINT DIV), so both engines rank identically "
+    "and the hash oracle is exact; the quantization only perturbs "
+    "priorities by <1 ulp of the 52-bit hash. Complements the reservoir "
+    "(uniform), importance (Bernoulli) and stratified (rate-tiered) "
+    "samplers with the weighted-without-replacement shape. The per-source "
+    "window is key-partitioned; no global sort.",
+    oracle=f"""
+        WITH pri AS (
+            SELECT source, doc_id, n_chars,
+                   (n_chars * {PRIO_SCALE})
+                       // (CAST(concat('0x',
+                               substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                           AS BIGINT) + 1) AS priority
+            FROM documents
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY priority DESC, doc_id) AS rn
+            FROM pri
+        )
+        SELECT source, doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(priority AS BIGINT) AS priority
+        FROM ranked WHERE rn <= {PRIO_K}
+    """,
+)
+def priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pri = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(
+            f"(n_chars * {PRIO_SCALE}) DIV "
+            "(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10)"
+            " AS BIGINT) + 1)"
+        ).alias("priority"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("source").orderBy(
+        F.col("priority").desc(), F.col("doc_id")
+    )
+    return (
+        pri.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PRIO_K)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("priority").cast("long").alias("priority"),
+        )
+    )

@@ -824,3 +824,62 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_size").cast("long").alias("p_size"),
         )
     )
+
+
+HIST_BUCKETS = 16      # equi-depth buckets
+HIST_RANGE_BUCKETS = 32  # distributed-rank parallelism
+
+
+@query(
+    "histogram_equi_depth",
+    section="2.M-agg",
+    doc=f"Equi-depth histogram ({HIST_BUCKETS} buckets) over order totals — "
+    "the optimizer/ANALYZE statistic every engine builds at scale. Bucket "
+    "membership is the EXACT global rank ((rn-1)*B DIV n), computed with "
+    "the distributed-rank decomposition (range-bucketed partials + "
+    "triangular carry-in, operators/prefixops.py) — no single-partition "
+    "window, reproducible under any parallelism. Per bucket: row count "
+    "and the exact [lo, hi] value boundaries (raw data values, bit-exact "
+    "on both engines).",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT o_totalprice AS v,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM orders
+        )
+        SELECT CAST(((rn - 1) * {HIST_BUCKETS}) // n AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(v) AS lo,
+               MAX(v) AS hi
+        FROM ranked
+        GROUP BY 1
+    """,
+)
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.operators.prefixops import (
+        distributed_rank,
+        range_bucket,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), "o_orderkey"
+    )
+    b = range_bucket(orders, "v", HIST_RANGE_BUCKETS, out="rb")
+    ranked = distributed_rank(
+        b, F.col("rb"), [F.col("v"), F.col("o_orderkey")], out="rn"
+    )
+    n = orders.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            "bucket",
+            F.floor((F.col("rn") - 1) * HIST_BUCKETS / F.col("n")).cast("long"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )

@@ -166,3 +166,40 @@ def test_attribution_conserves_purchases(spark):
     n_purch = events.filter(F.col("event_type") == "purchase").count()
     assert sum(r["n_purchases"] for r in rows) == n_purch
     assert all(r["channel"] != "purchase" for r in rows)
+
+
+def test_priority_sample_respects_k_and_weights(spark):
+    from pulsar_3_2_codedump_spark.functions.sampling import (
+        PRIO_K,
+        priority_sample_topk,
+    )
+
+    rows = priority_sample_topk(spark, SF_DIR).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert all(len(v) <= PRIO_K for v in by_src.values())
+    # priority is w/u quantized: never exceeds w * SCALE (u >= 1)
+    from pulsar_3_2_codedump_spark.functions.sampling import PRIO_SCALE
+
+    assert all(0 <= r["priority"] <= r["n_chars"] * PRIO_SCALE for r in rows)
+
+
+def test_equi_depth_histogram_buckets_are_balanced_and_ordered(spark):
+    from pulsar_3_2_codedump_spark.operators.advanced import (
+        HIST_BUCKETS,
+        histogram_equi_depth,
+    )
+    from pulsar_3_2_codedump_spark.catalog import load
+
+    rows = sorted(
+        histogram_equi_depth(spark, SF_DIR).collect(), key=lambda r: r["bucket"]
+    )
+    n = load(spark, SF_DIR, "orders").count()
+    assert sum(r["n_rows"] for r in rows) == n
+    sizes = [r["n_rows"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert len(rows) == HIST_BUCKETS
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"]  # boundaries ordered (ties may touch)
+        assert a["lo"] <= a["hi"]
