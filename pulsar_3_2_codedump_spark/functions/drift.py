@@ -40,7 +40,6 @@ from pyspark.sql.window import Window
 from pulsar_3_2_codedump_spark.catalog import fanout, load
 from pulsar_3_2_codedump_spark.operators.prefixops import (
     distributed_rank,
-    exclusive_prefix,
     range_bucket,
 )
 from pulsar_3_2_codedump_spark.queries import query
@@ -174,17 +173,29 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # values, per-bucket partials, triangular exclusive carry, within-bucket
     # running sums partitioned by bucket
     b = range_bucket(pv, "v", KS_BUCKETS)
+    # one triangular carry join for BOTH running sums over the
+    # metadata-scale (KS_BUCKETS-row, lineage-cut) partials frame
     parts = b.groupBy("bucket").agg(
         F.sum("na").alias("pa"), F.sum("nb").alias("pb")
+    ).localCheckpoint()
+    carry = (
+        parts.select(F.col("bucket").alias("__b"))
+        .join(
+            F.broadcast(parts.select(
+                F.col("bucket").alias("__pb"), "pa", "pb"
+            )),
+            F.col("__pb") < F.col("__b"),
+            "left",
+        )
+        .groupBy("__b")
+        .agg(F.sum("pa").alias("ca0"), F.sum("pb").alias("cb0"))
+        .select(F.col("__b").alias("bucket"), "ca0", "cb0")
     )
-    carry_a = exclusive_prefix(parts, "bucket", "pa", "sum", "ca0")
-    carry_b = exclusive_prefix(parts, "bucket", "pb", "sum", "cb0")
     w = Window.partitionBy("bucket").orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     run = (
-        b.join(F.broadcast(carry_a), "bucket")
-        .join(F.broadcast(carry_b), "bucket")
+        b.join(F.broadcast(carry), "bucket")
         .select(
             "v",
             (F.coalesce("ca0", F.lit(0)) + F.sum("na").over(w)).alias("ca"),

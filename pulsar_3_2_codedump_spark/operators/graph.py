@@ -159,11 +159,16 @@ def connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     lbl = nodes.select("node", F.col("node").alias("lbl"))
     for _ in range(CC_ROUNDS):
+        # cut lineage per round: the pointer-jump self-join references nm
+        # twice, so without the cut the plan doubles every round (4^R
+        # exchanges — the rfm_scores precedent); the label frame is one row
+        # per linkage-graph node, the standard iterative-algorithm
+        # materialization point
         nm = (
             adj.join(lbl.withColumnRenamed("node", "u"), "u")
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("lbl").alias("lbl"))
-        )
+        ).localCheckpoint()
         # pointer jump: lbl <- lbl(lbl)
         lbl = (
             nm.join(
