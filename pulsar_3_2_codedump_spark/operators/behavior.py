@@ -541,3 +541,111 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("revenue"),
         )
     )
+
+
+AR_MIN_SUP_PCT = 2  # rule support threshold: >= 2% of baskets
+
+
+@query(
+    "association_rules",
+    section="2.N-behavior",
+    doc="Market-basket association rules (Agrawal & Srikant, Apriori): "
+    "baskets are orders, items are part brands. The plan is the Apriori "
+    "prune done Spark-style: item supports in one hash-agg, frequent "
+    "items broadcast back to prune baskets BEFORE pair generation (the "
+    "candidate-generation step that makes the quadratic self-join "
+    "tractable at 100 TB), then the pair self-join shuffles once on the "
+    "basket key where per-basket pair counts are bounded by basket size. "
+    f"Rules with support >= {AR_MIN_SUP_PCT}% of baskets are emitted in "
+    "both directions with exact-integer support and 6dp "
+    "confidence/lift (ratios of exact counts — order-insensitive).",
+    oracle=f"""
+        WITH baskets AS (
+            SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS item
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        ),
+        n AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM baskets),
+        ic AS (SELECT item, COUNT(*) AS cnt FROM baskets GROUP BY item),
+        freq AS (SELECT ic.item, ic.cnt FROM ic, n
+                 WHERE ic.cnt * 100 >= {AR_MIN_SUP_PCT} * n.n_baskets),
+        fb AS (SELECT b.o, b.item FROM baskets b
+               JOIN freq ON freq.item = b.item),
+        pairs AS (
+            SELECT a.item AS ia, c.item AS ib, COUNT(*) AS pair_cnt
+            FROM fb a JOIN fb c ON a.o = c.o AND a.item < c.item
+            GROUP BY 1, 2
+        ),
+        sp AS (SELECT ia, ib, pair_cnt FROM pairs, n
+               WHERE pair_cnt * 100 >= {AR_MIN_SUP_PCT} * n.n_baskets),
+        rules AS (
+            SELECT ia AS antecedent, ib AS consequent, pair_cnt FROM sp
+            UNION ALL
+            SELECT ib, ia, pair_cnt FROM sp
+        )
+        SELECT r.antecedent, r.consequent,
+               CAST(r.pair_cnt AS BIGINT) AS support_cnt,
+               ROUND(CAST(r.pair_cnt AS DOUBLE) / ca.cnt, 6) AS confidence,
+               ROUND(CAST(r.pair_cnt AS DOUBLE) * n.n_baskets
+                     / (ca.cnt * cb.cnt), 6) AS lift
+        FROM rules r
+        JOIN ic ca ON ca.item = r.antecedent
+        JOIN ic cb ON cb.item = r.consequent, n
+    """,
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    baskets = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n = baskets.agg(F.countDistinct("o").alias("n_baskets"))
+    ic = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    freq = (
+        ic.crossJoin(F.broadcast(n))
+        .filter(F.col("cnt") * 100 >= AR_MIN_SUP_PCT * F.col("n_baskets"))
+        .select("item")
+    )
+    fb = baskets.join(F.broadcast(freq), "item").select("o", "item")
+    a = fb.select("o", F.col("item").alias("ia"))
+    c = fb.select("o", F.col("item").alias("ib"))
+    pairs = (
+        a.join(c, "o")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("pair_cnt") * 100 >= AR_MIN_SUP_PCT * F.col("n_baskets"))
+        .select("ia", "ib", "pair_cnt")
+    )
+    rules = pairs.select(
+        F.col("ia").alias("antecedent"), F.col("ib").alias("consequent"), "pair_cnt"
+    ).unionAll(
+        pairs.select(
+            F.col("ib").alias("antecedent"), F.col("ia").alias("consequent"), "pair_cnt"
+        )
+    )
+    ca = ic.select(F.col("item").alias("antecedent"), F.col("cnt").alias("ca"))
+    cb = ic.select(F.col("item").alias("consequent"), F.col("cnt").alias("cb"))
+    return (
+        rules.join(F.broadcast(ca), "antecedent")
+        .join(F.broadcast(cb), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("pair_cnt").cast("long").alias("support_cnt"),
+            F.round(F.col("pair_cnt").cast("double") / F.col("ca"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("pair_cnt").cast("double") * F.col("n_baskets")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -203,3 +203,16 @@ def test_equi_depth_histogram_buckets_are_balanced_and_ordered(spark):
     for a, b in zip(rows, rows[1:]):
         assert a["hi"] <= b["lo"]  # boundaries ordered (ties may touch)
         assert a["lo"] <= a["hi"]
+
+
+def test_association_rules_symmetry_and_bounds(spark):
+    from pulsar_3_2_codedump_spark.operators.behavior import association_rules
+
+    rows = association_rules(spark, SF_DIR).collect()
+    assert rows
+    sup = {(r["antecedent"], r["consequent"]): r["support_cnt"] for r in rows}
+    for (a, b), s in sup.items():
+        assert sup.get((b, a)) == s  # both directions share pair support
+    for r in rows:
+        assert 0.0 < r["confidence"] <= 1.0
+        assert r["lift"] > 0.0
