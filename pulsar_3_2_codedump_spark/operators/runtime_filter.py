@@ -6,7 +6,8 @@ this operator re-expresses the mechanism as an AUDITABLE first-class query
 so its cost/benefit is measurable: the build side's key set is folded into
 an m-bit bloom (k probes, classic double hashing h1 + i*h2 — Kirsch &
 Mitzenmacher "Less Hashing, Same Performance"), shipped to the probe side
-as ONE broadcast map row, and every probe row is filtered scan-locally
+as a broadcast word table (one BroadcastHashJoin per probe position — an
+O(1) hash lookup at any m), and every probe row is filtered scan-locally
 with zero shuffle. The exact semi-join runs alongside to report the
 realized false-positive rate — the number a pipeline operator watches
 before trusting the filter at scale.
@@ -51,8 +52,9 @@ def _h1h2(key_col):
     doc="Bloom-filter runtime pruning audit (the explicit form of Spark's "
     "InjectRuntimeFilter): build an m=16384-bit / k=4 bloom over the "
     "distinct customer keys of URGENT orders (double hashing from md5 — "
-    "Kirsch & Mitzenmacher), broadcast it as ONE map row, probe every "
-    "customer scan-locally (pure codegen bit tests, no shuffle), and "
+    "Kirsch & Mitzenmacher), broadcast the word table, probe every "
+    "customer scan-locally (one BroadcastHashJoin per position + codegen "
+    "bit tests, no shuffle), and "
     "reconcile against the exact semi-join: per market segment, probe "
     "count, bloom passes, true members, false positives and the realized "
     "FP rate. No false negatives by construction — asserted by the "
@@ -143,28 +145,36 @@ def bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("wbits"))
     )
-    # the whole filter as ONE broadcastable map row — the probe side never
-    # shuffles on account of the bloom
-    bloom = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "wbits"))).alias("bm")
-    )
-
-    probe = customer.select("c_custkey", "c_mktsegment").crossJoin(
-        F.broadcast(bloom)
-    )
+    # One broadcast hash join per probe position: BroadcastHashJoin gives a
+    # real O(1) hash lookup into the word table and keeps the probe pass
+    # shuffle-free at ANY filter size (a single map-column literal would be
+    # broadcastable too, but Spark's MapData lookup is a linear scan — at
+    # m=2^24 that is 500k comparisons per element_at; measured 25x slower in
+    # tools/scale_smoke.py).
+    words = words.localCheckpoint()  # metadata-scale (m/32 rows); cut lineage
+    probe = customer.select("c_custkey", "c_mktsegment")
     passes = None
     for i in range(BLOOM_K):
+        probe = probe.withColumn(f"w{i}", F.expr(f"(( {_pos_sql(i)} ) DIV 32)"))
+        probe = probe.join(
+            F.broadcast(
+                words.select(
+                    F.col("word").alias(f"w{i}"), F.col("wbits").alias(f"wb{i}")
+                )
+            ),
+            f"w{i}",
+            "left",
+        )
         hit = (
-            F.coalesce(
-                F.element_at(F.col("bm"), F.expr(f"(( {_pos_sql(i)} ) DIV 32)")),
-                F.lit(0),
-            ).bitwiseAND(
+            F.coalesce(F.col(f"wb{i}"), F.lit(0)).bitwiseAND(
                 F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(( {_pos_sql(i)} ) % 32 AS INT))")
             )
             != 0
         )
         passes = hit if passes is None else (passes & hit)
-    flagged = probe.withColumn("bloom_pass", passes)
+    flagged = probe.withColumn("bloom_pass", passes).select(
+        "c_custkey", "c_mktsegment", "bloom_pass"
+    )
 
     truth = flagged.join(
         F.broadcast(bkeys.withColumn("istrue", F.lit(1))),

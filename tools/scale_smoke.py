@@ -417,6 +417,124 @@ def main() -> None:
     )
     run_docs("token_budget_selection", sel)
 
+    # ---- late-r8 operators at scale -----------------------------------------
+    # Connected components on a CHAIN-heavy synthetic graph — the adversarial
+    # shape for plain min-propagation (needs diameter rounds): 100k chains of
+    # 50 nodes each. The alternation (neighbor-min + pointer jump) with R=6
+    # covers distance 2^6 > 49; plain propagation would need 49 join rounds.
+    n_cc = min(5_000_000, n)
+    cnodes = spark.range(0, n_cc, numPartitions=64).select(F.col("id").alias("node"))
+    cedges = (
+        spark.range(0, n_cc, numPartitions=64)
+        .filter(F.pmod("id", 50) < 49)
+        .select(F.col("id").alias("va"), (F.col("id") + 1).alias("vb"))
+    )
+    cadj = (
+        cedges.select(F.col("va").alias("v"), F.col("vb").alias("u"))
+        .unionAll(cedges.select(F.col("vb").alias("v"), F.col("va").alias("u")))
+        .unionAll(cnodes.select(F.col("node").alias("v"), F.col("node").alias("u")))
+    )
+    lbl = cnodes.select("node", F.col("node").alias("lbl"))
+    t0 = time.time()
+    for _ in range(6):
+        nm = (
+            cadj.join(lbl.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        lbl = nm.join(
+            nm.select(F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")), "lbl"
+        ).select("node", F.col("lbl2").alias("lbl"))
+    cnt = lbl.select("lbl").distinct().count()
+    dt = time.time() - t0
+    results["cc_star_chain_graph_6_rounds"] = {
+        "sec": round(dt, 2), "rows_out": cnt,
+        "mnodes_per_sec": round(n_cc / dt / 1e6, 2),
+    }
+    print(
+        f"# cc_star_chain_graph_6_rounds: {dt:.2f}s ({cnt} components of "
+        f"{n_cc//50} expected, {n_cc/dt/1e6:.2f}M nodes/s)", file=sys.stderr,
+    )
+
+    # Bloom runtime-filter probe: 1M-key build into m=2^24 bits, probe the
+    # full N-row side scan-locally against the broadcast word map.
+    M2 = 1 << 24
+
+    def pos_expr(col: str, i: int) -> str:
+        return (
+            f"(CAST(conv(substr(md5(CAST({col} AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+            f" + {i} * (CAST(conv(substr(md5(CAST({col} AS STRING)), 9, 8), 16, 10)"
+            f" AS BIGINT) * 2 + 1)) % {M2}"
+        )
+
+    bkeys = spark.range(0, 1_000_000, numPartitions=64).select(
+        (F.col("id") * 7).alias("k")
+    )
+    words_sc = None
+    for i in range(4):
+        p = bkeys.select(F.expr(pos_expr("k", i)).alias("p"))
+        words_sc = p if words_sc is None else words_sc.unionAll(p)
+    words_sc = (
+        words_sc.select(F.expr("p DIV 32").alias("word"), F.expr("CAST(p % 32 AS INT)").alias("bit"))
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("wbits"))
+    )
+    words_sc = words_sc.localCheckpoint()
+    # one BroadcastHashJoin per probe position — O(1) hash lookups (a
+    # single map-column literal degrades to a LINEAR MapData scan at this m)
+    probe_sc = spark.range(0, n, numPartitions=64).select(F.col("id").alias("k"))
+    hit = None
+    for i in range(4):
+        probe_sc = probe_sc.withColumn(
+            f"w{i}", F.expr(f"(({pos_expr('k', i)}) DIV 32)")
+        ).join(
+            F.broadcast(
+                words_sc.select(F.col("word").alias(f"w{i}"), F.col("wbits").alias(f"wb{i}"))
+            ),
+            f"w{i}",
+            "left",
+        )
+        h = (
+            F.coalesce(F.col(f"wb{i}"), F.lit(0))
+            .bitwiseAND(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(({pos_expr('k', i)}) % 32 AS INT))"))
+            != 0
+        )
+        hit = h if hit is None else (hit & h)
+    run("bloom_probe_16m_bits", probe_sc.filter(hit).select(F.lit(1)))
+
+    # Equi-depth histogram boundaries via the exact distributed rank at N rows
+    from pulsar_3_2_codedump_spark.operators.prefixops import distributed_rank, range_bucket
+
+    vals = spark.range(0, n, numPartitions=64).select(
+        F.pmod(F.xxhash64("id"), 1_000_000).alias("v"), F.col("id").alias("key")
+    )
+    rb = range_bucket(vals, "v", 64, out="rb")
+    ranked = distributed_rank(rb, F.col("rb"), [F.col("v"), F.col("key")], out="rn")
+    nrow = vals.agg(F.count(F.lit(1)).alias("cnt"))
+    run(
+        "equi_depth_histogram_rank",
+        ranked.crossJoin(F.broadcast(nrow))
+        .withColumn("bucket", F.floor((F.col("rn") - 1) * 16 / F.col("cnt")))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.min("v").alias("lo"), F.max("v").alias("hi")),
+    )
+
+    # Apriori pair generation: N basket lines -> 1M baskets x 25 brands,
+    # frequent-item pruned self-join on the basket key
+    blines = spark.range(0, n, numPartitions=64).select(
+        F.expr("id DIV 10").alias("o"),
+        F.concat(F.lit("Brand#"), F.pmod(F.xxhash64("id"), 25).cast("string")).alias("item"),
+    ).distinct()
+    aa = blines.select("o", F.col("item").alias("ia"))
+    cc2 = blines.select("o", F.col("item").alias("ib"))
+    run(
+        "apriori_pair_support",
+        aa.join(cc2, "o")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("pair_cnt")),
+    )
+
     print(json.dumps({"metric": "scale_smoke", "rows": n, "n_docs": n_docs, "ops": results}))
 
 
