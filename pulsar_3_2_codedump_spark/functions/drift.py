@@ -297,3 +297,80 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos_rate"),
         )
     )
+
+
+BOOT_B = 8  # bootstrap replicates
+# Poisson(1) CDF thresholds (k=0..7; tail collapses to 8). Literal constants
+# shared verbatim by both engines, compared against an exact dyadic-rational
+# uniform — weight assignment is deterministic, no RNG state.
+_POIS_CDF = [
+    0.367879441, 0.735758882, 0.919698603, 0.981011843,
+    0.996340153, 0.999405815, 0.999916759, 0.999989751,
+]
+
+
+def _pois_case_sql(ucol: str) -> str:
+    branches = "".join(
+        f" WHEN {ucol} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE{branches} ELSE 8 END"
+
+
+@query(
+    "poisson_bootstrap_means",
+    section="2.N-quality",
+    doc="Poisson bootstrap (Chamandy et al., 'Estimating Uncertainty for "
+    "Massive Data Streams' — the resampling scheme that works when the "
+    "data cannot be held, let alone resampled, on one machine): each row "
+    f"independently draws a Poisson(1) weight per replicate ({BOOT_B} "
+    "replicates) from a deterministic md5 uniform, so every replicate's "
+    "weighted mean is computed in the SAME single scan with no "
+    "with-replacement shuffle. Weights are exact integers from literal "
+    "CDF thresholds vs a dyadic-rational uniform — both engines assign "
+    "identically; only the final per-replicate mean is floating (rounded "
+    "4dp). Output: one row per replicate with effective n and the "
+    "weighted mean order value — the spread across rows IS the bootstrap "
+    "standard error.",
+    oracle=f"""
+        WITH w AS (
+            SELECT r.r AS replicate,
+                   {_pois_case_sql("(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR) || '#' || CAST(r.r AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0)")} AS wt,
+                   o_totalprice AS v
+            FROM orders, (SELECT UNNEST(range({BOOT_B})) AS r) r
+        )
+        SELECT CAST(replicate AS BIGINT) AS replicate,
+               CAST(SUM(wt) AS BIGINT) AS n_eff,
+               ROUND(SUM(wt * v) / SUM(wt), 4) AS mean_price
+        FROM w
+        GROUP BY replicate
+    """,
+)
+def poisson_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = F.array(*[F.lit(i) for i in range(BOOT_B)])
+    u_sql = (
+        "(CAST(conv(substr(md5(concat(CAST(o_orderkey AS STRING), '#', "
+        "CAST(replicate AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296.0)"
+    )
+    w = (
+        orders.select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("v"),
+            F.explode(reps).alias("replicate"),
+        )
+        .withColumn("wt", F.expr(_pois_case_sql(u_sql)))
+    )
+    return (
+        w.groupBy("replicate")
+        .agg(
+            F.sum("wt").cast("long").alias("n_eff"),
+            F.round(
+                F.sum(F.col("wt") * F.col("v")) / F.sum("wt"), 4
+            ).alias("mean_price"),
+        )
+        .select(
+            F.col("replicate").cast("long").alias("replicate"),
+            "n_eff",
+            "mean_price",
+        )
+    )

@@ -216,3 +216,21 @@ def test_association_rules_symmetry_and_bounds(spark):
     for r in rows:
         assert 0.0 < r["confidence"] <= 1.0
         assert r["lift"] > 0.0
+
+
+def test_poisson_bootstrap_weights_behave(spark):
+    from pulsar_3_2_codedump_spark.functions.drift import (
+        BOOT_B,
+        poisson_bootstrap_means,
+    )
+    from pulsar_3_2_codedump_spark.catalog import load
+
+    rows = poisson_bootstrap_means(spark, SF_DIR).collect()
+    assert len(rows) == BOOT_B
+    n = load(spark, SF_DIR, "orders").count()
+    means = [r["mean_price"] for r in rows]
+    for r in rows:
+        # Poisson(1) weights: effective n concentrates near n (±10% at n~1500)
+        assert 0.8 * n < r["n_eff"] < 1.2 * n
+    # replicates actually differ (the whole point of the bootstrap)
+    assert len(set(means)) > 1
