@@ -89,7 +89,7 @@ PRIORITY_ORDER = [
     "psi_drift", "score_calibration_bins",
     "triangle_count", "skyline_pareto", "attribution_last_touch",
     "priority_sample_topk", "histogram_equi_depth", "association_rules",
-    "poisson_bootstrap_means",
+    "poisson_bootstrap_means", "zorder_data_skipping",
     "tableview_latest", "txn_visibility", "minhash_lsh_dedup",
     "asof_join_prior_view", "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata", "compaction_tombstones",
@@ -171,6 +171,7 @@ def load_all() -> dict[str, Query]:
         compaction,
         dedup,
         graph,
+        layout,
         relational,
         routing,
         runtime_filter,

@@ -234,3 +234,18 @@ def test_poisson_bootstrap_weights_behave(spark):
         assert 0.8 * n < r["n_eff"] < 1.2 * n
     # replicates actually differ (the whole point of the bootstrap)
     assert len(set(means)) > 1
+
+
+def test_zorder_skips_no_fewer_rows_and_conserves_files(spark):
+    from pulsar_3_2_codedump_spark.operators.layout import (
+        Z_FILES,
+        zorder_data_skipping,
+    )
+
+    rows = {r["layout"]: r for r in zorder_data_skipping(spark, SF_DIR).collect()}
+    assert set(rows) == {"zorder", "lexicographic"}
+    for r in rows.values():
+        assert r["n_files"] <= Z_FILES
+        assert 0 <= r["files_hit"] <= r["n_files"]
+    # the exhibit: the 2-D probe opens no MORE files under z-order
+    assert rows["zorder"]["files_hit"] <= rows["lexicographic"]["files_hit"]
