@@ -883,3 +883,113 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").alias("hi"),
         )
     )
+
+
+HLL_P = 8                      # precision: m = 2^p = 256 registers
+HLL_M = 1 << HLL_P
+HLL_ALPHA_M2 = 47072.71267120224  # alpha_256 * m^2 (Flajolet et al. constant)
+HLL_RHO_MAX = 45               # 52-bit hash minus 8 bucket bits -> 44-bit w; rho in 1..45
+
+
+@query(
+    "hll_explicit_distinct",
+    section="2.M-agg",
+    doc="EXPLICIT HyperLogLog (Flajolet-Fuchs-Gandouet-Meunier), registers "
+    "built from scratch so the ESTIMATE ITSELF is hash-checkable — the "
+    "stronger form of the envelope-checked builtin sketches: 52-bit md5 "
+    f"hash per user, bucket = low {HLL_P} bits, register = max leading-"
+    "zero rank via LENGTH(bin(w)) (exact integer in both engines), "
+    "2^-rho as a shifted-integer reciprocal (exact dyadic — no libm), "
+    "linear-counting small-range correction. Registers are max-mergeable "
+    "partials — the property that makes HLL THE distributed distinct "
+    "counter; the estimate and its relative error are reported against "
+    "the exact distinct count.",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type,
+                   CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                        AS BIGINT) AS hv
+            FROM events
+        ),
+        reg AS (
+            SELECT event_type, hv % {HLL_M} AS bucket,
+                   MAX(CASE WHEN hv // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+                            ELSE {HLL_RHO_MAX} - LENGTH(bin(hv // {HLL_M}))
+                       END) AS rho
+            FROM h GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT t.event_type, g.bucket
+            FROM (SELECT DISTINCT event_type FROM events) t,
+                 (SELECT UNNEST(range({HLL_M})) AS bucket) g
+        ),
+        filled AS (
+            SELECT grid.event_type, COALESCE(reg.rho, 0) AS rho
+            FROM grid LEFT JOIN reg
+              ON reg.event_type = grid.event_type AND reg.bucket = grid.bucket
+        ),
+        est AS (
+            SELECT event_type,
+                   SUM(1.0 / (CAST(1 AS BIGINT) << rho)) AS denom,
+                   SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros
+            FROM filled GROUP BY 1
+        ),
+        ex AS (
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+            FROM events GROUP BY 1
+        )
+        SELECT est.event_type,
+               CAST(ex.n_exact AS BIGINT) AS n_exact,
+               ROUND(CASE WHEN {HLL_ALPHA_M2} / est.denom <= 2.5 * {HLL_M}
+                           AND est.zeros > 0
+                          THEN {HLL_M} * LN(CAST({HLL_M} AS DOUBLE) / est.zeros)
+                          ELSE {HLL_ALPHA_M2} / est.denom END, 4) AS hll_estimate,
+               CAST(est.zeros AS BIGINT) AS empty_registers
+        FROM est JOIN ex ON ex.event_type = est.event_type
+    """,
+)
+def hll_explicit_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    hv = F.expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 13), 16, 10) AS BIGINT)"
+    )
+    h = events.select("event_type", hv.alias("hv"))
+    reg = (
+        h.select(
+            "event_type",
+            (F.col("hv") % HLL_M).alias("bucket"),
+            F.expr(
+                f"CASE WHEN hv DIV {HLL_M} = 0 THEN {HLL_RHO_MAX} "
+                f"ELSE {HLL_RHO_MAX} - LENGTH(bin(hv DIV {HLL_M})) END"
+            ).alias("r"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("rho"))
+    )
+    types = events.select("event_type").distinct()
+    grid = types.crossJoin(
+        events.sparkSession.range(HLL_M).select(F.col("id").alias("bucket"))
+    )
+    filled = grid.join(reg, ["event_type", "bucket"], "left").select(
+        "event_type", F.coalesce("rho", F.lit(0)).alias("rho")
+    )
+    est = filled.groupBy("event_type").agg(
+        F.sum(F.expr("1.0 / shiftleft(CAST(1 AS BIGINT), CAST(rho AS INT))")).alias(
+            "denom"
+        ),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("zeros"),
+    )
+    ex = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    raw = F.lit(HLL_ALPHA_M2) / F.col("denom")
+    corrected = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("zeros") > 0),
+        F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / F.col("zeros")),
+    ).otherwise(raw)
+    return est.join(ex, "event_type").select(
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(corrected, 4).alias("hll_estimate"),
+        F.col("zeros").cast("long").alias("empty_registers"),
+    )

@@ -249,3 +249,19 @@ def test_zorder_skips_no_fewer_rows_and_conserves_files(spark):
         assert 0 <= r["files_hit"] <= r["n_files"]
     # the exhibit: the 2-D probe opens no MORE files under z-order
     assert rows["zorder"]["files_hit"] <= rows["lexicographic"]["files_hit"]
+
+
+def test_explicit_hll_estimate_is_close_to_exact(spark):
+    from pulsar_3_2_codedump_spark.operators.advanced import (
+        HLL_M,
+        hll_explicit_distinct,
+    )
+
+    rows = hll_explicit_distinct(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # p=8 HLL: sigma ~ 1.04/sqrt(256) = 6.5%; allow 4 sigma
+        assert abs(r["hll_estimate"] - r["n_exact"]) <= max(
+            6, 0.26 * r["n_exact"]
+        ), r
+        assert 0 <= r["empty_registers"] <= HLL_M
