@@ -90,7 +90,7 @@ PRIORITY_ORDER = [
     "triangle_count", "skyline_pareto", "attribution_last_touch",
     "priority_sample_topk", "histogram_equi_depth", "association_rules",
     "poisson_bootstrap_means", "zorder_data_skipping",
-    "hll_explicit_distinct",
+    "hll_explicit_distinct", "streaming_psi_monitor",
     "tableview_latest", "txn_visibility", "minhash_lsh_dedup",
     "asof_join_prior_view", "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata", "compaction_tombstones",

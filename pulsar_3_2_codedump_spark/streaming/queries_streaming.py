@@ -1246,3 +1246,91 @@ def streaming_encrypted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_psi_monitor",
+    section="2.G-stream",
+    doc="LIVE drift monitor: per-type counts split into a FIXED reference "
+    "window (sequence_id < 200) and the accruing current window, "
+    "maintained incrementally across two availableNow generations with "
+    "the versioned-view merge (state ∝ #types × 2); the final emission "
+    "computes each type's PSI term from the merged exact counts — the "
+    "streaming deployment shape of psi_drift: the monitor never re-reads "
+    "the reference corpus, new data only increments the current side. "
+    "Exact oracle over the replayed range.",
+    oracle=f"""
+        {_ENV},
+        cat AS (
+            SELECT event_type,
+                   SUM(CASE WHEN sequence_id < 200 THEN 1 ELSE 0 END) AS n_ref,
+                   SUM(CASE WHEN sequence_id >= 200 THEN 1 ELSE 0 END) AS n_cur
+            FROM envelope WHERE sequence_id < 400
+            GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM cat)
+        SELECT cat.event_type,
+               CAST(cat.n_ref AS BIGINT) AS n_ref,
+               CAST(cat.n_cur AS BIGINT) AS n_cur,
+               CASE WHEN cat.n_ref > 0 AND cat.n_cur > 0 THEN
+                   ROUND((CAST(cat.n_cur AS DOUBLE) / tot.t_cur
+                          - CAST(cat.n_ref AS DOUBLE) / tot.t_ref)
+                         * LN((CAST(cat.n_cur AS DOUBLE) / tot.t_cur)
+                              / (CAST(cat.n_ref AS DOUBLE) / tot.t_ref)), 6)
+               END AS psi_term
+        FROM cat, tot
+    """,
+)
+def streaming_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.sources import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="spm_")
+    view_schema = "event_type string, n_ref long, n_cur long"
+    try:
+        tp = _replay_topic(spark, sf_dir, root, 0, 300)
+        src = spark.readStream.format("pulsarlike").option("path", tp).load()
+        upsert, state = _versioned_view(
+            root,
+            view_schema,
+            lambda b: b.groupBy(
+                F.col("properties")["event_type"].alias("event_type")
+            ).agg(
+                F.sum(F.when(F.col("sequence_id") < 200, 1).otherwise(0)).alias(
+                    "n_ref"
+                ),
+                F.sum(F.when(F.col("sequence_id") >= 200, 1).otherwise(0)).alias(
+                    "n_cur"
+                ),
+            ),
+            lambda u: u.groupBy("event_type").agg(
+                F.sum("n_ref").cast("long").alias("n_ref"),
+                F.sum("n_cur").cast("long").alias("n_cur"),
+            ),
+        )
+        _run_bounded_foreach(
+            src,
+            root + "/ck",
+            [None, lambda: _append_range(spark, sf_dir, tp, 300, 400)],
+            upsert,
+        )
+        if state["path"] is None:
+            return spark.createDataFrame([], view_schema)
+        rows = spark.read.parquet(state["path"]).collect()
+        cat = spark.createDataFrame(rows, view_schema)
+        tot = cat.agg(
+            F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+        )
+        p_ref = F.col("n_ref").cast("double") / F.col("t_ref")
+        p_cur = F.col("n_cur").cast("double") / F.col("t_cur")
+        return cat.crossJoin(F.broadcast(tot)).select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            F.when(
+                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6),
+            ).alias("psi_term"),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
