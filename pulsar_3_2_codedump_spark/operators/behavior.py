@@ -649,3 +649,175 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # conversion window per step: 24h
+
+
+@query(
+    "funnel_within_window",
+    section="2.N-behavior",
+    doc="Time-constrained ordered funnel (the Amplitude/GA form — each step "
+    "must occur within 24h of the PREVIOUS step, not just after it): step "
+    "N completes at the first event of its type inside (t_{N-1}, "
+    "t_{N-1}+W]. Same co-partitioned user_id join chain as the "
+    "unconstrained funnel (frames shrink monotonically, AQE demotes later "
+    "joins to broadcast); the window predicate is exact integer "
+    "microseconds on both engines. Output: users surviving each step, "
+    "with the unconstrained count alongside to show the window's bite.",
+    oracle=f"""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN s1 ON s1.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t
+              AND epoch_us(e.ts) <= epoch_us(s1.t) + {FUNNEL_WINDOW_US}
+            GROUP BY 1
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN s2 ON s2.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t
+              AND epoch_us(e.ts) <= epoch_us(s2.t) + {FUNNEL_WINDOW_US}
+            GROUP BY 1
+        ),
+        u2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN s1 ON s1.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+        ),
+        u3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN u2 ON u2.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > u2.t GROUP BY 1
+        )
+        SELECT 1 AS step_no, 'view' AS step,
+               CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS users_windowed,
+               CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS users_unbounded
+        UNION ALL
+        SELECT 2, 'click', (SELECT COUNT(*) FROM s2), (SELECT COUNT(*) FROM u2)
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3), (SELECT COUNT(*) FROM u3)
+    """,
+)
+def funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    steps = ["view", "click", "purchase"]
+
+    def chain(windowed: bool):
+        prev = (
+            events.filter(F.col("event_type") == steps[0])
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        counts = [prev.agg(F.count(F.lit(1)).alias("users"))]
+        for step in steps[1:]:
+            nxt = events.filter(F.col("event_type") == step).join(prev, "user_id")
+            cond = F.col("ts") > F.col("t")
+            if windowed:
+                cond = cond & (
+                    F.unix_micros(F.col("ts"))
+                    <= F.unix_micros(F.col("t")) + FUNNEL_WINDOW_US
+                )
+            prev = (
+                nxt.filter(cond).groupBy("user_id").agg(F.min("ts").alias("t"))
+            )
+            counts.append(prev.agg(F.count(F.lit(1)).alias("users")))
+        return counts
+
+    win, unb = chain(True), chain(False)
+    out = None
+    for i, step in enumerate(steps):
+        row = (
+            win[i]
+            .withColumnRenamed("users", "users_windowed")
+            .crossJoin(unb[i].withColumnRenamed("users", "users_unbounded"))
+            .select(
+                F.lit(i + 1).alias("step_no"),
+                F.lit(step).alias("step"),
+                F.col("users_windowed").cast("long").alias("users_windowed"),
+                F.col("users_unbounded").cast("long").alias("users_unbounded"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+CUSUM_SCALE = 1000   # fixed-point scale for the allowance k
+CUSUM_H_MULT = 2     # alarm threshold: h = H_MULT * k
+
+
+@query(
+    "cusum_changepoint",
+    section="2.N-behavior",
+    doc="CUSUM change-point detection (Page 1954) over per-type daily event "
+    "volumes — the sequential recurrence s_d = max(0, s_{d-1} + x_d - k) "
+    "computed via its PREFIX closed form s_d = P_d - min(P_0..P_d) "
+    "(P = running sum of x - k), so one type-partitioned window replaces "
+    "the sequential scan — the dispatch_rate_limit closed-form device "
+    "applied to anomaly detection. Allowance k = per-type mean daily "
+    f"volume (fixed-point x{CUSUM_SCALE} BIGINT — exact on both engines); "
+    f"alarm when s > {CUSUM_H_MULT}k. Output: one row per (type, day) "
+    "with the volume, the CUSUM statistic and the alarm flag.",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        k AS (
+            SELECT event_type,
+                   (SUM(x) * {CUSUM_SCALE}) // COUNT(*) AS k_scaled
+            FROM daily GROUP BY 1
+        ),
+        p AS (
+            SELECT d.event_type, d.day, d.x,
+                   SUM(d.x * {CUSUM_SCALE} - k.k_scaled)
+                       OVER (PARTITION BY d.event_type ORDER BY d.day) AS pd,
+                   k.k_scaled
+            FROM daily d JOIN k ON k.event_type = d.event_type
+        ),
+        s AS (
+            SELECT event_type, day, x, k_scaled,
+                   pd - LEAST(MIN(pd) OVER (PARTITION BY event_type
+                                            ORDER BY day), 0) AS s_scaled
+            FROM p
+        )
+        SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS day,
+               CAST(x AS BIGINT) AS x,
+               CAST(s_scaled AS BIGINT) AS s_scaled,
+               s_scaled > {CUSUM_H_MULT} * k_scaled AS alarm
+        FROM s
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(F.count(F.lit(1)).alias("x"))
+    )
+    k = daily.groupBy("event_type").agg(
+        F.expr(f"(SUM(x) * {CUSUM_SCALE}) DIV COUNT(*)").alias("k_scaled")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = daily.join(F.broadcast(k), "event_type").withColumn(
+        "pd", F.sum(F.col("x") * CUSUM_SCALE - F.col("k_scaled")).over(w)
+    )
+    s = p.withColumn(
+        "s_scaled",
+        F.col("pd") - F.least(F.min("pd").over(w), F.lit(0)),
+    )
+    return s.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("x").cast("long").alias("x"),
+        F.col("s_scaled").cast("long").alias("s_scaled"),
+        (F.col("s_scaled") > CUSUM_H_MULT * F.col("k_scaled")).alias("alarm"),
+    )

@@ -265,3 +265,37 @@ def test_explicit_hll_estimate_is_close_to_exact(spark):
             6, 0.26 * r["n_exact"]
         ), r
         assert 0 <= r["empty_registers"] <= HLL_M
+
+
+def test_windowed_funnel_is_a_subset_of_unbounded(spark):
+    from pulsar_3_2_codedump_spark.operators.behavior import funnel_within_window
+
+    rows = sorted(
+        funnel_within_window(spark, SF_DIR).collect(), key=lambda r: r["step_no"]
+    )
+    assert [r["step"] for r in rows] == ["view", "click", "purchase"]
+    prev_w = None
+    for r in rows:
+        assert r["users_windowed"] <= r["users_unbounded"]
+        if prev_w is not None:
+            assert r["users_windowed"] <= prev_w  # funnel monotonicity
+        prev_w = r["users_windowed"]
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    from pulsar_3_2_codedump_spark.operators.behavior import (
+        CUSUM_SCALE,
+        cusum_changepoint,
+    )
+
+    rows = cusum_changepoint(spark, SF_DIR).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for tp, rs in by_type.items():
+        rs.sort(key=lambda r: r["day"])
+        k = sum(r["x"] for r in rs) * CUSUM_SCALE // len(rs)
+        s = 0
+        for r in rs:
+            s = max(0, s + r["x"] * CUSUM_SCALE - k)
+            assert r["s_scaled"] == s, (tp, r["day"])
