@@ -595,6 +595,10 @@ AR_MIN_SUP_PCT = 2  # rule support threshold: >= 2% of baskets
 def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
+    # materialize the basket table once: four consumers (totals, item
+    # supports, the pruned copy, both pair sides) would otherwise each
+    # re-derive the join+distinct lineage (72 exchanges → 18; at 100 TB
+    # this is the "persist the projection first" step)
     baskets = (
         lineitem.join(
             F.broadcast(part.select("p_partkey", "p_brand")),
@@ -602,7 +606,7 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("item"))
         .distinct()
-    )
+    ).localCheckpoint()
     n = baskets.agg(F.countDistinct("o").alias("n_baskets"))
     ic = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
     freq = (
