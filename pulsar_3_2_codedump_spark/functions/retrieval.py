@@ -465,3 +465,80 @@ def fuzzy_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
         .select("doc_a", "doc_b", "lang", "edit_dist")
     )
+
+
+@query(
+    "phrase_search_postings",
+    section="2.N-retrieval",
+    doc="Positional-index phrase search (the inverted-index operator BM25's "
+    "bag-of-words scoring cannot express): tokens explode WITH POSITIONS, "
+    "adjacent-position self-joins materialize every trigram instance, the "
+    "corpus-wide top trigram (deterministic count-then-phrase tiebreak) is "
+    "selected as the probe phrase, and its postings list — per-document "
+    "occurrence count and first position — is emitted. The instance build "
+    "is one explode + two co-partitioned (doc_id, pos) joins; the argmax "
+    "is a TakeOrdered over the trigram counts; the postings pass is a "
+    "broadcast semi-join. The standard positional-postings topology at "
+    "any corpus size.",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS w,
+                   UNNEST(range(1, len(string_split_regex(lower(trim(text)), '\\s+')) + 1)) AS p
+            FROM documents
+        ),
+        inst AS (
+            SELECT a.doc_id, a.p AS pos,
+                   a.w || ' ' || b.w || ' ' || c.w AS phrase
+            FROM toks a
+            JOIN toks b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+            JOIN toks c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+        ),
+        top1 AS (
+            SELECT phrase FROM inst
+            GROUP BY phrase
+            ORDER BY COUNT(*) DESC, phrase ASC
+            LIMIT 1
+        )
+        SELECT i.doc_id, i.phrase,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MIN(i.pos) AS BIGINT) AS first_pos
+        FROM inst i JOIN top1 ON top1.phrase = i.phrase
+        GROUP BY i.doc_id, i.phrase
+    """,
+)
+def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fanout(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "p0", "w"
+        ),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+    a = toks.select("doc_id", F.col("p").alias("pos"), F.col("w").alias("w1"))
+    b = toks.select("doc_id", (F.col("p") - 1).alias("pos"), F.col("w").alias("w2"))
+    c = toks.select("doc_id", (F.col("p") - 2).alias("pos"), F.col("w").alias("w3"))
+    inst = (
+        a.join(b, ["doc_id", "pos"]).join(c, ["doc_id", "pos"])
+        .select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", "w1", "w2", "w3").alias("phrase"),
+        )
+    ).localCheckpoint()  # instance frame feeds both the argmax and the postings
+    top1 = (
+        inst.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("phrase"))
+        .limit(1)
+        .select("phrase")
+    )
+    return (
+        inst.join(F.broadcast(top1), "phrase")
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+        .select("doc_id", "phrase", "n_occurrences", "first_pos")
+    )

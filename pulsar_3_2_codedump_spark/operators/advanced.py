@@ -993,3 +993,79 @@ def hll_explicit_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(corrected, 4).alias("hll_estimate"),
         F.col("zeros").cast("long").alias("empty_registers"),
     )
+
+
+CMS_JOIN_D = 3      # CMS depth (independent hash rows)
+CMS_JOIN_W = 1024   # CMS width (buckets per row)
+
+
+@query(
+    "cms_join_size_estimate",
+    section="2.M-agg",
+    doc="Sketch-based join-cardinality estimation (the AMS/Count-Min inner-"
+    "product bound, Cormode & Muthukrishnan §4.3 — what a cost-based "
+    "optimizer consults before picking a join strategy): the self-join "
+    "size of orders on o_custkey is estimated as min over d rows of "
+    "sum_w CMS[d][w]^2 and reconciled against the exact sum of per-key "
+    "count squares. The sketch build is one explode-by-depth hash-agg "
+    "(mergeable partials — streams/partitions add), the estimate is a "
+    f"{CMS_JOIN_D}x{CMS_JOIN_W} metadata-scale fold, and everything is "
+    "INTEGER (md5 bucket hashes shared verbatim by both engines) — the "
+    "estimate itself hash-matches. Overestimate-only by construction "
+    "(est >= exact), the bound the optimizer relies on.",
+    oracle=f"""
+        WITH keys AS (
+            SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY 1
+        ),
+        exact AS (SELECT SUM(cnt * cnt) AS ex FROM keys),
+        cms AS (
+            SELECT d.d,
+                   CAST(concat('0x', substr(md5(CAST(d.d AS VARCHAR) || ':' ||
+                        CAST(k.k AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % {CMS_JOIN_W} AS w,
+                   SUM(k.cnt) AS c
+            FROM keys k, (SELECT UNNEST([0,1,2]) AS d) d
+            GROUP BY 1, 2
+        ),
+        per_d AS (SELECT d, SUM(c * c) AS ip FROM cms GROUP BY 1)
+        SELECT CAST(exact.ex AS BIGINT) AS exact_join_size,
+               CAST(MIN(per_d.ip) AS BIGINT) AS cms_estimate,
+               ROUND(CAST(MIN(per_d.ip) - exact.ex AS DOUBLE) / exact.ex, 6)
+                   AS rel_overestimate
+        FROM per_d, exact
+        GROUP BY exact.ex
+    """,
+)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    keys = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    exact = keys.agg(F.sum(F.col("cnt") * F.col("cnt")).alias("ex"))
+    depths = F.array(*[F.lit(i) for i in range(CMS_JOIN_D)])
+    cms = (
+        keys.select("k", "cnt", F.explode(depths).alias("d"))
+        .select(
+            "d",
+            "cnt",
+            F.expr(
+                "CAST(conv(substr(md5(concat(CAST(d AS STRING), ':', "
+                f"CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % {CMS_JOIN_W}"
+            ).alias("w"),
+        )
+        .groupBy("d", "w")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    per_d = cms.groupBy("d").agg(F.sum(F.col("c") * F.col("c")).alias("ip"))
+    return (
+        per_d.crossJoin(F.broadcast(exact))
+        .groupBy("ex")
+        .agg(F.min("ip").alias("est"))
+        .select(
+            F.col("ex").cast("long").alias("exact_join_size"),
+            F.col("est").cast("long").alias("cms_estimate"),
+            F.round(
+                (F.col("est") - F.col("ex")).cast("double") / F.col("ex"), 6
+            ).alias("rel_overestimate"),
+        )
+    )

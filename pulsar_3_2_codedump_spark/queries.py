@@ -92,6 +92,7 @@ PRIORITY_ORDER = [
     "poisson_bootstrap_means", "zorder_data_skipping",
     "hll_explicit_distinct", "streaming_psi_monitor",
     "funnel_within_window", "cusum_changepoint",
+    "phrase_search_postings", "cms_join_size_estimate",
     "tableview_latest", "txn_visibility", "minhash_lsh_dedup",
     "asof_join_prior_view", "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata", "compaction_tombstones",

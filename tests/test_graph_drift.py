@@ -299,3 +299,37 @@ def test_cusum_matches_sequential_recurrence(spark):
         for r in rs:
             s = max(0, s + r["x"] * CUSUM_SCALE - k)
             assert r["s_scaled"] == s, (tp, r["day"])
+
+
+def test_phrase_postings_match_python_rescan(spark):
+    from pulsar_3_2_codedump_spark.functions.retrieval import (
+        phrase_search_postings,
+    )
+    from pulsar_3_2_codedump_spark.catalog import load
+    import re as _re
+
+    rows = phrase_search_postings(spark, SF_DIR).collect()
+    assert rows
+    phrase = rows[0]["phrase"]
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    truth = {}
+    for d in docs:
+        ws = _re.split(r"\s+", d["text"].strip().lower())
+        hits = [
+            i + 1
+            for i in range(len(ws) - 2)
+            if " ".join(ws[i : i + 3]) == phrase
+        ]
+        if hits:
+            truth[d["doc_id"]] = (len(hits), hits[0])
+    assert {r["doc_id"]: (r["n_occurrences"], r["first_pos"]) for r in rows} == truth
+
+
+def test_cms_join_estimate_never_underestimates(spark):
+    from pulsar_3_2_codedump_spark.operators.advanced import (
+        cms_join_size_estimate,
+    )
+
+    r = cms_join_size_estimate(spark, SF_DIR).collect()[0]
+    assert r["cms_estimate"] >= r["exact_join_size"] > 0
+    assert r["rel_overestimate"] >= 0.0
