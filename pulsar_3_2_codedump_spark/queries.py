@@ -93,6 +93,7 @@ PRIORITY_ORDER = [
     "hll_explicit_distinct", "streaming_psi_monitor",
     "funnel_within_window", "cusum_changepoint",
     "phrase_search_postings", "cms_join_size_estimate",
+    "k_anonymity_audit", "dp_laplace_counts",
     "tableview_latest", "txn_visibility", "minhash_lsh_dedup",
     "asof_join_prior_view", "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata", "compaction_tombstones",
@@ -189,6 +190,7 @@ def load_all() -> dict[str, Query]:
         dedup_ml,
         drift,
         multimodal,
+        privacy,
         proto_codec,
         quality_audit,
         retrieval,

@@ -333,3 +333,29 @@ def test_cms_join_estimate_never_underestimates(spark):
     r = cms_join_size_estimate(spark, SF_DIR).collect()[0]
     assert r["cms_estimate"] >= r["exact_join_size"] > 0
     assert r["rel_overestimate"] >= 0.0
+
+
+def test_k_anonymity_generalization_monotone(spark):
+    from pulsar_3_2_codedump_spark.functions.privacy import k_anonymity_audit
+    from pulsar_3_2_codedump_spark.catalog import load
+
+    rows = {r["level"]: r for r in k_anonymity_audit(spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1, 2}
+    n = load(spark, SF_DIR, "customer").count()
+    # coarser QI -> fewer groups, larger minimum k, less risk
+    assert rows[0]["n_groups"] >= rows[1]["n_groups"] >= rows[2]["n_groups"]
+    assert rows[0]["k_min"] <= rows[1]["k_min"] <= rows[2]["k_min"]
+    assert rows[0]["risk_share"] >= rows[1]["risk_share"] >= rows[2]["risk_share"]
+    for r in rows.values():
+        assert 0 <= r["rows_at_risk"] <= n
+
+
+def test_dp_laplace_noise_is_bounded_and_centered(spark):
+    from pulsar_3_2_codedump_spark.functions.privacy import dp_laplace_counts
+
+    rows = dp_laplace_counts(spark, SF_DIR).collect()
+    assert rows
+    noises = [r["noisy_count"] - r["exact_count"] for r in rows]
+    # Laplace(1) tail: |noise| > 15 has probability e^-15 ~ 3e-7
+    assert all(abs(x) < 15 for x in noises)
+    assert any(x > 0 for x in noises) or any(x < 0 for x in noises)
