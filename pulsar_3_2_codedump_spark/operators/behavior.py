@@ -825,3 +825,152 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_scaled").cast("long").alias("s_scaled"),
         (F.col("s_scaled") > CUSUM_H_MULT * F.col("k_scaled")).alias("alarm"),
     )
+
+
+PATH_LAST_K = 5   # pre-conversion events kept per user
+PATH_TOP = 10     # paths reported
+
+
+@query(
+    "conversion_paths",
+    section="2.N-behavior",
+    doc="Path-to-conversion analysis: for each converting user, the last "
+    f"{PATH_LAST_K} events before their FIRST purchase, joined into an "
+    "ordered path string, aggregated to the top "
+    f"{PATH_TOP} paths (count-then-path tiebreak). One user-partitioned "
+    "recency window + one deterministic ordered fold per user "
+    "(sort_array over (ts, event_id) structs — no nondeterministic "
+    "collect order) + a bounded path hash-agg. The funnel's free-form "
+    "complement: it finds the step sequences you did not think to "
+    "declare.",
+    oracle=f"""
+        WITH fp AS (
+            SELECT user_id, MIN(ts) AS pt FROM events
+            WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        pre AS (
+            SELECT e.user_id, e.event_type, e.ts, e.event_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ts DESC, e.event_id DESC) AS rn
+            FROM events e JOIN fp ON fp.user_id = e.user_id
+            WHERE e.ts < fp.pt
+        ),
+        paths AS (
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM pre WHERE rn <= {PATH_LAST_K}
+            GROUP BY 1
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM paths
+        GROUP BY path
+        ORDER BY n_users DESC, path ASC
+        LIMIT {PATH_TOP}
+    """,
+)
+def conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    fp = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    pre = (
+        events.join(fp, "user_id")
+        .filter(F.col("ts") < F.col("pt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PATH_LAST_K)
+    )
+    paths = (
+        pre.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(PATH_TOP)
+    )
+
+
+SKEW_TARGET_PER_TASK = 4  # desired max key-count multiple of the mean
+
+
+@query(
+    "skew_diagnosis",
+    section="2.N-behavior",
+    doc="Join-skew diagnosis — the advisor beside salted_hot_key_agg's cure: "
+    "per event type, the user-key count distribution (keys, max, exact "
+    "x100 mean), the hottest key, the skew ratio (max/mean, x100 fixed-"
+    "point DIV), and the recommended salt factor ceil(max / "
+    f"({SKEW_TARGET_PER_TASK}x mean)) a planner would apply before the "
+    "shuffle. One hash-agg on (type, key) + one metadata-scale rollup; "
+    "all integer arithmetic.",
+    oracle=f"""
+        WITH kc AS (
+            SELECT event_type, user_id, COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT event_type, user_id AS hot_key, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY cnt DESC, user_id ASC) AS rn
+            FROM kc
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+               CAST((SUM(cnt) * 100) // COUNT(*) AS BIGINT) AS mean_x100,
+               CAST(MAX(CASE WHEN rn = 1 THEN hot_key END) AS BIGINT)
+                   AS hot_key,
+               CAST((MAX(cnt) * COUNT(*) * 100) // SUM(cnt) AS BIGINT)
+                   AS skew_ratio_x100,
+               CAST(GREATEST(1,
+                    (MAX(cnt) * COUNT(*)
+                     + {SKEW_TARGET_PER_TASK} * SUM(cnt) - 1)
+                    // ({SKEW_TARGET_PER_TASK} * SUM(cnt))) AS BIGINT)
+                   AS recommended_salt
+        FROM top
+        GROUP BY event_type
+    """,
+)
+def skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    kc = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("user_id").asc()
+    )
+    top = kc.withColumn("rn", F.row_number().over(w))
+    return (
+        top.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("cnt").cast("long").alias("max_cnt"),
+            F.expr("(SUM(cnt) * 100) DIV COUNT(*)").cast("long").alias("mean_x100"),
+            F.max(F.when(F.col("rn") == 1, F.col("user_id")))
+            .cast("long")
+            .alias("hot_key"),
+            F.expr("(MAX(cnt) * COUNT(*) * 100) DIV SUM(cnt)")
+            .cast("long")
+            .alias("skew_ratio_x100"),
+            F.expr(
+                f"GREATEST(1, (MAX(cnt) * COUNT(*) + {SKEW_TARGET_PER_TASK} * SUM(cnt) - 1)"
+                f" DIV ({SKEW_TARGET_PER_TASK} * SUM(cnt)))"
+            ).cast("long").alias("recommended_salt"),
+        )
+    )

@@ -359,3 +359,78 @@ def test_dp_laplace_noise_is_bounded_and_centered(spark):
     # Laplace(1) tail: |noise| > 15 has probability e^-15 ~ 3e-7
     assert all(abs(x) < 15 for x in noises)
     assert any(x > 0 for x in noises) or any(x < 0 for x in noises)
+
+
+def test_conversion_paths_end_before_first_purchase(spark):
+    from pulsar_3_2_codedump_spark.operators.behavior import (
+        PATH_LAST_K,
+        conversion_paths,
+    )
+
+    rows = conversion_paths(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        steps = r["path"].split(">")
+        assert 1 <= len(steps) <= PATH_LAST_K
+        # the path is strictly PRE-purchase history: 'purchase' can only
+        # appear for users with an earlier purchase... but we cut at the
+        # FIRST purchase, so it can never appear
+        assert "purchase" not in steps
+        assert r["n_users"] > 0
+
+
+def test_skew_diagnosis_math_is_consistent(spark):
+    from pulsar_3_2_codedump_spark.operators.behavior import skew_diagnosis
+    from pulsar_3_2_codedump_spark.catalog import load
+
+    rows = skew_diagnosis(spark, SF_DIR).collect()
+    events = load(spark, SF_DIR, "events")
+    for r in rows:
+        grp = (
+            events.filter(F.col("event_type") == r["event_type"])
+            .groupBy("user_id")
+            .count()
+            .collect()
+        )
+        cnts = {g["user_id"]: g["count"] for g in grp}
+        assert r["n_keys"] == len(cnts)
+        assert r["max_cnt"] == max(cnts.values())
+        assert cnts[r["hot_key"]] == r["max_cnt"]
+        assert r["recommended_salt"] >= 1
+        assert r["skew_ratio_x100"] >= 100  # max >= mean always
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_root):
+    """The co-located join exhibit: two tables bucketed BY THE SAME key into
+    the same bucket count join WITHOUT any Exchange on either side — the
+    storage-level contract that kills the 100 TB shuffle (Spark bucketing /
+    Hive-compatible layout)."""
+    from pulsar_3_2_codedump_spark.catalog import load
+
+    orders = load(spark, SF_DIR, "orders")
+    customer = load(spark, SF_DIR, "customer")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bjt LOCATION '{tmp_root}/wh'")
+    try:
+        (orders.write.mode("overwrite").bucketBy(8, "o_custkey")
+         .sortBy("o_custkey").saveAsTable("bjt.orders_b"))
+        (customer.withColumnRenamed("c_custkey", "o_custkey")
+         .write.mode("overwrite").bucketBy(8, "o_custkey")
+         .sortBy("o_custkey").saveAsTable("bjt.customer_b"))
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bjt.orders_b").join(
+                spark.table("bjt.customer_b"), "o_custkey"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # with broadcast off, the only alternative to the bucketed
+            # co-located SortMergeJoin would be a shuffle Exchange — none
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan
+            assert joined.count() == orders.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bjt.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bjt.customer_b")
+        spark.sql("DROP DATABASE IF EXISTS bjt")
