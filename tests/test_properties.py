@@ -305,3 +305,85 @@ def test_exclusive_prefix_matches_sequential_on_random_partials(spark, vals):
         else:
             assert got[row["b"]] == run
         run += row["v"]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 10) - 1),
+            st.integers(min_value=0, max_value=(1 << 10) - 1),
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_morton_interleave_is_bijective_and_decodable(pairs):
+    # the layout.py Z-index arithmetic: interleaving must be injective over
+    # the 10-bit x 10-bit domain and decode back to the inputs
+    def interleave(r1, r2):
+        z = 0
+        for i in range(10):
+            z += ((r1 >> i) & 1) * (4 ** i) + ((r2 >> i) & 1) * (2 * 4 ** i)
+        return z
+
+    def deinterleave(z):
+        r1 = r2 = 0
+        for i in range(10):
+            r1 |= ((z >> (2 * i)) & 1) << i
+            r2 |= ((z >> (2 * i + 1)) & 1) << i
+        return r1, r2
+
+    zs = {}
+    for r1, r2 in pairs:
+        z = interleave(r1, r2)
+        assert 0 <= z < (1 << 20)
+        assert deinterleave(z) == (r1, r2)
+        if z in zs:
+            assert zs[z] == (r1, r2)
+        zs[z] = (r1, r2)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=100),
+    st.integers(min_value=0, max_value=500_000),
+)
+@settings(max_examples=100, deadline=None)
+def test_cusum_closed_form_equals_recurrence(xs, k):
+    # behavior.py cusum_changepoint's device: the Page recurrence
+    # s_j = max(0, s_{j-1} + x_j - k) equals P_j - min(0, min_{i<=j} P_i)
+    # for P = prefix sums of (x - k) — for ANY series and allowance
+    SCALE = 1000
+    s = 0
+    p = 0
+    minp = 0
+    for x in xs:
+        s = max(0, s + x * SCALE - k)
+        p += x * SCALE - k
+        minp = min(minp, p)
+        assert s == p - min(minp, 0) == p - minp
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=20000),   # weight w
+            st.integers(min_value=1, max_value=1 << 52), # hash draw u_int
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_priority_sampling_fixed_point_ranks_agree_with_exact(pairs):
+    # sampling.py priority_sample_topk: (w * 2^40) DIV u is a quantized
+    # w/u — whenever two quantized priorities DIFFER, the exact rational
+    # ordering w1/u1 vs w2/u2 must agree (cross-multiplied, no floats)
+    SCALE = 1 << 40
+    pri = [(w * SCALE) // u for w, u in pairs]
+    for i in range(len(pairs)):
+        for j in range(i + 1, len(pairs)):
+            if pri[i] != pri[j]:
+                w1, u1 = pairs[i]
+                w2, u2 = pairs[j]
+                assert (pri[i] > pri[j]) == (w1 * u2 > w2 * u1)
