@@ -1069,3 +1069,64 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_overestimate"),
         )
     )
+
+
+_PROFILE_COLS = [
+    # (name, min/max canonical-repr spark&duck expr template, null-aware)
+    ("o_orderkey", "printf('%d', {fn}(o_orderkey))"),
+    ("o_custkey", "printf('%d', {fn}(o_custkey))"),
+    ("o_orderstatus", "{fn}(o_orderstatus)"),
+    ("o_totalprice", "printf('%.4f', {fn}(o_totalprice))"),
+    ("o_orderdate", "strftime({fn}(o_orderdate), '%Y-%m-%d')"),
+    ("o_orderpriority", "{fn}(o_orderpriority)"),
+]
+
+
+@query(
+    "column_profile",
+    section="2.M-agg",
+    doc="ANALYZE-style column profiling of the orders table — the statistics "
+    "pass every warehouse runs before planning: per column, row count, "
+    "null count, exact NDV, and canonical min/max representations "
+    "(printf-formatted numerics and strftime dates, so both engines emit "
+    "byte-identical strings — raw double-to-string formatting diverges "
+    "between JVM and C). One aggregate per column over the same scan; "
+    "NDV is exact here, with the registered HLL/theta sketches as the "
+    "declared 100 TB swap. Complements histogram_equi_depth (the "
+    "distribution) with the per-column summary the optimizer consults "
+    "first.",
+    oracle="""
+        {unions}
+    """.format(
+        unions="\n        UNION ALL\n".join(
+            f"""        SELECT '{name}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({name}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct,
+               {tmpl.format(fn="MIN")} AS min_repr,
+               {tmpl.format(fn="MAX")} AS max_repr
+        FROM orders"""
+            for name, tmpl in _PROFILE_COLS
+        )
+    ),
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    out = None
+    for name, tmpl in _PROFILE_COLS:
+        spark_tmpl = tmpl.replace("printf(", "format_string(").replace(
+            "strftime({fn}(" + name + "), '%Y-%m-%d')",
+            "date_format({fn}(" + name + "), 'yyyy-MM-dd')",
+        )
+        row = orders.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(name)).cast("long").alias("n_null"),
+            F.countDistinct(name).cast("long").alias("n_distinct"),
+            F.expr(spark_tmpl.format(fn="MIN")).alias("min_repr"),
+            F.expr(spark_tmpl.format(fn="MAX")).alias("max_repr"),
+        ).select(
+            F.lit(name).alias("column_name"),
+            "n_rows", "n_null", "n_distinct", "min_repr", "max_repr",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

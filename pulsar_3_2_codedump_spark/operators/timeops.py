@@ -387,3 +387,80 @@ def subscribe_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _token_bucket_pressure(attempts, "partition", SUB_TOKEN_US)
 
 
+
+
+DECAY_HALF_LIFE_DAYS = 7  # one half-life per week
+
+
+@query(
+    "decayed_engagement_scores",
+    section="2.N-behavior",
+    doc="Exponential time-decay engagement scoring (the recsys/feature-"
+    "store freshness weighting): each event contributes value x "
+    f"2^(-age_weeks) with a {DECAY_HALF_LIFE_DAYS}-day half-life, ages "
+    "measured in whole days from the corpus max timestamp (one broadcast "
+    "stats row). The decay weights are EXACT DYADIC RATIONALS "
+    "(1 / (1 << age_weeks) — shifted-integer reciprocals, no libm pow), "
+    "so the weighted sums agree across engines to the last rounded "
+    "digit. Per-user top-10 by score with deterministic tiebreak; one "
+    "scan + one user hash-agg + a TakeOrdered.",
+    oracle=f"""
+        WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+        aged AS (
+            SELECT user_id,
+                   CAST(ROUND(value * 10000) AS BIGINT) AS vq,
+                   LEAST(((mx.m - epoch_us(ts)) // 86400000000)
+                         // {DECAY_HALF_LIFE_DAYS}, 20) AS hw
+            FROM events, mx
+        ),
+        scored AS (
+            SELECT user_id,
+                   SUM(vq * (CAST(1 AS BIGINT) << CAST(20 - hw AS INT)))
+                       AS score_num,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM aged GROUP BY user_id
+        )
+        SELECT user_id,
+               ROUND(score_num / (1048576.0 * 10000.0), 4) AS score,
+               n_events
+        FROM scored
+        ORDER BY score_num DESC, user_id ASC
+        LIMIT 10
+    """,
+)
+def decayed_engagement_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.catalog import load as _load
+
+    events = _load(spark, sf_dir, "events")
+    mx = events.agg(F.max(F.unix_micros("ts")).alias("m"))
+    # fully integer accumulation: value quantized to 1e-4, every term scaled
+    # to the common 2^20 denominator (ages clamp at 20 half-lives, < 1e-6 of
+    # the weight) — both engines sum identical BIGINTs, so the 4dp rounding
+    # of the exact rational can never flap at a half-ulp boundary
+    aged = events.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.expr("CAST(ROUND(value * 10000) AS BIGINT)").alias("vq"),
+        F.least(
+            F.expr(
+                f"((m - unix_micros(ts)) DIV 86400000000) DIV {DECAY_HALF_LIFE_DAYS}"
+            ),
+            F.lit(20),
+        ).alias("hw"),
+    )
+    return (
+        aged.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("vq")
+                * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(20 - hw AS INT))")
+            ).alias("score_num"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy(F.desc("score_num"), F.asc("user_id"))
+        .limit(10)
+        .select(
+            "user_id",
+            F.round(F.col("score_num") / (1048576.0 * 10000.0), 4).alias("score"),
+            "n_events",
+        )
+    )

@@ -434,3 +434,53 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_root):
         spark.sql("DROP TABLE IF EXISTS bjt.orders_b")
         spark.sql("DROP TABLE IF EXISTS bjt.customer_b")
         spark.sql("DROP DATABASE IF EXISTS bjt")
+
+
+def test_decayed_scores_weight_recent_events_more(spark):
+    from pulsar_3_2_codedump_spark.operators.timeops import (
+        DECAY_HALF_LIFE_DAYS,
+        decayed_engagement_scores,
+    )
+    from pulsar_3_2_codedump_spark.catalog import load
+
+    rows = decayed_engagement_scores(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    # replay one user's score sequentially
+    events = load(spark, SF_DIR, "events")
+    mx = events.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    uid = rows[0]["user_id"]
+    evs = events.filter(F.col("user_id") == uid).select(
+        F.unix_micros("ts").alias("us"), "value"
+    ).collect()
+    num = sum(
+        round(e["value"] * 10000)
+        * (
+            1
+            << (
+                20
+                - min(((mx - e["us"]) // 86400000000) // DECAY_HALF_LIFE_DAYS, 20)
+            )
+        )
+        for e in evs
+    )
+    assert round(num / (1048576.0 * 10000.0), 4) == rows[0]["score"]
+    assert rows[0]["n_events"] == len(evs)
+
+
+def test_column_profile_counts_are_exact(spark):
+    from pulsar_3_2_codedump_spark.operators.advanced import column_profile
+    from pulsar_3_2_codedump_spark.catalog import load
+
+    rows = {r["column_name"]: r for r in column_profile(spark, SF_DIR).collect()}
+    orders = load(spark, SF_DIR, "orders")
+    n = orders.count()
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    }
+    for name, r in rows.items():
+        assert r["n_rows"] == n
+        assert r["n_null"] == 0  # fixtures carry no NULLs in orders
+        assert 0 < r["n_distinct"] <= n
+        assert r["min_repr"] <= r["max_repr"] or r["n_distinct"] == 1
+    assert rows["o_orderkey"]["n_distinct"] == n  # pk uniqueness
