@@ -1700,3 +1700,145 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         v2.join(v3, "dim")
         .select(F.col("dim").cast("long"), "v2", "v3")
     )
+
+
+NDCG_K = 10
+# fixed-point DCG discounts: round(2^40 / log2(rank+1)) for rank 1..10 —
+# literal BIGINTs shared by both engines, so DCG sums are EXACT integers
+# and NDCG is a rounded exact rational (a float discount sum can flap a
+# half-ulp between engines depending on addition order)
+NDCG_DISC = [
+    1099511627776, 693714600362, 549755813888, 473533883412, 425349159792,
+    391653944123, 366503875925, 346857300181, 330985980542, 317830137718,
+]
+
+
+def _disc_case(col: str) -> str:
+    branches = "".join(
+        f" WHEN {col} = {r + 1} THEN {d}" for r, d in enumerate(NDCG_DISC)
+    )
+    return f"CASE{branches} ELSE 0 END"
+
+
+@query(
+    "ann_ndcg_at_k",
+    section="2.N-sim",
+    doc=f"ANN ranking quality: NDCG@{NDCG_K} of the sign-bit LSH search "
+    "against exact brute-force cosine — the graded companion of "
+    "recall@k (recall says WHETHER true neighbors surface; NDCG says "
+    "WHERE in the ranking). Binary relevance (predicted neighbor in the "
+    "exact top-10), DCG in FIXED-POINT BIGINT discounts so both engines "
+    "sum exactly; IDCG is the literal discount-prefix constant. Two "
+    "bounded top-k plans + one key-join of tiny per-query sets — the "
+    "eval never collects.",
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+                   (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+                   (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+                   (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, embedding, bucket FROM b
+              WHERE vec_id % {QUERY_STRIDE} = 0),
+        lsh_top AS (
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                           ORDER BY {_D_DOT} / ({_D_NORM_Q} * {_D_NORM_C}) DESC,
+                                    c.vec_id) AS rank
+                FROM q JOIN b c ON c.bucket = q.bucket
+                               AND c.vec_id <> q.query_id)
+            WHERE rank <= {NDCG_K}
+        ),
+        exact_top AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                           ORDER BY {_D_DOT} / ({_D_NORM_Q} * {_D_NORM_C}) DESC,
+                                    c.vec_id) AS rank
+                FROM q JOIN embeddings c ON c.vec_id <> q.query_id)
+            WHERE rank <= {NDCG_K}
+        )
+        SELECT q.query_id,
+               CAST(COALESCE(SUM(CASE WHEN e.neighbor_id IS NOT NULL
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+               CAST(COALESCE(SUM(CASE WHEN e.neighbor_id IS NOT NULL
+                                      THEN {_disc_case("l.rank")}
+                                      ELSE 0 END), 0) AS BIGINT) AS dcg_num,
+               ROUND(COALESCE(SUM(CASE WHEN e.neighbor_id IS NOT NULL
+                                       THEN {_disc_case("l.rank")}
+                                       ELSE 0 END), 0)
+                     / {sum(NDCG_DISC)}.0, 6) AS ndcg
+        FROM q
+        LEFT JOIN lsh_top l ON l.query_id = q.query_id
+        LEFT JOIN exact_top e ON e.query_id = l.query_id
+                             AND e.neighbor_id = l.neighbor_id
+        GROUP BY q.query_id
+    """,
+)
+def ann_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn("bucket", sign_lsh_bucket(F.col("embedding"), 4))
+    q = bucketed.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+
+    def topk(cand: DataFrame, on_bucket: bool) -> DataFrame:
+        join = (
+            F.broadcast(q).join(
+                cand,
+                (F.col("bucket") == F.col("c_bucket"))
+                & (F.col("neighbor_id") != F.col("query_id")),
+            )
+            if on_bucket
+            else F.broadcast(q).join(
+                cand, F.col("neighbor_id") != F.col("query_id")
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id")
+        )
+        return (
+            join.withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= NDCG_K)
+            .select("query_id", "neighbor_id", "rank")
+        )
+
+    lsh_top = topk(
+        bucketed.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("bucket").alias("c_bucket"),
+        ),
+        on_bucket=True,
+    )
+    exact_top = topk(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+        ),
+        on_bucket=False,
+    ).drop("rank")
+    hit = F.when(F.col("neighbor_id").isNotNull() & F.col("_hit").isNotNull(), 1).otherwise(0)
+    joined = (
+        q.select("query_id")
+        .join(lsh_top, "query_id", "left")
+        .join(
+            exact_top.withColumn("_hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+    )
+    disc = F.expr(f"CASE WHEN _hit IS NOT NULL THEN {_disc_case('rank')} ELSE 0 END")
+    return joined.groupBy("query_id").agg(
+        F.coalesce(F.sum(hit), F.lit(0)).cast("long").alias("n_hit"),
+        F.coalesce(F.sum(disc), F.lit(0)).cast("long").alias("dcg_num"),
+        F.round(
+            F.coalesce(F.sum(disc), F.lit(0)) / F.lit(float(sum(NDCG_DISC))), 6
+        ).alias("ndcg"),
+    )

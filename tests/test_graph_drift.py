@@ -484,3 +484,23 @@ def test_column_profile_counts_are_exact(spark):
         assert 0 < r["n_distinct"] <= n
         assert r["min_repr"] <= r["max_repr"] or r["n_distinct"] == 1
     assert rows["o_orderkey"]["n_distinct"] == n  # pk uniqueness
+
+
+def test_ndcg_bounds_and_consistency_with_hits(spark):
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        NDCG_DISC,
+        NDCG_K,
+        ann_ndcg_at_k,
+    )
+
+    rows = ann_ndcg_at_k(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hit"] <= NDCG_K
+        assert 0.0 <= r["ndcg"] <= 1.0
+        # DCG of h hits is at most the h largest discounts, at least the h smallest
+        assert sum(sorted(NDCG_DISC)[: r["n_hit"]]) <= r["dcg_num"] <= sum(
+            sorted(NDCG_DISC, reverse=True)[: r["n_hit"]]
+        )
+        if r["n_hit"] == NDCG_K:
+            assert r["ndcg"] == 1.0
