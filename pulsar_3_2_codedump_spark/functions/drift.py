@@ -374,3 +374,110 @@ def poisson_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_price",
         )
     )
+
+
+@query(
+    "bootstrap_median_replicates",
+    section="2.N-quality",
+    doc="Bootstrap sampling distribution of the MEDIAN — the quantile case "
+    "where analytic standard errors fail and the bootstrap is the "
+    "standard answer: the same deterministic Poisson(1) weights as "
+    "poisson_bootstrap_means, but each replicate's statistic is the "
+    "weighted LOWER MEDIAN (first value whose running weight reaches "
+    "ceil(W/2)) — an EXACT data value, no interpolation, so the hash "
+    "oracle is sound. Running weights use the per-replicate distributed "
+    "prefix decomposition (range-bucket partials + per-replicate "
+    "triangular carry + bucket-partitioned windows) — no per-replicate "
+    "single-partition window. Spread across the replicate rows IS the "
+    "median's bootstrap CI.",
+    oracle=f"""
+        WITH w AS (
+            SELECT r.r AS replicate,
+                   {_pois_case_sql("(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR) || '#' || CAST(r.r AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0)")} AS wt,
+                   o_totalprice AS v
+            FROM orders, (SELECT UNNEST(range({BOOT_B})) AS r) r
+        ),
+        pv AS (
+            SELECT replicate, v, SUM(wt) AS na FROM w
+            WHERE wt > 0 GROUP BY 1, 2
+        ),
+        run AS (
+            SELECT replicate, v,
+                   SUM(na) OVER (PARTITION BY replicate ORDER BY v) AS c,
+                   SUM(na) OVER (PARTITION BY replicate) AS tot
+            FROM pv
+        )
+        SELECT CAST(replicate AS BIGINT) AS replicate,
+               CAST(MAX(tot) AS BIGINT) AS n_eff,
+               MIN(CASE WHEN c >= (tot + 1) // 2 THEN v END) AS median
+        FROM run
+        GROUP BY replicate
+    """,
+)
+def bootstrap_median_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = F.array(*[F.lit(i) for i in range(BOOT_B)])
+    u_sql = (
+        "(CAST(conv(substr(md5(concat(CAST(o_orderkey AS STRING), '#', "
+        "CAST(replicate AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296.0)"
+    )
+    pv = (
+        orders.select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("v"),
+            F.explode(reps).alias("replicate"),
+        )
+        .withColumn("wt", F.expr(_pois_case_sql(u_sql)))
+        .filter(F.col("wt") > 0)
+        .groupBy("replicate", "v")
+        .agg(F.sum("wt").alias("na"))
+    )
+    b = range_bucket(pv, "v", 32)
+    partials = b.groupBy("replicate", "bucket").agg(F.sum("na").alias("pn"))
+    # per-replicate triangular carry over the (B x 32)-row partials frame
+    carry = (
+        partials.select(
+            F.col("replicate").alias("__r"), F.col("bucket").alias("__b")
+        )
+        .join(
+            F.broadcast(
+                partials.select(
+                    F.col("replicate").alias("__pr"),
+                    F.col("bucket").alias("__pb"),
+                    "pn",
+                )
+            ),
+            (F.col("__pr") == F.col("__r")) & (F.col("__pb") < F.col("__b")),
+            "left",
+        )
+        .groupBy("__r", "__b")
+        .agg(F.sum("pn").alias("c0"))
+        .select(
+            F.col("__r").alias("replicate"), F.col("__b").alias("bucket"), "c0"
+        )
+    )
+    win = Window.partitionBy("replicate", "bucket").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = pv.groupBy("replicate").agg(F.sum("na").alias("tot"))
+    run = (
+        b.join(F.broadcast(carry), ["replicate", "bucket"])
+        .withColumn("c", F.coalesce("c0", F.lit(0)) + F.sum("na").over(win))
+        .join(F.broadcast(tot), "replicate")
+    )
+    return (
+        run.groupBy("replicate")
+        .agg(
+            F.max("tot").cast("long").alias("n_eff"),
+            F.min(
+                F.when(
+                    F.col("c") >= F.expr("(tot + 1) DIV 2"), F.col("v")
+                )
+            ).alias("median"),
+        )
+        .select(
+            F.col("replicate").cast("long").alias("replicate"),
+            "n_eff",
+            "median",
+        )
+    )

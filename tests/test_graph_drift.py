@@ -504,3 +504,26 @@ def test_ndcg_bounds_and_consistency_with_hits(spark):
         )
         if r["n_hit"] == NDCG_K:
             assert r["ndcg"] == 1.0
+
+
+def test_bootstrap_medians_straddle_the_true_median(spark):
+    from pulsar_3_2_codedump_spark.functions.drift import (
+        BOOT_B,
+        bootstrap_median_replicates,
+    )
+    from pulsar_3_2_codedump_spark.catalog import load
+
+    rows = bootstrap_median_replicates(spark, SF_DIR).collect()
+    assert len(rows) == BOOT_B
+    vals = sorted(
+        r["o_totalprice"]
+        for r in load(spark, SF_DIR, "orders").select("o_totalprice").collect()
+    )
+    true_med = vals[(len(vals) - 1) // 2]
+    meds = [r["median"] for r in rows]
+    # every replicate median is an actual data value near the true median
+    vset = set(vals)
+    for m in meds:
+        assert m in vset
+    lo, hi = vals[int(len(vals) * 0.45)], vals[int(len(vals) * 0.55)]
+    assert all(lo <= m <= hi for m in meds), (true_med, meds)
