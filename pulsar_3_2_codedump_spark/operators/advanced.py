@@ -1130,3 +1130,83 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@query(
+    "revenue_trend_ols",
+    section="2.M-agg",
+    doc="Per-segment revenue trend by INTEGER-EXACT least squares: daily "
+    "revenue is summed in exact cents, x is the integer day index, and "
+    "the OLS slope comes from the closed-form normal equations "
+    "(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — every moment a BIGINT, so the "
+    "slope is a rounded EXACT RATIONAL and the hash oracle is sound "
+    "(the float-free complement of zipf_slope's log-log fit). Two "
+    "hash-aggs: day rollup, then the per-segment moment fold. At much "
+    "longer horizons the cent quantization coarsens to keep n·Σxy in "
+    "64 bits — the documented knob.",
+    oracle="""
+        WITH daily AS (
+            SELECT c.c_mktsegment AS segment,
+                   CAST(datediff('day', DATE '1970-01-01',
+                                 CAST(o.o_orderdate AS DATE)) AS BIGINT) AS day,
+                   SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+        ),
+        mn AS (SELECT MIN(day) AS d0 FROM daily),
+        m AS (
+            SELECT segment,
+                   COUNT(*) AS n,
+                   SUM(day - mn.d0) AS sx,
+                   SUM(rev) AS sy,
+                   SUM((day - mn.d0) * rev) AS sxy,
+                   SUM((day - mn.d0) * (day - mn.d0)) AS sxx
+            FROM daily, mn GROUP BY segment
+        )
+        SELECT segment,
+               CAST(n AS BIGINT) AS n_days,
+               CAST(sy AS BIGINT) AS total_cents,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (n * sxx - sx * sx), 4) AS slope_cents_per_day
+        FROM m
+    """,
+)
+def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    daily = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("long").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+        )
+    )
+    mn = daily.agg(F.min("day").alias("d0"))
+    x = F.col("day") - F.col("d0")
+    m = (
+        daily.crossJoin(F.broadcast(mn))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum("rev").alias("sy"),
+            F.sum(x * F.col("rev")).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        "segment",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sy").cast("long").alias("total_cents"),
+        F.round(num.cast("double") / den, 4).alias("slope_cents_per_day"),
+    )

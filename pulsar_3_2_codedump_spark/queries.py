@@ -96,7 +96,7 @@ PRIORITY_ORDER = [
     "k_anonymity_audit", "dp_laplace_counts",
     "conversion_paths", "skew_diagnosis",
     "decayed_engagement_scores", "column_profile", "ann_ndcg_at_k",
-    "bootstrap_median_replicates",
+    "bootstrap_median_replicates", "revenue_trend_ols",
     "tableview_latest", "txn_visibility", "minhash_lsh_dedup",
     "asof_join_prior_view", "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata", "compaction_tombstones",

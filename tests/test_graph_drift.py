@@ -527,3 +527,34 @@ def test_bootstrap_medians_straddle_the_true_median(spark):
         assert m in vset
     lo, hi = vals[int(len(vals) * 0.45)], vals[int(len(vals) * 0.55)]
     assert all(lo <= m <= hi for m in meds), (true_med, meds)
+
+
+def test_ols_trend_matches_numpy_lstsq(spark):
+    from pulsar_3_2_codedump_spark.operators.advanced import revenue_trend_ols
+    from pulsar_3_2_codedump_spark.catalog import load
+    import numpy as np
+
+    rows = {r["segment"]: r for r in revenue_trend_ols(spark, SF_DIR).collect()}
+    orders = load(spark, SF_DIR, "orders")
+    customer = load(spark, SF_DIR, "customer")
+    daily = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("day"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
+        .collect()
+    )
+    by_seg = {}
+    for d in daily:
+        by_seg.setdefault(d["seg"], []).append((d["day"], d["rev"]))
+    for seg, pts in by_seg.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        slope = np.polyfit(xs, ys, 1)[0]
+        assert abs(rows[seg]["slope_cents_per_day"] - slope) < 0.01
+        assert rows[seg]["n_days"] == len(pts)
+        assert rows[seg]["total_cents"] == sum(p[1] for p in pts)
