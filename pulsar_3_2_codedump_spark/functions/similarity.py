@@ -1842,3 +1842,71 @@ def ann_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(disc), F.lit(0)) / F.lit(float(sum(NDCG_DISC))), 6
         ).alias("ndcg"),
     )
+
+
+HN_POS_K = TOP_K  # positives: the exact top-k set cosine_topk emits
+HN_NEG_K = 6    # hard negatives: the next HN_NEG_K ranks after the positives
+
+
+@query(
+    "hard_negative_mining",
+    section="2.N-sim",
+    doc="Hard-negative mining for contrastive retrieval training (the DPR/"
+    f"sentence-transformers protocol): per anchor query, ranks "
+    f"{HN_POS_K + 1}..{HN_POS_K + HN_NEG_K} of the exact cosine ranking — "
+    "similar enough to be informative, outside the positive set — are "
+    "emitted as (anchor, negative, rank, cos) training pairs, labeled "
+    "with whether the negative shares the anchor's class (the metric-"
+    "learning 'false negative' audit). Same broadcast-query/one-corpus-"
+    "scan/TakeOrdered topology as cosine_topk — bounded output, no "
+    "collect.",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding, label
+                   FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0),
+        scored AS (
+            SELECT q.query_id, q.label AS anchor_label,
+                   c.vec_id AS negative_id, c.label AS negative_label,
+                   {_D_DOT} / ({_D_NORM_Q} * {_D_NORM_C}) AS cos
+            FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        )
+        SELECT query_id, negative_id,
+               CAST(rank AS BIGINT) AS rank,
+               ROUND(cos, 4) AS cosine_sim,
+               anchor_label = negative_label AS same_label
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, negative_id) AS rank
+              FROM scored)
+        WHERE rank > {HN_POS_K} AND rank <= {HN_POS_K + HN_NEG_K}
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("anchor_label"),
+    )
+    c = fanout(emb).select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("negative_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(
+            (F.col("rank") > HN_POS_K) & (F.col("rank") <= HN_POS_K + HN_NEG_K)
+        )
+        .select(
+            "query_id",
+            "negative_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos", 4).alias("cosine_sim"),
+            (F.col("anchor_label") == F.col("negative_label")).alias("same_label"),
+        )
+    )

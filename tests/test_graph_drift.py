@@ -558,3 +558,27 @@ def test_ols_trend_matches_numpy_lstsq(spark):
         assert abs(rows[seg]["slope_cents_per_day"] - slope) < 0.01
         assert rows[seg]["n_days"] == len(pts)
         assert rows[seg]["total_cents"] == sum(p[1] for p in pts)
+
+
+def test_hard_negatives_are_disjoint_from_positives(spark):
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        HN_NEG_K,
+        HN_POS_K,
+        cosine_topk,
+        hard_negative_mining,
+    )
+
+    negs = hard_negative_mining(spark, SF_DIR).collect()
+    pos = cosine_topk(spark, SF_DIR).collect()
+    pos_pairs = {(r["query_id"], r["neighbor_id"]) for r in pos}
+    by_q = {}
+    for r in negs:
+        assert HN_POS_K < r["rank"] <= HN_POS_K + HN_NEG_K
+        assert (r["query_id"], r["negative_id"]) not in pos_pairs
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) == HN_NEG_K
+        # within a query, negatives are cosine-descending by rank
+        rs.sort(key=lambda r: r["rank"])
+        for a, b in zip(rs, rs[1:]):
+            assert a["cosine_sim"] >= b["cosine_sim"]
