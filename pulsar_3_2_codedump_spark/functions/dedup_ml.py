@@ -1211,3 +1211,77 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.countDistinct("chunk") / F.count(F.lit(1)), 4).alias("unique_ratio"),
         F.round(F.avg(F.length("chunk")), 2).alias("avg_chunk_len"),
     )
+
+
+@query(
+    "source_overlap_matrix",
+    section="2.N-dedup",
+    doc="Corpus-similarity matrix: exact pairwise Jaccard of the WORD "
+    "VOCABULARIES of every source pair (the corpus-analytics complement "
+    "of per-document near-dup — tells a data-mixing pipeline which "
+    "sources are redundant before any per-doc work). Tokens are "
+    "deduplicated to distinct (source, word) first, so the word-keyed "
+    "self-join emits at most #sources^2 rows per word REGARDLESS of "
+    "corpus size — the pair space is bounded by the source count, never "
+    "the document count; vocabulary sizes broadcast back. Zero-overlap "
+    "pairs are absent on both sides (inner-join semantics). Integer "
+    "counts, one double division.",
+    oracle="""
+        WITH tok AS (
+            SELECT DISTINCT source, word FROM (
+                SELECT source,
+                       UNNEST(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS word
+                FROM documents)
+        ),
+        sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+               FROM tok GROUP BY source),
+        ix AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS inter
+            FROM tok a JOIN tok b
+              ON a.word = b.word AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT source_a, source_b,
+               sa.n AS vocab_a, sb.n AS vocab_b, inter,
+               ROUND(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 4) AS jaccard
+        FROM ix
+        JOIN sz sa ON sa.source = ix.source_a
+        JOIN sz sb ON sb.source = ix.source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fanout(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    ).distinct()
+    sz = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.select(F.col("source").alias("source_a"), "word")
+    b = tok.select(F.col("source").alias("source_b"), "word")
+    ix = (
+        a.join(b, "word")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n").alias("vocab_a"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("vocab_b"))
+    return (
+        ix.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b",
+            F.col("vocab_a").cast("long").alias("vocab_a"),
+            F.col("vocab_b").cast("long").alias("vocab_b"),
+            F.col("inter").cast("long").alias("inter"),
+            F.round(
+                F.col("inter")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("inter")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+    )

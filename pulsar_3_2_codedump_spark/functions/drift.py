@@ -481,3 +481,67 @@ def bootstrap_median_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median",
         )
     )
+
+
+MAD_K = 3.0  # outlier threshold: |v - median| > MAD_K * MAD
+
+
+@query(
+    "robust_mad_outliers",
+    section="2.N-quality",
+    doc="Robust outlier detection via Median Absolute Deviation (the "
+    "Hampel identifier — unlike anomaly_zscore's mean/stddev, the "
+    "median/MAD pair has a 50% breakdown point, so the outliers "
+    "themselves cannot mask the threshold): per event_type, med = "
+    "median(value), MAD = median(|value - med|), and values with "
+    f"|value - med| > {MAD_K} * MAD are flagged. Two exact interpolated "
+    "medians (same partial-agg form both engines, the stats_summary "
+    "contract) + two broadcast joins of the 5-row group frame back onto "
+    "the fact scan — the fact table is scanned twice but never "
+    "shuffled-wide; group cardinality bounds the buffered state.",
+    oracle=f"""
+        WITH m AS (
+            SELECT event_type, median(value) AS med
+            FROM events GROUP BY event_type
+        ),
+        a AS (
+            SELECT e.event_type, abs(e.value - m.med) AS adev, m.med AS med
+            FROM events e JOIN m USING (event_type)
+        ),
+        s AS (
+            SELECT event_type, median(adev) AS mad
+            FROM a GROUP BY event_type
+        )
+        SELECT a.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MAX(a.med), 4) AS med,
+               ROUND(MAX(s.mad), 4) AS mad,
+               CAST(SUM(CASE WHEN a.adev > {MAD_K} * s.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               ROUND(MAX(a.adev), 4) AS max_adev
+        FROM a JOIN s USING (event_type)
+        GROUP BY a.event_type
+    """,
+)
+def robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").select("event_type", "value")
+    med = events.groupBy("event_type").agg(F.median("value").alias("med"))
+    a = events.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = a.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        a.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.max("med"), 4).alias("med"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > MAD_K * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.max("adev"), 4).alias("max_adev"),
+        )
+    )

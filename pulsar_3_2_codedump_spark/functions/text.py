@@ -849,3 +849,79 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(oov / F.count(F.lit(1)), 4).alias("oov_rate"),
         )
     )
+
+
+PMI_MIN_COUNT = 5   # bigram support floor (rare pairs have unstable lift)
+PMI_TOPK = 25       # collocations emitted
+
+
+@query(
+    "pmi_collocations",
+    section="2.N-text",
+    doc="Collocation mining by pointwise-mutual-information LIFT (Church & "
+    "Hanks association ratio, the log dropped so the statistic stays an "
+    "exact single-division rational): lift(w1,w2) = c(w1,w2) * N / "
+    "(c(w1,.) * c(.,w2)) over adjacent-word bigrams, support floor "
+    f"{PMI_MIN_COUNT}, top {PMI_TOPK} by lift. One explode + one "
+    "(w1,w2) hash-agg shuffle; both positional marginals are vocabulary-"
+    "sized frames broadcast back onto the bigram counts; the top-k is a "
+    "TakeOrdered, never a global window. All counts BIGINT, one double "
+    "division at emission — no float accumulation.",
+    oracle=f"""
+        WITH t AS (
+            SELECT string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM documents
+        ),
+        big AS (
+            SELECT w[i] AS w1, w[i + 1] AS w2
+            FROM t, UNNEST(range(1, len(w))) AS r(i)
+        ),
+        xy AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt_xy
+               FROM big GROUP BY 1, 2),
+        m1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY 1),
+        m2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM big)
+        SELECT w1, w2, cnt_xy, c1, c2,
+               ROUND((cnt_xy * nb) / CAST(c1 * c2 AS DOUBLE), 6) AS lift
+        FROM xy JOIN m1 USING (w1) JOIN m2 USING (w2), n
+        WHERE cnt_xy >= {PMI_MIN_COUNT}
+        ORDER BY (cnt_xy * nb) / CAST(c1 * c2 AS DOUBLE) DESC, w1, w2
+        LIMIT {PMI_TOPK}
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(F.split(F.lower(F.trim("text")), r"\s+").alias("w")).filter(
+        F.size("w") >= 2  # sequence(1, 0) would DESCEND in Spark; DuckDB's
+    )  # range(1, 1) is empty — make both sides skip one-word docs explicitly
+    big = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(element_at(w, i) AS w1,"
+                "             element_at(w, i + 1) AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    xy = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt_xy"))
+    m1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    m2 = big.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    n = big.agg(F.count(F.lit(1)).alias("nb"))
+    lift = (F.col("cnt_xy") * F.col("nb")) / (F.col("c1") * F.col("c2")).cast(
+        "double"
+    )
+    return (
+        xy.filter(F.col("cnt_xy") >= PMI_MIN_COUNT)
+        .join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .crossJoin(F.broadcast(n))
+        .orderBy(lift.desc(), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOPK)
+        .select(
+            "w1", "w2",
+            F.col("cnt_xy").cast("long").alias("cnt_xy"),
+            F.col("c1").cast("long").alias("c1"),
+            F.col("c2").cast("long").alias("c2"),
+            F.round(lift, 6).alias("lift"),
+        )
+    )

@@ -974,3 +974,69 @@ def skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("recommended_salt"),
         )
     )
+
+
+TWAP_VSCALE = 10_000  # value quantization: 4dp fixed-point
+
+
+@query(
+    "time_weighted_avg",
+    section="2.N-behavior",
+    doc="Time-weighted average price/value (TWAP — the metric a naive AVG "
+    "gets wrong whenever sampling is irregular: a value that persisted "
+    "for an hour must weigh 3600x one that persisted a second): per "
+    "event_type, each event's value is weighted by the milliseconds "
+    "until the next event of that type (LEAD over a (ts, event_id)-"
+    "tiebroken window — publish_time ties are real, see ADVICE r7), and "
+    "the unweighted mean is emitted beside it to show the bias. "
+    "Integer-exact: values quantized to 4dp BIGINTs, weights are BIGINT "
+    "milliseconds, so SUM(vq*dt) <= max(vq) * total_span_ms ~ 1.3e16 — "
+    "no double-summation order dependence; one double division at "
+    "emission. One window + one hash-agg, both partitioned by "
+    "event_type — scales by key, no global window.",
+    oracle=f"""
+        WITH t AS (
+            SELECT event_type, epoch_us(ts) // 1000 AS tms, event_id,
+                   CAST(round(value * {TWAP_VSCALE}) AS BIGINT) AS vq
+            FROM events
+        ),
+        d AS (
+            SELECT event_type, vq,
+                   LEAD(tms) OVER (PARTITION BY event_type
+                                   ORDER BY tms, event_id) - tms AS dt
+            FROM t
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(dt) AS BIGINT) AS span_ms,
+               ROUND(SUM(vq * dt) / (SUM(dt) * {TWAP_VSCALE}.0), 6) AS twap,
+               ROUND(SUM(vq) / (COUNT(*) * {TWAP_VSCALE}.0), 6) AS unweighted_avg
+        FROM d
+        WHERE dt IS NOT NULL
+        GROUP BY event_type
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    t = events.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1000").alias("tms"),
+        "event_id",
+        F.round(F.col("value") * TWAP_VSCALE).cast("long").alias("vq"),
+    )
+    w = Window.partitionBy("event_type").orderBy("tms", "event_id")
+    d = t.withColumn("dt", F.lead("tms").over(w) - F.col("tms")).filter(
+        F.col("dt").isNotNull()
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("dt").cast("long").alias("span_ms"),
+        F.round(
+            F.sum(F.col("vq") * F.col("dt"))
+            / (F.sum("dt") * F.lit(float(TWAP_VSCALE))),
+            6,
+        ).alias("twap"),
+        F.round(
+            F.sum("vq") / (F.count(F.lit(1)) * F.lit(float(TWAP_VSCALE))), 6
+        ).alias("unweighted_avg"),
+    )

@@ -97,7 +97,8 @@ PRIORITY_ORDER = [
     "conversion_paths", "skew_diagnosis",
     "decayed_engagement_scores", "column_profile", "ann_ndcg_at_k",
     "bootstrap_median_replicates", "revenue_trend_ols",
-    "hard_negative_mining",
+    "hard_negative_mining", "time_weighted_avg", "robust_mad_outliers",
+    "pmi_collocations", "source_overlap_matrix",
     "tableview_latest", "txn_visibility", "minhash_lsh_dedup",
     "asof_join_prior_view", "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata", "compaction_tombstones",

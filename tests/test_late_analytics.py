@@ -1,0 +1,78 @@
+"""Late round-8 analytics: TWAP, MAD outliers, PMI collocations, source overlap."""
+
+from pyspark.sql import functions as F
+
+from pulsar_3_2_codedump_spark.catalog import load
+from tests.conftest import SF_DIR
+
+
+def test_twap_span_telescopes_and_stays_in_range(spark):
+    from pulsar_3_2_codedump_spark.operators.behavior import time_weighted_avg
+
+    out = {r["event_type"]: r for r in time_weighted_avg(spark, SF_DIR).collect()}
+    ev = (
+        load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("max(unix_micros(ts) div 1000) - min(unix_micros(ts) div 1000)").alias("span"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+    for r in ev.collect():
+        o = out[r["event_type"]]
+        # consecutive-gap sum telescopes to last - first
+        assert o["span_ms"] == r["span"]
+        assert o["n_intervals"] == r["n"] - 1
+        # a weighted mean can never leave the value hull
+        assert r["lo"] - 1e-6 <= o["twap"] <= r["hi"] + 1e-6
+        assert r["lo"] - 1e-6 <= o["unweighted_avg"] <= r["hi"] + 1e-6
+
+
+def test_mad_outliers_are_a_robust_minority(spark):
+    from pulsar_3_2_codedump_spark.functions.drift import robust_mad_outliers
+
+    rows = robust_mad_outliers(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["mad"] >= 0
+        assert r["mad"] <= r["max_adev"]
+        # 50% breakdown point: the flagged set must be a strict minority
+        assert r["n_outliers"] < r["n"] * 0.5
+
+
+def test_pmi_collocations_support_and_marginal_bounds(spark):
+    from pulsar_3_2_codedump_spark.functions.text import (
+        PMI_MIN_COUNT,
+        PMI_TOPK,
+        pmi_collocations,
+    )
+
+    rows = pmi_collocations(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= PMI_TOPK
+    for r in rows:
+        assert r["cnt_xy"] >= PMI_MIN_COUNT
+        # a pair cannot occur more often than either of its marginals
+        assert r["c1"] >= r["cnt_xy"] and r["c2"] >= r["cnt_xy"]
+        assert r["lift"] > 0
+    # ranked output: descending lift
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_source_overlap_matrix_is_upper_triangular_and_bounded(spark):
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import source_overlap_matrix
+
+    rows = source_overlap_matrix(spark, SF_DIR).collect()
+    assert rows
+    n_sources = load(spark, SF_DIR, "documents").select("source").distinct().count()
+    assert len(rows) <= n_sources * (n_sources - 1) // 2
+    seen = set()
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        key = (r["source_a"], r["source_b"])
+        assert key not in seen
+        seen.add(key)
+        assert 0 < r["inter"] <= min(r["vocab_a"], r["vocab_b"])
+        assert 0 < r["jaccard"] <= 1.0
