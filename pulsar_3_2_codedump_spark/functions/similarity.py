@@ -1910,3 +1910,113 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("anchor_label") == F.col("negative_label")).alias("same_label"),
         )
     )
+
+
+TRUNC_DIM = 32  # Matryoshka prefix: first half of the 64-dim embedding
+TRUNC_K = TOP_K
+
+_T_DOT = (
+    f"list_aggregate(list_transform(generate_series(1, {TRUNC_DIM}),"
+    " i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),"
+    " 'sum')"
+)
+_T_NORM_Q = (
+    f"sqrt(list_aggregate(list_transform(q.embedding[1:{TRUNC_DIM}],"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+_T_NORM_C = (
+    f"sqrt(list_aggregate(list_transform(c.embedding[1:{TRUNC_DIM}],"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+
+
+@query(
+    "truncated_embedding_recall",
+    section="2.N-sim",
+    doc="Matryoshka-truncation evaluation (Kusupati et al. 2022 — the "
+    f"dimension-for-recall trade every vector store now offers): recall@"
+    f"{TRUNC_K} of cosine search over only the FIRST {TRUNC_DIM} of 64 "
+    "dimensions against full-precision exact top-k, per query. The "
+    "truncated pass reads and multiplies half the floats — the actual "
+    "serving payoff — and the measurement is the same broadcast-queries/"
+    "one-corpus-scan/bounded-top-k topology as ann_recall_at_k: no "
+    "collect, no all-pairs materialization beyond the scored scan.",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                   WHERE vec_id % {QUERY_STRIDE} = 0),
+        trunc_scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   {_T_DOT} / ({_T_NORM_Q} * {_T_NORM_C}) AS cos
+            FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        ),
+        trunc_top AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, neighbor_id) AS rank
+                FROM trunc_scored) WHERE rank <= {TRUNC_K}
+        ),
+        exact_scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   {_D_DOT} / ({_D_NORM_Q} * {_D_NORM_C}) AS cos
+            FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        ),
+        exact_top AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, neighbor_id) AS rank
+                FROM exact_scored) WHERE rank <= {TRUNC_K}
+        )
+        SELECT e.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               ROUND(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / {TRUNC_K}, 4) AS recall_at_k
+        FROM exact_top e LEFT JOIN trunc_top t
+          ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """,
+)
+def truncated_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+
+    def topk(scored: DataFrame) -> DataFrame:
+        w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TRUNC_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = fanout(emb).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    pairs = F.broadcast(q).join(c, F.col("neighbor_id") != F.col("query_id"))
+    trunc_top = topk(
+        pairs.withColumn(
+            "cos",
+            cosine(
+                F.slice(F.col("q_emb"), 1, TRUNC_DIM),
+                F.slice(F.col("c_emb"), 1, TRUNC_DIM),
+            ),
+        )
+    ).select(F.col("query_id").alias("t_query"), F.col("neighbor_id").alias("t_neighbor"))
+    exact_top = topk(pairs.withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb"))))
+    hit = F.when(F.col("t_neighbor").isNotNull(), 1).otherwise(0)
+    return (
+        exact_top.join(
+            F.broadcast(trunc_top),
+            (F.col("t_query") == F.col("query_id"))
+            & (F.col("t_neighbor") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(hit).cast("long").alias("n_hit"),
+            F.round(F.sum(hit) / F.lit(float(TRUNC_K)), 4).alias("recall_at_k"),
+        )
+    )

@@ -1210,3 +1210,124 @@ def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sy").cast("long").alias("total_cents"),
         F.round(num.cast("double") / den, 4).alias("slope_cents_per_day"),
     )
+
+
+@query(
+    "hll_union_windows",
+    section="2.M-agg",
+    doc="MERGEABILITY is the point of a sketch: per-day HyperLogLog "
+    "registers (same 52-bit-md5 / 256-register construction as "
+    "hll_explicit_distinct) are UNIONED into calendar weeks by register-"
+    "wise MAX — the re-aggregation a 100 TB rollup pipeline does instead "
+    "of re-scanning raw data — and the merged weekly estimate is "
+    "reported against the exact weekly distinct count. Grid-free "
+    "estimator form: absent buckets contribute 2^0 = 1 each, so denom = "
+    "sum(2^-rho over present) + (m - n_present), all dyadic-exact; the "
+    "daily sketch build and both merges are hash-partitioned aggs keyed "
+    "by (type, period, bucket) — no global state, partials all the way.",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type, date_trunc('week', ts) AS wk,
+                   date_trunc('day', ts) AS day,
+                   CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                        AS BIGINT) AS hv
+            FROM events
+        ),
+        daily AS (
+            SELECT event_type, wk, day, hv % {HLL_M} AS bucket,
+                   MAX(CASE WHEN hv // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+                            ELSE {HLL_RHO_MAX} - LENGTH(bin(hv // {HLL_M}))
+                       END) AS rho
+            FROM h GROUP BY 1, 2, 3, 4
+        ),
+        weekly AS (
+            SELECT event_type, wk, bucket, MAX(rho) AS rho
+            FROM daily GROUP BY 1, 2, 3
+        ),
+        est AS (
+            SELECT event_type, wk,
+                   SUM(1.0 / (CAST(1 AS BIGINT) << rho))
+                       + ({HLL_M} - COUNT(*)) AS denom,
+                   {HLL_M} - COUNT(*) AS zeros
+            FROM weekly GROUP BY 1, 2
+        ),
+        days AS (
+            SELECT event_type, wk, CAST(COUNT(DISTINCT day) AS BIGINT)
+                       AS merged_days
+            FROM h GROUP BY 1, 2
+        ),
+        ex AS (
+            SELECT event_type, date_trunc('week', ts) AS wk,
+                   COUNT(DISTINCT user_id) AS n_exact
+            FROM events GROUP BY 1, 2
+        )
+        SELECT est.event_type,
+               STRFTIME(est.wk, '%Y-%m-%d') AS week,
+               CAST(ex.n_exact AS BIGINT) AS n_exact,
+               ROUND(CASE WHEN {HLL_ALPHA_M2} / est.denom <= 2.5 * {HLL_M}
+                           AND est.zeros > 0
+                          THEN {HLL_M} * LN(CAST({HLL_M} AS DOUBLE) / est.zeros)
+                          ELSE {HLL_ALPHA_M2} / est.denom END, 4) AS hll_estimate,
+               days.merged_days
+        FROM est
+        JOIN days ON days.event_type = est.event_type AND days.wk = est.wk
+        JOIN ex ON ex.event_type = est.event_type AND ex.wk = est.wk
+    """,
+)
+def hll_union_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    hv = F.expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 13), 16, 10) AS BIGINT)"
+    )
+    h = events.select(
+        "event_type",
+        F.date_trunc("week", "ts").alias("wk"),
+        F.date_trunc("day", "ts").alias("day"),
+        hv.alias("hv"),
+    )
+    daily = (
+        h.select(
+            "event_type", "wk", "day",
+            (F.col("hv") % HLL_M).alias("bucket"),
+            F.expr(
+                f"CASE WHEN hv DIV {HLL_M} = 0 THEN {HLL_RHO_MAX} "
+                f"ELSE {HLL_RHO_MAX} - LENGTH(bin(hv DIV {HLL_M})) END"
+            ).alias("r"),
+        )
+        .groupBy("event_type", "wk", "day", "bucket")
+        .agg(F.max("r").alias("rho"))
+    )
+    weekly = daily.groupBy("event_type", "wk", "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    est = weekly.groupBy("event_type", "wk").agg(
+        (
+            F.sum(
+                F.expr("1.0 / shiftleft(CAST(1 AS BIGINT), CAST(rho AS INT))")
+            )
+            + (HLL_M - F.count(F.lit(1)))
+        ).alias("denom"),
+        (HLL_M - F.count(F.lit(1))).alias("zeros"),
+    )
+    days = h.groupBy("event_type", "wk").agg(
+        F.countDistinct("day").cast("long").alias("merged_days")
+    )
+    ex = events.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("wk")
+    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    raw = F.lit(HLL_ALPHA_M2) / F.col("denom")
+    corrected = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("zeros") > 0),
+        F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / F.col("zeros")),
+    ).otherwise(raw)
+    return (
+        est.join(days, ["event_type", "wk"])
+        .join(ex, ["event_type", "wk"])
+        .select(
+            "event_type",
+            F.date_format("wk", "yyyy-MM-dd").alias("week"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.round(corrected, 4).alias("hll_estimate"),
+            "merged_days",
+        )
+    )

@@ -170,3 +170,80 @@ def zorder_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+COMPACT_TARGET_BYTES = 16_384  # target compacted segment size (scaled to fixtures)
+_ROW_OVERHEAD = 48             # per-row envelope overhead added to payload length
+
+
+@query(
+    "segment_compaction_plan",
+    section="2.F4",
+    doc="Small-segment compaction PLANNER (the managed-ledger maintenance "
+    "the reference runs as ManagedLedgerImpl's ledger rollover/trim and "
+    "lakehouse engines run as Iceberg binPack / Delta OPTIMIZE): hourly "
+    "segments per event_type are sized (payload bytes + fixed row "
+    "overhead, all integer), then greedily packed into contiguous "
+    f"~{COMPACT_TARGET_BYTES}-byte rewrite groups by slicing the "
+    "EXCLUSIVE running-byte prefix at target boundaries — bin_id = "
+    "cum_before DIV target. The prefix sum is a window PARTITIONED BY "
+    "event_type ordered by the (unique) hour — per-topic state, no "
+    "global window; the plan output is bounded by total-bytes/target, "
+    "not row count. Cites ManagedLedgerImpl.java rollover + "
+    "internalTrimLedgers for the maintenance semantics.",
+    oracle=f"""
+        WITH seg AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(SUM(length(props) + {_ROW_OVERHEAD}) AS BIGINT) AS bytes,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT *,
+                   COALESCE(SUM(bytes) OVER (PARTITION BY event_type ORDER BY h
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS cum_before
+            FROM seg
+        )
+        SELECT event_type,
+               cum_before // {COMPACT_TARGET_BYTES} AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+               CAST(SUM(n_rows) AS BIGINT) AS bin_rows,
+               STRFTIME(MIN(h), '%Y-%m-%d %H:%M:%S') AS first_hour,
+               STRFTIME(MAX(h), '%Y-%m-%d %H:%M:%S') AS last_hour
+        FROM c
+        GROUP BY 1, 2
+    """,
+)
+def segment_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    seg = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.sum(F.length("props") + _ROW_OVERHEAD).cast("long").alias("bytes"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = seg.withColumn(
+        "cum_before", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    )
+    return (
+        c.withColumn(
+            "bin_id", F.expr(f"cum_before DIV {COMPACT_TARGET_BYTES}")
+        )
+        .groupBy("event_type", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("bytes").cast("long").alias("bin_bytes"),
+            F.sum("n_rows").cast("long").alias("bin_rows"),
+            F.date_format(F.min("h"), "yyyy-MM-dd HH:mm:ss").alias("first_hour"),
+            F.date_format(F.max("h"), "yyyy-MM-dd HH:mm:ss").alias("last_hour"),
+        )
+    )

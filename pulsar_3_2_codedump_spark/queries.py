@@ -99,6 +99,8 @@ PRIORITY_ORDER = [
     "bootstrap_median_replicates", "revenue_trend_ols",
     "hard_negative_mining", "time_weighted_avg", "robust_mad_outliers",
     "pmi_collocations", "source_overlap_matrix",
+    "truncated_embedding_recall", "segment_compaction_plan",
+    "hll_union_windows",
     "tableview_latest", "txn_visibility", "minhash_lsh_dedup",
     "asof_join_prior_view", "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata", "compaction_tombstones",

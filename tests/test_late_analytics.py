@@ -76,3 +76,64 @@ def test_source_overlap_matrix_is_upper_triangular_and_bounded(spark):
         seen.add(key)
         assert 0 < r["inter"] <= min(r["vocab_a"], r["vocab_b"])
         assert 0 < r["jaccard"] <= 1.0
+
+
+def test_truncated_recall_bounds_and_k(spark):
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        TRUNC_K,
+        truncated_embedding_recall,
+    )
+
+    rows = truncated_embedding_recall(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_exact"] == TRUNC_K
+        assert 0 <= r["n_hit"] <= r["n_exact"]
+        assert abs(r["recall_at_k"] - r["n_hit"] / TRUNC_K) < 1e-9
+
+
+def test_compaction_plan_conserves_bytes_and_rows(spark):
+    from pulsar_3_2_codedump_spark.operators.layout import (
+        _ROW_OVERHEAD,
+        segment_compaction_plan,
+    )
+
+    plan = segment_compaction_plan(spark, SF_DIR)
+    got = {
+        r["event_type"]: (r["bytes"], r["rows"])
+        for r in plan.groupBy("event_type")
+        .agg(F.sum("bin_bytes").alias("bytes"), F.sum("bin_rows").alias("rows"))
+        .collect()
+    }
+    want = {
+        r["event_type"]: (r["bytes"], r["rows"])
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.length("props") + _ROW_OVERHEAD).alias("bytes"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+        .collect()
+    }
+    assert got == want  # the plan is a partition of the log: nothing lost
+    for r in plan.collect():
+        assert r["n_segments"] >= 1
+        assert r["first_hour"] <= r["last_hour"]
+    # bin ids are contiguous from 0 per type
+    for et in got:
+        bins = sorted(
+            r["bin_id"] for r in plan.filter(F.col("event_type") == et).collect()
+        )
+        assert bins == list(range(len(bins)))
+
+
+def test_hll_weekly_union_tracks_exact(spark):
+    from pulsar_3_2_codedump_spark.operators.advanced import hll_union_windows
+
+    rows = hll_union_windows(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["merged_days"] <= 7
+        # 256 registers + linear-counting small-range correction: the merged
+        # estimate stays within 35% of exact at any fixture scale
+        assert abs(r["hll_estimate"] - r["n_exact"]) <= max(5.0, 0.35 * r["n_exact"])
