@@ -1285,3 +1285,100 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "passjoin_edit_pairs",
+    section="2.N-dedup",
+    doc="SOUND edit-distance similarity self-join via segment filtering "
+    "(Pass-Join, Li et al. VLDB 2011) — unlike fuzzy_blocking_pairs' "
+    "heuristic blocking this LOSES NO PAIRS: for threshold 1, any two "
+    "strings within one edit must either share their length-floor(L/2) "
+    "PREFIX segment exactly or their remaining SUFFIX segment exactly "
+    "(the single edit lies in one half; the other half stays aligned to "
+    "its end of the string). Each distinct part name emits 2 probe keys "
+    "and 6 indexed keys (3 candidate source lengths x 2 segments) — the "
+    "candidate space is a hash equi-join on (segment#, source-length, "
+    "segment text), never a length-band nested loop — then candidates "
+    "are levenshtein-verified. Names are deduplicated to the vocabulary "
+    "first with part multiplicities carried, so the join cost is bounded "
+    "by vocabulary size, not table size. The oracle is the independent "
+    "brute-force length-banded verify — equality IS the soundness-and-"
+    "completeness proof.",
+    oracle="""
+        WITH d AS (
+            SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM part GROUP BY 1
+        )
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+               a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+        FROM d a JOIN d b
+          ON a.name < b.name
+         AND abs(length(a.name) - length(b.name)) <= 1
+         AND levenshtein(a.name, b.name) <= 1
+    """,
+)
+def passjoin_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        load(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("ln", F.length("name"))
+    )
+    # probe side: each name contributes its own 2 segments, keyed by its length
+    probes = names.select(
+        "name",
+        "n_parts",
+        F.col("ln").alias("ls"),
+        F.explode(
+            F.expr(
+                "array(struct(1 AS pt, substring(name, 1, ln div 2) AS seg),"
+                " struct(2 AS pt, substring(name, ln div 2 + 1,"
+                "                           ln - ln div 2) AS seg))"
+            )
+        ).alias("k"),
+    ).select("name", "n_parts", "ls", "k.pt", "k.seg")
+    # indexed side: for every candidate partner length ls in {ln-1, ln, ln+1},
+    # the prefix of length ls div 2 and the suffix of length ls - ls div 2
+    indexed = (
+        names.select(
+            F.col("name").alias("name_i"),
+            F.col("n_parts").alias("n_parts_i"),
+            "ln",
+            F.explode(F.expr("array(ln - 1, ln, ln + 1)")).alias("ls"),
+        )
+        .filter(F.col("ls") >= 2)
+        .select(
+            "name_i",
+            "n_parts_i",
+            "ls",
+            F.explode(
+                F.expr(
+                    "array(struct(1 AS pt, substring(name_i, 1, ls div 2) AS seg),"
+                    " struct(2 AS pt, substring(name_i,"
+                    "   length(name_i) - (ls - ls div 2) + 1,"
+                    "   ls - ls div 2) AS seg))"
+                )
+            ).alias("k"),
+        )
+        .select("name_i", "n_parts_i", "ls", "k.pt", "k.seg")
+    )
+    cand = (
+        probes.join(indexed, ["pt", "ls", "seg"])
+        .filter(F.col("name") < F.col("name_i"))
+        .select(
+            F.col("name").alias("name_a"),
+            F.col("name_i").alias("name_b"),
+            F.col("n_parts").alias("n_parts_a"),
+            F.col("n_parts_i").alias("n_parts_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b").cast("long")
+    ).filter(F.col("dist") <= 1).select(
+        "name_a", "name_b", "dist",
+        F.col("n_parts_a").cast("long").alias("n_parts_a"),
+        F.col("n_parts_b").cast("long").alias("n_parts_b"),
+    )

@@ -542,3 +542,181 @@ def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "phrase", "n_occurrences", "first_pos")
     )
+
+
+RRF_C = 60        # the canonical reciprocal-rank-fusion constant (Cormack 2009)
+RRF_POOL = 20     # per-ranker candidate pool depth
+RRF_EMIT = 5      # fused results emitted per query
+RRF_STRIDE = 50   # doc_id % RRF_STRIDE = 0 -> query set (matches similarity.py)
+
+
+@query(
+    "hybrid_rrf_fusion",
+    section="2.N-retrieval",
+    doc="HYBRID retrieval by reciprocal-rank fusion (Cormack et al. 2009 — "
+    "the default fusion in every lexical+dense search stack): a LEXICAL "
+    "ranking (word-set Jaccard between the query document and candidates) "
+    f"and a DENSE ranking (embedding cosine, doc_id = vec_id) each keep "
+    f"their top {RRF_POOL}; the pools are full-outer merged and scored "
+    f"rrf = sum 1/({RRF_C}+rank), top {RRF_EMIT} per query emitted with "
+    "both source ranks (0 = absent from that pool). Both rankers are "
+    "bounded per-query top-k plans over one corpus scan each (token "
+    "equi-join / broadcast-query cosine); the fusion joins two "
+    "(queries x pool)-sized frames — trivially broadcastable at any "
+    "corpus size. rrf is a sum of two exact reciprocals — no float "
+    "accumulation beyond one rounded add.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, word FROM (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS word
+                FROM documents)
+        ),
+        sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM tok GROUP BY doc_id),
+        qt AS (SELECT doc_id AS query_id, word FROM tok
+               WHERE doc_id % {RRF_STRIDE} = 0),
+        ix AS (
+            SELECT qt.query_id, tok.doc_id AS item_id,
+                   CAST(COUNT(*) AS BIGINT) AS inter
+            FROM qt JOIN tok ON tok.word = qt.word
+                            AND tok.doc_id <> qt.query_id
+            GROUP BY 1, 2
+        ),
+        lex AS (
+            SELECT query_id, item_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY inter / CAST(sq.n + sc.n - inter AS DOUBLE)
+                                    DESC, item_id) AS rank_lex
+            FROM ix
+            JOIN sz sq ON sq.doc_id = ix.query_id
+            JOIN sz sc ON sc.doc_id = ix.item_id
+        ),
+        qv AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id % {RRF_STRIDE} = 0),
+        dense_scored AS (
+            SELECT q.query_id, c.vec_id AS item_id,
+                   list_aggregate(list_transform(
+                       generate_series(1, len(q.embedding)),
+                       i -> CAST(q.embedding[i] AS DOUBLE)
+                            * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+                   / (sqrt(list_aggregate(list_transform(q.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                      * sqrt(list_aggregate(list_transform(c.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+                       AS cos
+            FROM qv q JOIN embeddings c ON c.vec_id <> q.query_id
+        ),
+        dense AS (
+            SELECT query_id, item_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, item_id) AS rank_dense
+            FROM dense_scored
+        ),
+        fused AS (
+            SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+                   COALESCE(l.item_id, d.item_id) AS item_id,
+                   COALESCE(l.rank_lex, 0) AS rank_lex,
+                   COALESCE(d.rank_dense, 0) AS rank_dense,
+                   COALESCE(CAST(1 AS DOUBLE) / ({RRF_C} + l.rank_lex), 0)
+                       + COALESCE(CAST(1 AS DOUBLE) / ({RRF_C} + d.rank_dense), 0)
+                       AS rrf
+            FROM (SELECT * FROM lex WHERE rank_lex <= {RRF_POOL}) l
+            FULL OUTER JOIN (SELECT * FROM dense
+                             WHERE rank_dense <= {RRF_POOL}) d
+              ON d.query_id = l.query_id AND d.item_id = l.item_id
+        )
+        SELECT query_id, item_id,
+               CAST(rank_lex AS BIGINT) AS rank_lex,
+               CAST(rank_dense AS BIGINT) AS rank_dense,
+               ROUND(rrf, 6) AS rrf
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY rrf DESC, item_id) AS fr
+              FROM fused)
+        WHERE fr <= {RRF_EMIT}
+    """,
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from pulsar_3_2_codedump_spark.functions.similarity import cosine
+
+    docs = fanout(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    ).distinct()
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    qt = tok.filter(F.col("doc_id") % RRF_STRIDE == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("word").alias("qword")
+    )
+    ix = (
+        F.broadcast(qt)
+        .join(
+            tok,
+            (F.col("qword") == F.col("word"))
+            & (F.col("doc_id") != F.col("query_id")),
+        )
+        .groupBy("query_id", F.col("doc_id").alias("item_id"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sq = sz.select(F.col("doc_id").alias("query_id"), F.col("n").alias("nq"))
+    sc = sz.select(F.col("doc_id").alias("item_id"), F.col("n").alias("nc"))
+    jacc = F.col("inter") / (F.col("nq") + F.col("nc") - F.col("inter")).cast(
+        "double"
+    )
+    wl = W.partitionBy("query_id").orderBy(jacc.desc(), F.asc("item_id"))
+    lex = (
+        ix.join(F.broadcast(sq), "query_id")
+        .join(F.broadcast(sc), "item_id")
+        .withColumn("rank_lex", F.row_number().over(wl))
+        .filter(F.col("rank_lex") <= RRF_POOL)
+        .select("query_id", "item_id", "rank_lex")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") % RRF_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cv = fanout(emb).select(
+        F.col("vec_id").alias("item_id"), F.col("embedding").alias("c_emb")
+    )
+    wd = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("item_id"))
+    dense = (
+        F.broadcast(qv)
+        .join(cv, F.col("item_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("rank_dense", F.row_number().over(wd))
+        .filter(F.col("rank_dense") <= RRF_POOL)
+        .select("query_id", "item_id", "rank_dense")
+    )
+    fused = (
+        lex.withColumnsRenamed({"query_id": "lq", "item_id": "li"})
+        .join(
+            dense,
+            (F.col("lq") == F.col("query_id")) & (F.col("li") == F.col("item_id")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("lq", "query_id").alias("query_id"),
+            F.coalesce("li", "item_id").alias("item_id"),
+            F.coalesce("rank_lex", F.lit(0)).alias("rank_lex"),
+            F.coalesce("rank_dense", F.lit(0)).alias("rank_dense"),
+            (
+                F.coalesce(1.0 / (RRF_C + F.col("rank_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_C + F.col("rank_dense")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("item_id"))
+    return (
+        fused.withColumn("fr", F.row_number().over(wf))
+        .filter(F.col("fr") <= RRF_EMIT)
+        .select(
+            "query_id", "item_id",
+            F.col("rank_lex").cast("long").alias("rank_lex"),
+            F.col("rank_dense").cast("long").alias("rank_dense"),
+            F.round("rrf", 6).alias("rrf"),
+        )
+    )

@@ -100,7 +100,7 @@ PRIORITY_ORDER = [
     "hard_negative_mining", "time_weighted_avg", "robust_mad_outliers",
     "pmi_collocations", "source_overlap_matrix",
     "truncated_embedding_recall", "segment_compaction_plan",
-    "hll_union_windows",
+    "hll_union_windows", "passjoin_edit_pairs", "hybrid_rrf_fusion",
     "tableview_latest", "txn_visibility", "minhash_lsh_dedup",
     "asof_join_prior_view", "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata", "compaction_tombstones",

@@ -137,3 +137,77 @@ def test_hll_weekly_union_tracks_exact(spark):
         # 256 registers + linear-counting small-range correction: the merged
         # estimate stays within 35% of exact at any fixture scale
         assert abs(r["hll_estimate"] - r["n_exact"]) <= max(5.0, 0.35 * r["n_exact"])
+
+
+def test_passjoin_equals_brute_force(spark):
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import passjoin_edit_pairs
+
+    got = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in passjoin_edit_pairs(spark, SF_DIR).collect()
+    }
+    d = (
+        load(spark, SF_DIR, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    a = d.select(F.col("name").alias("na"))
+    b = d.select(F.col("name").alias("nb"))
+    want = {
+        (r["na"], r["nb"], r["d"])
+        for r in a.crossJoin(b)
+        .filter(F.col("na") < F.col("nb"))
+        .withColumn("d", F.levenshtein("na", "nb").cast("long"))
+        .filter(F.col("d") <= 1)
+        .collect()
+    }
+    assert got == want  # soundness AND completeness vs the quadratic verify
+
+
+def test_passjoin_segment_property_holds_under_any_single_edit():
+    # the filter theorem the join relies on: if lev(s, t) <= 1 then t starts
+    # with s's prefix segment or ends with s's suffix segment
+    import random
+
+    rng = random.Random(42)
+    alpha = "abcdef"
+    for _ in range(2000):
+        s = "".join(rng.choice(alpha) for _ in range(rng.randint(2, 12)))
+        kind = rng.choice(["sub", "ins", "del", "none"])
+        p = rng.randrange(len(s))
+        if kind == "sub":
+            t = s[:p] + rng.choice(alpha) + s[p + 1 :]
+        elif kind == "ins":
+            t = s[:p] + rng.choice(alpha) + s[p:]
+        elif kind == "del":
+            t = s[:p] + s[p + 1 :]
+        else:
+            t = s
+        l1 = len(s) // 2
+        assert t.startswith(s[:l1]) or t.endswith(s[l1:]), (s, t, kind, p)
+
+
+def test_rrf_fusion_scores_are_consistent(spark):
+    from pulsar_3_2_codedump_spark.functions.retrieval import (
+        RRF_C,
+        RRF_EMIT,
+        RRF_POOL,
+        hybrid_rrf_fusion,
+    )
+
+    rows = hybrid_rrf_fusion(spark, SF_DIR).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert 0 <= r["rank_lex"] <= RRF_POOL
+        assert 0 <= r["rank_dense"] <= RRF_POOL
+        assert r["rank_lex"] > 0 or r["rank_dense"] > 0  # in at least one pool
+        want = (1 / (RRF_C + r["rank_lex"]) if r["rank_lex"] else 0.0) + (
+            1 / (RRF_C + r["rank_dense"]) if r["rank_dense"] else 0.0
+        )
+        assert abs(r["rrf"] - want) < 1e-6
+    for q, rs in per_q.items():
+        assert len(rs) <= RRF_EMIT
+        scores = sorted((r["rrf"] for r in rs), reverse=True)
+        assert scores[0] == max(r["rrf"] for r in rs)
