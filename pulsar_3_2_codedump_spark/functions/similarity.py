@@ -2020,3 +2020,127 @@ def truncated_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(hit) / F.lit(float(TRUNC_K)), 4).alias("recall_at_k"),
         )
     )
+
+
+FVS_POOL = 20  # post-filter baseline: global top-N then apply the predicate
+
+
+@query(
+    "filtered_vector_search",
+    section="2.N-sim",
+    doc="FILTERED vector search (the metadata-constrained ANN problem every "
+    "vector store documents: 'where label = X, top-k by cosine'): the "
+    "PRE-FILTER ground truth ranks only same-label candidates (predicate "
+    "pushed below the ranking — the plan a relational engine gets for "
+    f"free), while the POST-FILTER baseline takes the global top "
+    f"{FVS_POOL} and then applies the predicate — the recall deficit "
+    "between them, per query, is the exhibit: post-filtering loses "
+    "exactly the ground-truth neighbors crowded out of the global pool "
+    "by other-label vectors. Same broadcast-queries/one-scan/bounded-"
+    "top-k topology as cosine_topk; the label predicate reaches the "
+    "scan in the pre-filter plan.",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding, label
+                   FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0),
+        scored AS (
+            SELECT q.query_id, q.label, c.vec_id AS neighbor_id,
+                   c.label AS c_label,
+                   {_D_DOT} / ({_D_NORM_Q} * {_D_NORM_C}) AS cos
+            FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        ),
+        pre_top AS (
+            SELECT query_id, label, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, neighbor_id)
+                              AS rank
+                FROM scored WHERE c_label = label)
+            WHERE rank <= {TOP_K}
+        ),
+        post_top AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, neighbor_id)
+                              AS rank
+                FROM scored)
+            WHERE rank <= {FVS_POOL} AND c_label = label
+        ),
+        cands AS (
+            SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+            FROM scored WHERE c_label = label GROUP BY query_id
+        )
+        SELECT p.query_id, CAST(p.label AS BIGINT) AS label,
+               cands.n_candidates,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN o.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               ROUND(SUM(CASE WHEN o.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 4) AS postfilter_recall
+        FROM pre_top p
+        LEFT JOIN post_top o
+          ON o.query_id = p.query_id AND o.neighbor_id = p.neighbor_id
+        JOIN cands ON cands.query_id = p.query_id
+        GROUP BY p.query_id, p.label, cands.n_candidates
+    """,
+)
+def filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("label"),
+    )
+    c = fanout(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("c_label"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    pre_top = (
+        scored.filter(F.col("c_label") == F.col("label"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "label", "neighbor_id")
+    )
+    post_top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= FVS_POOL) & (F.col("c_label") == F.col("label")))
+        .select(
+            F.col("query_id").alias("o_query"),
+            F.col("neighbor_id").alias("o_neighbor"),
+        )
+    )
+    cands = (
+        scored.filter(F.col("c_label") == F.col("label"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    )
+    hit = F.when(F.col("o_neighbor").isNotNull(), 1).otherwise(0)
+    return (
+        pre_top.join(
+            F.broadcast(post_top),
+            (F.col("o_query") == F.col("query_id"))
+            & (F.col("o_neighbor") == F.col("neighbor_id")),
+            "left",
+        )
+        .join(F.broadcast(cands), "query_id")
+        .groupBy("query_id", "label", "n_candidates")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(hit).cast("long").alias("n_hit"),
+            F.round(F.sum(hit) / F.count(F.lit(1)), 4).alias("postfilter_recall"),
+        )
+        .select(
+            "query_id",
+            F.col("label").cast("long").alias("label"),
+            "n_candidates",
+            "n_exact",
+            "n_hit",
+            "postfilter_recall",
+        )
+    )

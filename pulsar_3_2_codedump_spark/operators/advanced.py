@@ -1331,3 +1331,104 @@ def hll_union_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merged_days",
         )
     )
+
+
+BM_WORD = 32  # bitmap word width: user_id DIV 32 selects the word
+
+
+@query(
+    "bitmap_distinct_rollup",
+    section="2.M-agg",
+    doc="EXACT mergeable distinct counting via integer bitmaps (the "
+    "roaring-bitmap technique Druid/ClickHouse/Pinot use when exactness "
+    "is required and the id space is dense): per (event_type, day), "
+    f"user ids are packed into {BM_WORD}-bit words (word = id DIV "
+    f"{BM_WORD}, bit = id % {BM_WORD}, OR-aggregated); weeks are rolled "
+    "up by register-wise BIT_OR — the same merge shape as "
+    "hll_union_windows but lossless — and popcounts summed. The daily "
+    "and weekly counts are emitted beside COUNT(DISTINCT) to prove "
+    "exact equality. State per key is (#ids / word-width) integers, "
+    "partial-aggregable at every level; shifts stay below bit 32 so "
+    "both engines' BIGINT semantics agree (DuckDB raises on 1<<63).",
+    oracle=f"""
+        WITH b AS (
+            SELECT event_type, date_trunc('week', ts) AS wk,
+                   date_trunc('day', ts) AS day,
+                   user_id // {BM_WORD} AS word,
+                   CAST(user_id % {BM_WORD} AS INT) AS bit
+            FROM events
+        ),
+        daily AS (
+            SELECT event_type, wk, day, word,
+                   bit_or(CAST(1 AS BIGINT) << bit) AS bits
+            FROM b GROUP BY 1, 2, 3, 4
+        ),
+        weekly AS (
+            SELECT event_type, wk, word, bit_or(bits) AS bits
+            FROM daily GROUP BY 1, 2, 3
+        ),
+        wc AS (
+            SELECT event_type, wk,
+                   CAST(SUM(bit_count(bits)) AS BIGINT) AS bitmap_distinct
+            FROM weekly GROUP BY 1, 2
+        ),
+        dc AS (
+            SELECT event_type, wk,
+                   CAST(SUM(cnt) AS BIGINT) AS daily_popcount_sum
+            FROM (SELECT event_type, wk, day, SUM(bit_count(bits)) AS cnt
+                  FROM daily GROUP BY 1, 2, 3)
+            GROUP BY 1, 2
+        ),
+        ex AS (
+            SELECT event_type, date_trunc('week', ts) AS wk,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY 1, 2
+        )
+        SELECT wc.event_type, STRFTIME(wc.wk, '%Y-%m-%d') AS week,
+               ex.n_exact, wc.bitmap_distinct,
+               wc.bitmap_distinct = ex.n_exact AS exact_match,
+               dc.daily_popcount_sum
+        FROM wc
+        JOIN dc ON dc.event_type = wc.event_type AND dc.wk = wc.wk
+        JOIN ex ON ex.event_type = wc.event_type AND ex.wk = wc.wk
+    """,
+)
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    b = events.select(
+        "event_type",
+        F.date_trunc("week", "ts").alias("wk"),
+        F.date_trunc("day", "ts").alias("day"),
+        F.expr(f"user_id DIV {BM_WORD}").alias("word"),
+        F.expr(f"CAST(user_id % {BM_WORD} AS INT)").alias("bit"),
+    )
+    daily = b.groupBy("event_type", "wk", "day", "word").agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("bits")
+    )
+    weekly = daily.groupBy("event_type", "wk", "word").agg(
+        F.expr("bit_or(bits)").alias("bits")
+    )
+    wc = weekly.groupBy("event_type", "wk").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("bitmap_distinct")
+    )
+    dc = (
+        daily.groupBy("event_type", "wk", "day")
+        .agg(F.sum(F.bit_count("bits")).alias("cnt"))
+        .groupBy("event_type", "wk")
+        .agg(F.sum("cnt").cast("long").alias("daily_popcount_sum"))
+    )
+    ex = events.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("wk")
+    ).agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    return (
+        wc.join(dc, ["event_type", "wk"])
+        .join(ex, ["event_type", "wk"])
+        .select(
+            "event_type",
+            F.date_format("wk", "yyyy-MM-dd").alias("week"),
+            "n_exact",
+            "bitmap_distinct",
+            (F.col("bitmap_distinct") == F.col("n_exact")).alias("exact_match"),
+            "daily_popcount_sum",
+        )
+    )

@@ -1334,3 +1334,123 @@ def streaming_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_hll_distinct",
+    section="2.G-stream",
+    doc="LIVE mergeable-sketch state: per-type HyperLogLog registers (the "
+    "hll_explicit_distinct construction) maintained INCREMENTALLY across "
+    "two availableNow generations with the versioned-view merge — each "
+    "micro-batch contributes its own register partial and the merge is "
+    "register-wise MAX, so state is #types x 256 rows regardless of "
+    "stream length, and no batch ever re-reads history. The final "
+    "emission derives the distinct-user estimate purely from the merged "
+    "registers (grid-free: absent buckets contribute 2^0 each). The "
+    "oracle rebuilds the same registers in SQL over the replayed range.",
+    oracle=f"""
+        {_ENV},
+        h AS (
+            SELECT event_type,
+                   CAST(concat('0x', substr(md5(key), 1, 13)) AS BIGINT) AS hv
+            FROM envelope WHERE sequence_id < 400
+        ),
+        reg AS (
+            SELECT event_type, hv % 256 AS bucket,
+                   MAX(CASE WHEN hv // 256 = 0 THEN 45
+                            ELSE 45 - LENGTH(bin(hv // 256)) END) AS rho
+            FROM h GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_registers,
+                   SUM(1.0 / (CAST(1 AS BIGINT) << rho))
+                       + (256 - COUNT(*)) AS denom,
+                   256 - COUNT(*) AS zeros
+            FROM reg GROUP BY 1
+        )
+        SELECT event_type, n_registers,
+               ROUND(CASE WHEN 47072.71267120224 / denom <= 2.5 * 256
+                           AND zeros > 0
+                          THEN 256 * LN(CAST(256 AS DOUBLE) / zeros)
+                          ELSE 47072.71267120224 / denom END, 4)
+                   AS hll_estimate
+        FROM est
+    """,
+)
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.operators.advanced import (
+        HLL_ALPHA_M2,
+        HLL_M,
+        HLL_RHO_MAX,
+    )
+    from pulsar_3_2_codedump_spark.sources import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="shll_")
+    view_schema = "event_type string, bucket long, rho int"
+    try:
+        tp = _replay_topic(spark, sf_dir, root, 0, 300)
+        src = spark.readStream.format("pulsarlike").option("path", tp).load()
+        hv = F.expr("CAST(conv(substr(md5(key), 1, 13), 16, 10) AS BIGINT)")
+        upsert, state = _versioned_view(
+            root,
+            view_schema,
+            lambda b: b.select(
+                F.col("properties")["event_type"].alias("event_type"),
+                hv.alias("hv"),
+            )
+            .groupBy(
+                "event_type", (F.col("hv") % HLL_M).alias("bucket")
+            )
+            .agg(
+                F.max(
+                    F.expr(
+                        f"CASE WHEN hv DIV {HLL_M} = 0 THEN {HLL_RHO_MAX} "
+                        f"ELSE {HLL_RHO_MAX} - LENGTH(bin(hv DIV {HLL_M})) END"
+                    )
+                )
+                .cast("int")
+                .alias("rho")
+            ),
+            lambda u: u.groupBy("event_type", "bucket").agg(
+                F.max("rho").cast("int").alias("rho")
+            ),
+        )
+        _run_bounded_foreach(
+            src,
+            root + "/ck",
+            [None, lambda: _append_range(spark, sf_dir, tp, 300, 400)],
+            upsert,
+        )
+        if state["path"] is None:
+            return spark.createDataFrame(
+                [], "event_type string, n_registers long, hll_estimate double"
+            )
+        rows = spark.read.parquet(state["path"]).collect()
+        reg = spark.createDataFrame(rows, view_schema)
+        est = reg.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_registers"),
+            (
+                F.sum(
+                    F.expr(
+                        "1.0 / shiftleft(CAST(1 AS BIGINT), CAST(rho AS INT))"
+                    )
+                )
+                + (HLL_M - F.count(F.lit(1)))
+            ).alias("denom"),
+            (HLL_M - F.count(F.lit(1))).alias("zeros"),
+        )
+        raw = F.lit(HLL_ALPHA_M2) / F.col("denom")
+        corrected = F.when(
+            (raw <= 2.5 * HLL_M) & (F.col("zeros") > 0),
+            F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / F.col("zeros")),
+        ).otherwise(raw)
+        out = est.select(
+            "event_type", "n_registers", F.round(corrected, 4).alias("hll_estimate")
+        ).collect()
+        return spark.createDataFrame(
+            out, "event_type string, n_registers long, hll_estimate double"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -211,3 +211,54 @@ def test_rrf_fusion_scores_are_consistent(spark):
         assert len(rs) <= RRF_EMIT
         scores = sorted((r["rrf"] for r in rs), reverse=True)
         assert scores[0] == max(r["rrf"] for r in rs)
+
+
+def test_bitmap_rollup_is_exact_and_merge_only_shrinks(spark):
+    from pulsar_3_2_codedump_spark.operators.advanced import bitmap_distinct_rollup
+
+    rows = bitmap_distinct_rollup(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["exact_match"] is True
+        assert r["bitmap_distinct"] == r["n_exact"]
+        # summing daily popcounts double-counts users active on several days
+        assert r["daily_popcount_sum"] >= r["bitmap_distinct"]
+
+
+def test_filtered_search_postfilter_never_beats_prefilter(spark):
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        TOP_K,
+        filtered_vector_search,
+    )
+
+    rows = filtered_vector_search(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_exact"] <= TOP_K
+        assert 0 <= r["n_hit"] <= r["n_exact"]
+        assert abs(r["postfilter_recall"] - r["n_hit"] / r["n_exact"]) < 1e-6
+        assert r["n_candidates"] >= r["n_exact"]
+
+
+def test_streaming_hll_matches_batch_registers(spark):
+    from pulsar_3_2_codedump_spark.envelope import wrap_events
+    from pulsar_3_2_codedump_spark.streaming.queries_streaming import (
+        streaming_hll_distinct,
+    )
+
+    got = {r["event_type"]: r for r in streaming_hll_distinct(spark, SF_DIR).collect()}
+    assert got
+    env = wrap_events(load(spark, SF_DIR, "events")).filter(F.col("sequence_id") < 400)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in env.groupBy(
+            F.col("properties")["event_type"].alias("event_type")
+        )
+        .agg(F.countDistinct("key").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, r in got.items():
+        assert 1 <= r["n_registers"] <= 256
+        # merged-across-generations registers estimate the replayed range
+        assert abs(r["hll_estimate"] - exact[et]) <= max(5.0, 0.35 * exact[et])
