@@ -1040,3 +1040,115 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vq") / (F.count(F.lit(1)) * F.lit(float(TWAP_VSCALE))), 6
         ).alias("unweighted_avg"),
     )
+
+
+@query(
+    "attribution_position_based",
+    section="2.N-behavior",
+    doc="POSITION-BASED (U-shaped) multi-touch attribution — the 40/20/40 "
+    "split last-touch ignores: for every purchase, the user's full "
+    "preceding touch journey is credited 40% to the first touch, 40% to "
+    "the last, 20% spread over the middle (100% at one touch, 50/50 at "
+    "two, 'direct' when the journey is empty). Credits are INTEGER BASIS "
+    "POINTS: the middle share is 2000 DIV (n-2) with the remainder "
+    "handed to the earliest middle touches — every conversion credits "
+    "exactly 10000 bps on both engines, no float splits. Revenue is "
+    "credited in cents x bps BIGINTs (one division at emission). The "
+    "journey join and the position window are both keyed on user_id / "
+    "conversion id — the standard behavioral shuffle key, journeys "
+    "bounded per user, never a global window.",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, event_id AS conv_id, ts AS pts,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        t AS (
+            SELECT user_id, event_id, ts, event_type
+            FROM events WHERE event_type <> 'purchase'
+        ),
+        j AS (
+            SELECT p.conv_id, p.cents, t.event_type,
+                   ROW_NUMBER() OVER (PARTITION BY p.conv_id
+                                      ORDER BY t.ts, t.event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY p.conv_id) AS n
+            FROM p JOIN t
+              ON t.user_id = p.user_id
+             AND (t.ts < p.pts OR (t.ts = p.pts AND t.event_id < p.conv_id))
+        ),
+        credited AS (
+            SELECT conv_id, cents, event_type AS channel,
+                   CASE WHEN n = 1 THEN 10000
+                        WHEN n = 2 THEN 5000
+                        WHEN rn = 1 OR rn = n THEN 4000
+                        ELSE 2000 // (n - 2)
+                             + CASE WHEN rn - 1 <= 2000 % (n - 2)
+                                    THEN 1 ELSE 0 END
+                   END AS bps
+            FROM j
+            UNION ALL
+            SELECT p.conv_id, p.cents, 'direct' AS channel, 10000 AS bps
+            FROM p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM t
+                WHERE t.user_id = p.user_id
+                  AND (t.ts < p.pts OR (t.ts = p.pts AND t.event_id < p.conv_id))
+            )
+        )
+        SELECT channel,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+               CAST(SUM(bps) AS BIGINT) AS bps_total,
+               ROUND(SUM(cents * bps) / 1000000.0, 4) AS revenue_credited
+        FROM credited
+        GROUP BY channel
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = events.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    before = (F.col("ts") < F.col("pts")) | (
+        (F.col("ts") == F.col("pts")) & (F.col("event_id") < F.col("conv_id"))
+    )
+    j = p.join(t, "user_id").filter(before)
+    wp = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("conv_id")
+    ranked = j.withColumn("rn", F.row_number().over(wp)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    bps = F.expr(
+        "CASE WHEN n = 1 THEN 10000 WHEN n = 2 THEN 5000 "
+        "WHEN rn = 1 OR rn = n THEN 4000 "
+        "ELSE 2000 DIV (n - 2) + CASE WHEN rn - 1 <= 2000 % (n - 2) "
+        "THEN 1 ELSE 0 END END"
+    )
+    touched = ranked.select(
+        "conv_id", "cents", F.col("event_type").alias("channel"), bps.alias("bps")
+    )
+    direct = (
+        p.join(j.select("conv_id").distinct(), "conv_id", "left_anti")
+        .select(
+            "conv_id", "cents", F.lit("direct").alias("channel"),
+            F.lit(10000).alias("bps"),
+        )
+    )
+    return (
+        touched.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.countDistinct("conv_id").cast("long").alias("n_conversions"),
+            F.sum("bps").cast("long").alias("bps_total"),
+            F.round(F.sum(F.col("cents") * F.col("bps")) / 1_000_000.0, 4).alias(
+                "revenue_credited"
+            ),
+        )
+    )

@@ -262,3 +262,23 @@ def test_streaming_hll_matches_batch_registers(spark):
         assert 1 <= r["n_registers"] <= 256
         # merged-across-generations registers estimate the replayed range
         assert abs(r["hll_estimate"] - exact[et]) <= max(5.0, 0.35 * exact[et])
+
+
+def test_position_attribution_conserves_basis_points(spark):
+    from pulsar_3_2_codedump_spark.operators.behavior import (
+        attribution_position_based,
+    )
+
+    rows = attribution_position_based(spark, SF_DIR).collect()
+    assert rows
+    purchases = (
+        load(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    # every conversion credits exactly 10000 bps — nothing lost to rounding
+    assert sum(r["bps_total"] for r in rows) == 10000 * purchases
+    for r in rows:
+        assert r["n_touches"] >= r["n_conversions"] > 0
+        assert r["bps_total"] > 0
+        assert r["revenue_credited"] >= 0
