@@ -464,3 +464,172 @@ def decayed_engagement_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "peak_concurrency_sweep",
+    section="2.N-behavior",
+    doc="Peak-concurrency via the classic SWEEP-LINE: each event opens a "
+    "service interval [ts, ts + floor(value) seconds) (the deliver_at "
+    "arithmetic of the envelope applied to every type), intervals become "
+    "+1/-1 boundary points, and the running sum over the time-ordered "
+    "sweep — ends sort before starts at the same instant, so touching "
+    "intervals never double-count — yields the concurrency profile; the "
+    "max and the first instant it is reached are emitted per event_type. "
+    "The sweep window is PARTITIONED BY event_type with a fully unique "
+    "(t, delta, event_id) ordering — per-key state, exact integers, no "
+    "global window.",
+    oracle="""
+        WITH iv AS (
+            SELECT event_type, event_id, epoch_us(ts) AS s_us,
+                   epoch_us(ts) + CAST(FLOOR(value) AS BIGINT) * 1000000 AS e_us
+            FROM events
+        ),
+        pts AS (
+            SELECT event_type, event_id, s_us AS t, 1 AS delta FROM iv
+            UNION ALL
+            SELECT event_type, event_id, e_us AS t, -1 AS delta FROM iv
+        ),
+        sweep AS (
+            SELECT event_type, t,
+                   SUM(delta) OVER (PARTITION BY event_type
+                                    ORDER BY t, delta, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS running
+            FROM pts
+        ),
+        mx AS (
+            SELECT event_type, MAX(running) AS peak
+            FROM sweep GROUP BY event_type
+        )
+        SELECT s.event_type,
+               CAST(m.peak AS BIGINT) AS peak_concurrency,
+               CAST(MIN(s.t) AS BIGINT) AS first_peak_us
+        FROM sweep s JOIN mx m
+          ON m.event_type = s.event_type AND s.running = m.peak
+        GROUP BY s.event_type, m.peak
+    """,
+)
+def peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    iv = events.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("s_us"),
+        (
+            F.unix_micros("ts")
+            + F.floor("value").cast("long") * F.lit(1_000_000)
+        ).alias("e_us"),
+    )
+    pts = iv.select(
+        "event_type", "event_id", F.col("s_us").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(
+            "event_type", "event_id", F.col("e_us").alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = pts.select("event_type", "t", F.sum("delta").over(w).alias("running"))
+    mx = sweep.groupBy("event_type").agg(F.max("running").alias("peak"))
+    return (
+        sweep.join(F.broadcast(mx), "event_type")
+        .filter(F.col("running") == F.col("peak"))
+        .groupBy("event_type", "peak")
+        .agg(F.min("t").cast("long").alias("first_peak_us"))
+        .select(
+            "event_type",
+            F.col("peak").cast("long").alias("peak_concurrency"),
+            "first_peak_us",
+        )
+    )
+
+
+@query(
+    "missing_hours_audit",
+    section="2.N-quality",
+    doc="Ingestion-completeness audit against a generated CALENDAR SPINE "
+    "(the data-quality check every scheduled pipeline runs before "
+    "publishing a partition): the expected hour range is the corpus-wide "
+    "[min, max] hour, the spine is sequence()-generated — metadata-"
+    "scale, never a scan — cross-joined with the event-type dimension "
+    "and anti-joined against the hours actually present; per type the "
+    "expected/present/missing counts and the first missing hour are "
+    "emitted. The fact scan aggregates once to (type, hour) partials; "
+    "everything after is calendar-bounded.",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('hour', MIN(ts)) AS h0,
+                   date_trunc('hour', MAX(ts)) AS h1
+            FROM events
+        ),
+        spine AS (
+            SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM bounds
+        ),
+        expected AS (
+            SELECT t.event_type, s.h
+            FROM (SELECT DISTINCT event_type FROM events) t, spine s
+        ),
+        present AS (
+            SELECT DISTINCT event_type, date_trunc('hour', ts) AS h
+            FROM events
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_expected,
+               CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_present,
+               CAST(SUM(CASE WHEN p.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_missing,
+               COALESCE(STRFTIME(MIN(CASE WHEN p.h IS NULL THEN e.h END),
+                                 '%Y-%m-%d %H:%M:%S'), 'none')
+                   AS first_missing_hour
+        FROM expected e
+        LEFT JOIN present p
+          ON p.event_type = e.event_type AND p.h = e.h
+        GROUP BY e.event_type
+    """,
+)
+def missing_hours_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    types = events.select("event_type").distinct()
+    expected = types.crossJoin(F.broadcast(spine))
+    present = (
+        events.select(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    miss = F.when(F.col("hit").isNull(), 1).otherwise(0)
+    return (
+        expected.join(present, ["event_type", "h"], "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_expected"),
+            F.sum(F.col("hit").isNotNull().cast("int")).cast("long").alias(
+                "n_present"
+            ),
+            F.sum(miss).cast("long").alias("n_missing"),
+            F.coalesce(
+                F.date_format(
+                    F.min(F.when(F.col("hit").isNull(), F.col("h"))),
+                    "yyyy-MM-dd HH:mm:ss",
+                ),
+                F.lit("none"),
+            ).alias("first_missing_hour"),
+        )
+    )

@@ -282,3 +282,47 @@ def test_position_attribution_conserves_basis_points(spark):
         assert r["n_touches"] >= r["n_conversions"] > 0
         assert r["bps_total"] > 0
         assert r["revenue_credited"] >= 0
+
+
+def test_peak_concurrency_matches_python_sweep(spark):
+    from pulsar_3_2_codedump_spark.operators.timeops import peak_concurrency_sweep
+
+    got = {
+        r["event_type"]: (r["peak_concurrency"], r["first_peak_us"])
+        for r in peak_concurrency_sweep(spark, SF_DIR).collect()
+    }
+    rows = (
+        load(spark, SF_DIR, "events")
+        .select(
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("s"),
+            (F.unix_micros("ts") + F.floor("value").cast("long") * 1_000_000).alias("e"),
+        )
+        .collect()
+    )
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append((r["s"], r["e"], r["event_id"]))
+    for et, ivs in by_type.items():
+        pts = [(s, 1, eid) for s, e, eid in ivs] + [(e, -1, eid) for s, e, eid in ivs]
+        pts.sort()
+        run = peak = 0
+        first = None
+        for t, d, _ in pts:
+            run += d
+            if run > peak:
+                peak, first = run, t
+        assert got[et] == (peak, first), et
+
+
+def test_missing_hours_audit_partitions_the_spine(spark):
+    from pulsar_3_2_codedump_spark.operators.timeops import missing_hours_audit
+
+    rows = missing_hours_audit(spark, SF_DIR).collect()
+    assert rows
+    expected = {r["n_expected"] for r in rows}
+    assert len(expected) == 1  # one global spine shared by every type
+    for r in rows:
+        assert r["n_expected"] == r["n_present"] + r["n_missing"]
+        assert (r["n_missing"] == 0) == (r["first_missing_hour"] == "none")
