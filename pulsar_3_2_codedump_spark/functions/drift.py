@@ -545,3 +545,108 @@ def robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("adev"), 4).alias("max_adev"),
         )
     )
+
+
+@query(
+    "ab_test_z_scores",
+    section="2.N-quality",
+    doc="Two-proportion z-test per event surface (the experimentation "
+    "readout a platform runs beside its PSI/KS drift monitors): users "
+    "are deterministically split into arms by user_id parity (the "
+    "hash-bucket assignment an experiment framework uses), conversion = "
+    "the user purchased at least once, and per event-surface cohort "
+    "(users who touched that surface) the pooled-variance z statistic "
+    "is computed from EXACT integer counts — the only floats are the "
+    "final sqrt and one division, identical single libm ops on both "
+    "engines. Conversion is 'heavy buyer' (>= 14 purchases — the fixture "
+    "has ~13 purchases/user at every SF, so both outcomes stay "
+    "populated). Two user_id-keyed aggs + a 5-row stats frame; nothing "
+    "unbounded.",
+    oracle="""
+        WITH conv AS (
+            SELECT user_id,
+                   CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) >= 14
+                        THEN 1 ELSE 0 END AS converted
+            FROM events GROUP BY user_id
+        ),
+        cohort AS (
+            SELECT DISTINCT e.event_type, e.user_id
+            FROM events e WHERE e.event_type <> 'purchase'
+        ),
+        arms AS (
+            SELECT c.event_type,
+                   SUM(CASE WHEN c.user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+                   SUM(CASE WHEN c.user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+                   SUM(CASE WHEN c.user_id % 2 = 0 THEN v.converted ELSE 0 END)
+                       AS x_a,
+                   SUM(CASE WHEN c.user_id % 2 = 1 THEN v.converted ELSE 0 END)
+                       AS x_b
+            FROM cohort c JOIN conv v ON v.user_id = c.user_id
+            GROUP BY c.event_type
+        )
+        SELECT event_type,
+               CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+               CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+               ROUND((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                     / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                            * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                            * (CAST(1 AS DOUBLE) / n_a
+                               + CAST(1 AS DOUBLE) / n_b)), 4) AS z
+        FROM arms
+        WHERE x_a + x_b > 0 AND x_a + x_b < n_a + n_b
+    """,
+)
+def ab_test_z_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    conv = events.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= 14
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    cohort = (
+        events.filter(F.col("event_type") != "purchase")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    a_arm = F.col("user_id") % 2 == 0
+    arms = (
+        cohort.join(conv, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(a_arm, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(~a_arm, 1).otherwise(0)).alias("n_b"),
+            F.sum(F.when(a_arm, F.col("converted")).otherwise(0)).alias("x_a"),
+            F.sum(F.when(~a_arm, F.col("converted")).otherwise(0)).alias("x_b"),
+        )
+    )
+    p_a = F.col("x_a").cast("double") / F.col("n_a")
+    p_b = F.col("x_b").cast("double") / F.col("n_b")
+    pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pool
+        * (1 - pool)
+        * (
+            F.lit(1).cast("double") / F.col("n_a")
+            + F.lit(1).cast("double") / F.col("n_b")
+        )
+    )
+    return (
+        arms.filter(
+            (F.col("x_a") + F.col("x_b") > 0)
+            & (F.col("x_a") + F.col("x_b") < F.col("n_a") + F.col("n_b"))
+        )
+        .select(
+            "event_type",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("x_a").cast("long").alias("x_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("x_b").cast("long").alias("x_b"),
+            F.round((p_a - p_b) / se, 4).alias("z"),
+        )
+    )

@@ -326,3 +326,19 @@ def test_missing_hours_audit_partitions_the_spine(spark):
     for r in rows:
         assert r["n_expected"] == r["n_present"] + r["n_missing"]
         assert (r["n_missing"] == 0) == (r["first_missing_hour"] == "none")
+
+
+def test_ab_test_z_from_counts(spark):
+    import math
+
+    from pulsar_3_2_codedump_spark.functions.drift import ab_test_z_scores
+
+    rows = ab_test_z_scores(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert "purchase" != r["event_type"]  # purchase is the outcome, not a surface
+        assert 0 < r["x_a"] + r["x_b"] < r["n_a"] + r["n_b"]
+        p = (r["x_a"] + r["x_b"]) / (r["n_a"] + r["n_b"])
+        se = math.sqrt(p * (1 - p) * (1 / r["n_a"] + 1 / r["n_b"]))
+        want = (r["x_a"] / r["n_a"] - r["x_b"] / r["n_b"]) / se
+        assert abs(r["z"] - want) < 1e-3
