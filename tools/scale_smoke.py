@@ -535,6 +535,106 @@ def main() -> None:
         .agg(F.count(F.lit(1)).alias("pair_cnt")),
     )
 
+    # ---- very-late r8 operators at scale ------------------------------------
+    # PassJoin signature build + equi-join at 2M distinct strings: every
+    # string emits 2 probe + 6 indexed segment keys; candidate space is the
+    # hash join on (segment#, length, text) — throughput of the sound
+    # edit-distance join's dominant stage.
+    n_pj = min(2_000_000, n)
+    pj = spark.range(0, n_pj, numPartitions=64).select(
+        F.concat(
+            F.substring(F.md5(F.col("id").cast("string")), 1, 6),
+            F.lit(" "),
+            F.substring(F.md5(F.col("id").cast("string")), 7, 6),
+        ).alias("name")
+    ).withColumn("ln", F.length("name"))
+    probes = pj.select(
+        "name", F.col("ln").alias("ls"),
+        F.explode(F.expr(
+            "array(struct(1 AS pt, substring(name, 1, ln div 2) AS seg),"
+            " struct(2 AS pt, substring(name, ln div 2 + 1, ln - ln div 2) AS seg))"
+        )).alias("k"),
+    ).select("name", "ls", "k.pt", "k.seg")
+    idx = (
+        pj.select(F.col("name").alias("name_i"), "ln",
+                  F.explode(F.expr("array(ln - 1, ln, ln + 1)")).alias("ls"))
+        .filter(F.col("ls") >= 2)
+        .select("name_i", "ls", F.explode(F.expr(
+            "array(struct(1 AS pt, substring(name_i, 1, ls div 2) AS seg),"
+            " struct(2 AS pt, substring(name_i, length(name_i) - (ls - ls div 2) + 1,"
+            " ls - ls div 2) AS seg))"
+        )).alias("k"))
+        .select("name_i", "ls", "k.pt", "k.seg")
+    )
+    run(
+        "passjoin_2m_strings",
+        probes.join(idx, ["pt", "ls", "seg"])
+        .filter(F.col("name") < F.col("name_i"))
+        .select("name", "name_i").distinct()
+        .withColumn("d", F.levenshtein("name", "name_i"))
+        .filter(F.col("d") <= 1),
+    )
+
+    # TWAP: per-key lead window + quantized-integer agg over the N-row log
+    from pyspark.sql import Window
+
+    wtw = Window.partitionBy("key").orderBy("tms", "offset")
+    twap_in = env.select(
+        "key", "offset",
+        F.expr("unix_micros(publish_time) div 1000").alias("tms"),
+        F.round(F.col("value") * 10000).cast("long").alias("vq"),
+    )
+    run(
+        "twap_per_key_window",
+        twap_in.withColumn("dt", F.lead("tms").over(wtw) - F.col("tms"))
+        .filter(F.col("dt").isNotNull())
+        .groupBy("key")
+        .agg(F.round(F.sum(F.col("vq") * F.col("dt"))
+                     / (F.sum("dt") * 10000.0), 6).alias("twap")),
+    )
+
+    # Exact bitmap distinct rollup: day registers OR-merged into weeks over a
+    # 1M-user id space (31k words per (type, period) worst case)
+    bm = env.select(
+        F.pmod("sequence_id", 16).alias("t"),
+        F.expr("sequence_id DIV 86400000").alias("day"),
+        F.expr("(CAST(conv(substr(md5(CAST(key AS STRING)), 1, 13), 16, 10)"
+               " AS BIGINT) % 1000000)").alias("uid"),
+    )
+    bm_daily = bm.select(
+        "t", "day", F.expr("uid DIV 32").alias("word"),
+        F.expr("CAST(uid % 32 AS INT)").alias("bit"),
+    ).groupBy("t", "day", "word").agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("bits")
+    )
+    run(
+        "bitmap_rollup_1m_idspace",
+        bm_daily.groupBy("t", F.expr("day DIV 7").alias("wk"), "word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .groupBy("t", "wk")
+        .agg(F.sum(F.bit_count("bits")).alias("nd")),
+    )
+
+    # Sweep-line peak concurrency: 2N boundary points through a per-type
+    # running-sum window
+    iv = env.select(
+        F.pmod("sequence_id", 16).alias("t"), "offset",
+        F.unix_micros("publish_time").alias("s_us"),
+        (F.unix_micros("publish_time")
+         + F.floor("value").cast("long") * 1_000_000).alias("e_us"),
+    )
+    pts2 = iv.select("t", "offset", F.col("s_us").alias("tt"), F.lit(1).alias("d")) \
+        .unionByName(iv.select("t", "offset", F.col("e_us").alias("tt"),
+                               F.lit(-1).alias("d")))
+    wsw = Window.partitionBy("t").orderBy("tt", "d", "offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run(
+        "sweepline_peak_concurrency",
+        pts2.select("t", F.sum("d").over(wsw).alias("running"))
+        .groupBy("t").agg(F.max("running").alias("peak")),
+    )
+
     print(json.dumps({"metric": "scale_smoke", "rows": n, "n_docs": n_docs, "ops": results}))
 
 
