@@ -241,3 +241,115 @@ def resize_bytes(media: DataFrame, stride: int = 4) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = as_media_table(load(spark, sf_dir, "documents")).filter(F.col("media_id") < 50)
     return frame_sample(media, frame_bytes=64, every=3)
+
+
+PH_BITS = 32   # aHash width
+PH_BANDS = 4   # 8-bit bands; hamming <= PH_HAM pairs MUST share a band
+PH_HAM = 3     # pigeonhole: 3 differing bits cannot touch all 4 bands
+
+_PH_SPARK = (
+    "aggregate(transform(sequence(0, 31), i -> CASE WHEN "
+    "aggregate(slice(codes, i*w+1, w), CAST(0 AS BIGINT), (a, x) -> a + x) * n "
+    "> tot * greatest(0, least(w, n - i*w)) "
+    "THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END), "
+    "CAST(0 AS BIGINT), (a, x) -> a + x)"
+)
+
+
+@query(
+    "phash_banded_neardup",
+    section="2.N-mm",
+    doc="Perceptual-hash near-duplicate detection over the media table — the "
+    "image-dedup pipeline stage, run on the opaque byte stream since real "
+    "decode is env-blocked (with PIL the SAME expressions run over pixel "
+    f"luma): a {PH_BITS}-bit average-hash (bit i = stripe-i byte sum * n > "
+    "total sum * stripe length — exact integer cross-multiplication, no "
+    "division) is banded into four 8-bit keys, candidates share a band "
+    f"(PIGEONHOLE-sound for hamming <= {PH_HAM}: 3 differing bits cannot "
+    "touch all 4 bands), and candidates are verified with "
+    "bit_count(xor). The hash builds entirely in whole-stage codegen "
+    "(transform/aggregate over the char array — no Python), and the "
+    "banded equi-join bounds the candidate space exactly like MinHash "
+    "banding does for Jaccard.",
+    oracle=f"""
+        WITH c AS (
+            SELECT doc_id AS media_id,
+                   list_transform(string_split(text, ''), ch -> ascii(ch))
+                       AS codes,
+                   length(text) AS n
+            FROM documents
+        ),
+        hh AS (
+            SELECT media_id, n, (n + 31) // 32 AS w,
+                   list_aggregate(codes, 'sum') AS tot, codes
+            FROM c
+        ),
+        ph AS (
+            SELECT media_id,
+                   list_aggregate(list_transform(generate_series(0, 31), i ->
+                       CASE WHEN COALESCE(list_aggregate(
+                                     codes[i*w+1 : least((i+1)*w, n)], 'sum'),
+                                 0) * n
+                                 > tot * greatest(0, least(w, n - i*w))
+                            THEN (CAST(1 AS BIGINT) << i) ELSE 0 END),
+                       'sum') AS ph
+            FROM hh
+        ),
+        bands AS (
+            SELECT media_id, ph, j, (ph // (CAST(1 AS BIGINT) << (8 * j))) % 256
+                       AS band
+            FROM ph, UNNEST([0, 1, 2, 3]) AS t(j)
+        ),
+        cand AS (
+            SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                   a.ph AS ph_a, b.ph AS ph_b
+            FROM bands a JOIN bands b
+              ON a.j = b.j AND a.band = b.band AND a.media_id < b.media_id
+        )
+        SELECT media_a, media_b,
+               CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(ph_a, ph_b)) <= {PH_HAM}
+    """,
+)
+def phash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    c = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr("transform(split(text, ''), ch -> ascii(ch))").alias("codes"),
+        F.length("text").alias("n"),
+    )
+    hh = c.select(
+        "media_id", "codes", "n",
+        F.expr("(n + 31) div 32").alias("w"),
+        F.expr(
+            "aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("tot"),
+    )
+    ph = hh.select("media_id", F.expr(_PH_SPARK).alias("ph"))
+    bands = ph.select(
+        "media_id", "ph",
+        F.explode(F.expr("sequence(0, 3)")).alias("j"),
+    ).withColumn(
+        "band", F.expr("(ph DIV shiftleft(CAST(1 AS BIGINT), 8 * j)) % 256")
+    )
+    a = bands.select(
+        F.col("media_id").alias("media_a"), F.col("ph").alias("ph_a"), "j", "band"
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_b"), F.col("ph").alias("ph_b"), "j", "band"
+    )
+    cand = (
+        a.join(b, ["j", "band"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= PH_HAM)
+        .select("media_a", "media_b", "hamming")
+    )

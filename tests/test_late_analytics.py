@@ -342,3 +342,54 @@ def test_ab_test_z_from_counts(spark):
         se = math.sqrt(p * (1 - p) * (1 / r["n_a"] + 1 / r["n_b"]))
         want = (r["x_a"] / r["n_a"] - r["x_b"] / r["n_b"]) / se
         assert abs(r["z"] - want) < 1e-3
+
+
+def test_phash_banding_is_complete_vs_brute_force(spark):
+    from pulsar_3_2_codedump_spark.functions.multimodal import (
+        PH_HAM,
+        _PH_SPARK,
+        phash_banded_neardup,
+    )
+
+    got = {
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in phash_banded_neardup(spark, SF_DIR).collect()
+    }
+    docs = load(spark, SF_DIR, "documents")
+    ph = (
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.expr("transform(split(text, ''), ch -> ascii(ch))").alias("codes"),
+            F.length("text").alias("n"),
+        )
+        .select(
+            "media_id", "codes", "n",
+            F.expr("(n + 31) div 32").alias("w"),
+            F.expr("aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + x)").alias("tot"),
+        )
+        .select("media_id", F.expr(_PH_SPARK).alias("ph"))
+    )
+    a = ph.select(F.col("media_id").alias("ma"), F.col("ph").alias("pa"))
+    b = ph.select(F.col("media_id").alias("mb"), F.col("ph").alias("pb"))
+    want = {
+        (r["ma"], r["mb"], r["h"])
+        for r in a.crossJoin(b)
+        .filter(F.col("ma") < F.col("mb"))
+        .withColumn("h", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("long"))
+        .filter(F.col("h") <= PH_HAM)
+        .collect()
+    }
+    assert got == want  # banding loses nothing at hamming <= PH_HAM
+
+
+def test_phash_pigeonhole_band_guarantee():
+    import random
+
+    rng = random.Random(7)
+    for _ in range(3000):
+        x = rng.getrandbits(32)
+        y = x
+        for _ in range(rng.randint(0, 3)):
+            y ^= 1 << rng.randrange(32)
+        shares = any(((x >> (8 * j)) & 255) == ((y >> (8 * j)) & 255) for j in range(4))
+        assert shares  # <= 3 flipped bits cannot touch all 4 bytes
