@@ -353,3 +353,35 @@ def phash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= PH_HAM)
         .select("media_a", "media_b", "hamming")
     )
+
+
+@query(
+    "multimodal_resize_stats",
+    section="2.N-mm",
+    doc="Byte-space 'resize' (nearest-neighbor downsample — the image-resize "
+    "stage shape; PIL swaps in behind the same mapInPandas signature): "
+    "keep every 4th byte, emit the resized length and byte checksum per "
+    "media. DuckDB reproduces the strided selection with hex-pair "
+    "arithmetic over the encoded bytes, so any stride/offset defect in "
+    "the Arrow kernel breaks the hash. Blob column pruned from the "
+    "output so the compare is on the deterministic stats.",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS nb
+            FROM documents WHERE doc_id < 100
+        )
+        SELECT media_id,
+               CAST(CEIL(nb / 4.0) AS BIGINT) AS n_bytes,
+               CAST(list_aggregate(list_transform(
+                        generate_series(0, CAST(CEIL(nb / 4.0) AS BIGINT) - 1),
+                        j -> CAST(('0x' || substr(hx, j * 8 + 1, 2)) AS BIGINT)),
+                    'sum') AS BIGINT) AS checksum
+        FROM b
+    """,
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = as_media_table(load(spark, sf_dir, "documents")).filter(
+        F.col("media_id") < 100
+    )
+    return resize_bytes(media, stride=4).select("media_id", "n_bytes", "checksum")

@@ -104,7 +104,7 @@ PRIORITY_ORDER = [
     "bitmap_distinct_rollup", "filtered_vector_search",
     "streaming_hll_distinct", "attribution_position_based",
     "peak_concurrency_sweep", "missing_hours_audit", "ab_test_z_scores",
-    "phash_banded_neardup",
+    "phash_banded_neardup", "multimodal_resize_stats",
     "tableview_latest", "txn_visibility", "minhash_lsh_dedup",
     "asof_join_prior_view", "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata", "compaction_tombstones",

@@ -393,3 +393,19 @@ def test_phash_pigeonhole_band_guarantee():
             y ^= 1 << rng.randrange(32)
         shares = any(((x >> (8 * j)) & 255) == ((y >> (8 * j)) & 255) for j in range(4))
         assert shares  # <= 3 flipped bits cannot touch all 4 bytes
+
+
+def test_resize_stats_match_python_stride(spark):
+    from pulsar_3_2_codedump_spark.functions.multimodal import (
+        multimodal_resize_stats,
+    )
+
+    got = {
+        r["media_id"]: (r["n_bytes"], r["checksum"])
+        for r in multimodal_resize_stats(spark, SF_DIR).collect()
+    }
+    docs = load(spark, SF_DIR, "documents").filter(F.col("doc_id") < 100).collect()
+    assert got
+    for r in docs:
+        small = r["text"].encode("utf-8")[::4]
+        assert got[r["doc_id"]] == (len(small), sum(small))
