@@ -387,3 +387,129 @@ def test_priority_sampling_fixed_point_ranks_agree_with_exact(pairs):
                 w1, u1 = pairs[i]
                 w2, u2 = pairs[j]
                 assert (pri[i] > pri[j]) == (w1 * u2 > w2 * u1)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    pool=st.lists(
+        st.text(alphabet="abcd", min_size=2, max_size=8), min_size=2, max_size=12
+    )
+)
+def test_passjoin_keying_is_complete_on_random_pools(spark, pool):
+    # pure-Python mirror of passjoin_edit_pairs' key construction: for ANY
+    # string pool, the (segment#, length, text) equi-keys must cover every
+    # pair within edit distance 1 (completeness — soundness comes from the
+    # levenshtein verify step)
+    import itertools
+
+    def lev1(s, t):
+        if s == t:
+            return True
+        if abs(len(s) - len(t)) > 1:
+            return False
+        # one-edit check
+        if len(s) == len(t):
+            return sum(a != b for a, b in zip(s, t)) == 1
+        a, b = (s, t) if len(s) < len(t) else (t, s)
+        for i in range(len(b)):
+            if b[:i] + b[i + 1 :] == a:
+                return True
+        return False
+
+    def probe_keys(s):
+        l1 = len(s) // 2
+        return {(1, len(s), s[:l1]), (2, len(s), s[l1:])}
+
+    def index_keys(t):
+        keys = set()
+        for ls in (len(t) - 1, len(t), len(t) + 1):
+            if ls < 2:
+                continue
+            l1, l2 = ls // 2, ls - ls // 2
+            keys.add((1, ls, t[:l1]))
+            keys.add((2, ls, t[len(t) - l2 :] if l2 <= len(t) else t))
+        return keys
+
+    names = sorted(set(pool))
+    for s, t in itertools.combinations(names, 2):
+        if lev1(s, t) and len(s) >= 2 and len(t) >= 2:
+            assert (probe_keys(s) & index_keys(t)) or (
+                probe_keys(t) & index_keys(s)
+            ), (s, t)
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(n=st.integers(min_value=1, max_value=60))
+def test_ushape_bps_schedule_conserves_and_is_u_shaped(spark, n):
+    # the integer basis-point schedule attribution_position_based applies
+    def bps(rn, n):
+        if n == 1:
+            return 10000
+        if n == 2:
+            return 5000
+        if rn == 1 or rn == n:
+            return 4000
+        base, rem = divmod(2000, n - 2)
+        return base + (1 if rn - 1 <= rem else 0)
+
+    sched = [bps(i, n) for i in range(1, n + 1)]
+    assert sum(sched) == 10000
+    if n >= 3:
+        assert sched[0] == sched[-1] == 4000
+        mids = sched[1:-1]
+        assert max(mids) - min(mids) <= 1          # remainder spread is even
+        assert mids == sorted(mids, reverse=True)  # earliest get the remainder
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=40),
+    target=st.integers(min_value=1, max_value=4000),
+)
+def test_compaction_binning_is_contiguous_and_conserving(spark, sizes, target):
+    # segment_compaction_plan's closed form: bin = exclusive-prefix DIV target
+    cum = 0
+    bins, starts = [], []
+    for b in sizes:
+        bins.append(cum // target)
+        starts.append(cum)
+        cum += b
+    assert bins == sorted(bins)                      # monotone (contiguous runs)
+    assert bins[0] == 0
+    per = {}
+    for b, s in zip(bins, sizes):
+        per[b] = per.get(b, 0) + s
+    assert sum(per.values()) == sum(sizes)           # conservation
+    for i in range(1, len(sizes)):
+        if bins[i] > bins[i - 1]:
+            # a new bin starts ONLY because the running total crossed its
+            # target boundary (bin ids may legitimately skip when one
+            # segment alone spans multiple targets)
+            assert starts[i] >= (bins[i - 1] + 1) * target
+            assert bins[i] - bins[i - 1] <= -(-sizes[i - 1] // target) + 1
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(
+    users_a=st.sets(st.integers(min_value=0, max_value=10_000), max_size=40),
+    users_b=st.sets(st.integers(min_value=0, max_value=10_000), max_size=40),
+)
+def test_hll_register_merge_equals_union_registers(spark, users_a, users_b):
+    # the mathematical core of hll_union_windows / streaming_hll_distinct:
+    # register-wise MAX of two partitions' registers == registers of the union
+    import hashlib
+
+    def regs(users):
+        out = {}
+        for u in users:
+            hv = int(hashlib.md5(str(u).encode()).hexdigest()[:13], 16)
+            bucket, w = hv % 256, hv // 256
+            rho = 45 if w == 0 else 45 - w.bit_length()
+            out[bucket] = max(out.get(bucket, 0), rho)
+        return out
+
+    ra, rb, ru = regs(users_a), regs(users_b), regs(users_a | users_b)
+    merged = dict(ra)
+    for k, v in rb.items():
+        merged[k] = max(merged.get(k, 0), v)
+    assert merged == ru
