@@ -1152,3 +1152,70 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "sequential_pattern_support",
+    section="2.N-behavior",
+    doc="Sequential-pattern support with GAPS (the subsequence semantics of "
+    "GSP/PrefixSpan, which event_trigram_paths' contiguous transitions "
+    "cannot express): for every ordered event-type pair (a, b), a user "
+    "supports a=>b when SOME a-event happens strictly before SOME "
+    "b-event, regardless of what happens in between — i.e. min_ts(a) < "
+    "max_ts(b) per user, a pure per-user aggregate condition. Per-user "
+    "type profiles are one hash-agg on (user, type); the pattern join "
+    "is user-co-partitioned and bounded by |types|^2 rows per user; "
+    "confidence = supporters / users-with-a, all exact integers.",
+    oracle="""
+        WITH prof AS (
+            SELECT user_id, event_type, MIN(ts) AS min_ts, MAX(ts) AS max_ts
+            FROM events GROUP BY user_id, event_type
+        ),
+        sup AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_support
+            FROM prof a JOIN prof b
+              ON b.user_id = a.user_id AND b.event_type <> a.event_type
+             AND a.min_ts < b.max_ts
+            GROUP BY 1, 2
+        ),
+        hasit AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM prof GROUP BY event_type
+        )
+        SELECT sup.type_a, sup.type_b, sup.n_support,
+               ha.n_users AS n_users_a,
+               ROUND(sup.n_support / CAST(ha.n_users AS DOUBLE), 6)
+                   AS confidence
+        FROM sup JOIN hasit ha ON ha.event_type = sup.type_a
+    """,
+)
+def sequential_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    prof = events.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")
+    )
+    a = prof.select(
+        "user_id", F.col("event_type").alias("type_a"), F.col("min_ts").alias("a_min")
+    )
+    b = prof.select(
+        "user_id", F.col("event_type").alias("type_b"), F.col("max_ts").alias("b_max")
+    )
+    sup = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("type_a") != F.col("type_b"))
+            & (F.col("a_min") < F.col("b_max"))
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_support"))
+    )
+    hasit = prof.groupBy(F.col("event_type").alias("type_a")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_a")
+    )
+    return sup.join(F.broadcast(hasit), "type_a").select(
+        "type_a", "type_b", "n_support", "n_users_a",
+        F.round(F.col("n_support") / F.col("n_users_a").cast("double"), 6).alias(
+            "confidence"
+        ),
+    )

@@ -409,3 +409,33 @@ def test_resize_stats_match_python_stride(spark):
     for r in docs:
         small = r["text"].encode("utf-8")[::4]
         assert got[r["doc_id"]] == (len(small), sum(small))
+
+
+def test_sequential_pattern_support_matches_python(spark):
+    from pulsar_3_2_codedump_spark.operators.behavior import (
+        sequential_pattern_support,
+    )
+
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_support"], r["n_users_a"])
+        for r in sequential_pattern_support(spark, SF_DIR).collect()
+    }
+    rows = load(spark, SF_DIR, "events").select("user_id", "event_type", "ts").collect()
+    prof = {}
+    for r in rows:
+        k = (r["user_id"], r["event_type"])
+        lo, hi = prof.get(k, (None, None))
+        prof[k] = (
+            r["ts"] if lo is None or r["ts"] < lo else lo,
+            r["ts"] if hi is None or r["ts"] > hi else hi,
+        )
+    import collections
+
+    sup = collections.Counter()
+    has = collections.Counter()
+    for (u, ta), (lo_a, _) in prof.items():
+        has[ta] += 1
+        for (u2, tb), (_, hi_b) in prof.items():
+            if u2 == u and tb != ta and lo_a < hi_b:
+                sup[(ta, tb)] += 1
+    assert got == {k: (v, has[k[0]]) for k, v in sup.items()}
