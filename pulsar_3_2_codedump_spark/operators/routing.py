@@ -355,3 +355,75 @@ def consistent_hash_select(key_col, ring: list[tuple[int, str]]):
     for h, c in ring[1:]:
         expr = expr.when(slot <= h, F.lit(c))
     return expr.otherwise(F.lit(ring[0][1]))  # wrap around to the first point
+
+
+CHR_POINTS = 16  # ring points per consumer for the rebalance exhibit
+CHR_BEFORE = [f"consumer-{i}" for i in range(4)]
+CHR_AFTER = CHR_BEFORE + ["consumer-4"]
+
+
+def _ring_case_sql(ring: list[tuple[int, str]]) -> str:
+    """The same ceiling-point lookup consistent_hash_select compiles, as a
+    DuckDB CASE chain over the precomputed ring literals."""
+    parts = [f"WHEN slot <= {ring[0][0]} THEN '{ring[0][1]}'"]
+    parts += [f"WHEN slot <= {h} THEN '{c}'" for h, c in ring[1:]]
+    return "CASE " + " ".join(parts) + f" ELSE '{ring[0][1]}' END"
+
+
+_CHR_RING_A = consistent_hash_ring(CHR_BEFORE, CHR_POINTS)
+_CHR_RING_B = consistent_hash_ring(CHR_AFTER, CHR_POINTS)
+
+
+@query(
+    "consistent_hash_rebalance",
+    section="2.B3",
+    doc="Consistent-hash ring REBALANCE audit (ConsistentHashingStickyKey"
+    "ConsumerSelector.java:108 — the reference's default Key_Shared "
+    "selector): the key→consumer movement matrix when a fifth consumer "
+    "joins a four-consumer ring. Consistent hashing's contract is "
+    "minimal disruption — keys either keep their consumer or move TO "
+    "the joiner; the matrix makes that auditable (off-diagonal rows "
+    "land on consumer-4, keys moving between survivors would be a ring "
+    "bug). Both ring lookups compile to flat JVM CASE chains over ring-"
+    "boundary literals (metadata rebuilt only on membership change — "
+    "never a shuffle); the oracle embeds the identical ring.",
+    oracle=f"""
+        WITH k AS (
+            SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events
+        ),
+        s AS (
+            SELECT key,
+                   CAST(concat('0x', substr(md5(key), 1, 8)) AS BIGINT)
+                       % {KEY_HASH_SPACE} AS slot
+            FROM k
+        ),
+        assigned AS (
+            SELECT {_ring_case_sql(_CHR_RING_A)} AS consumer_before,
+                   {_ring_case_sql(_CHR_RING_B)} AS consumer_after
+            FROM s
+        )
+        SELECT consumer_before, consumer_after,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               consumer_before <> consumer_after AS moved
+        FROM assigned
+        GROUP BY 1, 2
+    """,
+)
+def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.catalog import load
+
+    keys = (
+        load(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("key"))
+        .distinct()
+    )
+    assigned = keys.select(
+        consistent_hash_select(F.col("key"), _CHR_RING_A).alias("consumer_before"),
+        consistent_hash_select(F.col("key"), _CHR_RING_B).alias("consumer_after"),
+    )
+    return assigned.groupBy("consumer_before", "consumer_after").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max(
+            F.col("consumer_before") != F.col("consumer_after")
+        ).alias("moved"),
+    )

@@ -439,3 +439,23 @@ def test_sequential_pattern_support_matches_python(spark):
             if u2 == u and tb != ta and lo_a < hi_b:
                 sup[(ta, tb)] += 1
     assert got == {k: (v, has[k[0]]) for k, v in sup.items()}
+
+
+def test_consistent_hash_rebalance_moves_only_to_joiner(spark):
+    from pulsar_3_2_codedump_spark.operators.routing import (
+        CHR_AFTER,
+        consistent_hash_rebalance,
+    )
+
+    rows = consistent_hash_rebalance(spark, SF_DIR).collect()
+    assert rows
+    joiner = CHR_AFTER[-1]
+    total = sum(r["n_keys"] for r in rows)
+    moved = sum(r["n_keys"] for r in rows if r["moved"])
+    for r in rows:
+        assert r["moved"] == (r["consumer_before"] != r["consumer_after"])
+        if r["moved"]:
+            # consistent hashing's contract: keys move ONLY to the joiner
+            assert r["consumer_after"] == joiner
+        assert r["consumer_before"] != joiner  # joiner owned nothing before
+    assert 0 < moved < total  # the joiner takes a strict, non-empty share
