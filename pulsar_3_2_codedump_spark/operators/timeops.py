@@ -633,3 +633,50 @@ def missing_hours_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("first_missing_hour"),
         )
     )
+
+
+@query(
+    "watermark_partition_lag",
+    section="2.G5",
+    doc="Per-partition watermark-lag monitor (the readout a streaming "
+    "operator watches to spot a straggling partition holding the global "
+    "watermark back — Spark's watermark is min over partitions of max "
+    "event time): per topic partition, the local max event time, its "
+    "lag behind the globally most-advanced partition, the row count, "
+    "and whether THIS partition is the straggler defining the "
+    "min-watermark. One partial-agg scan to an 8-row frame + one "
+    "broadcast of the global extremes — metadata-scale after the scan.",
+    oracle=f"""
+        {_ENV},
+        per AS (
+            SELECT partition,
+                   MAX(epoch_us(event_time)) AS max_et_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM envelope
+            GROUP BY partition
+        ),
+        g AS (SELECT MAX(max_et_us) AS g_max, MIN(max_et_us) AS g_min FROM per)
+        SELECT per.partition,
+               CAST(per.max_et_us AS BIGINT) AS max_event_us,
+               CAST((g.g_max - per.max_et_us) // 1000 AS BIGINT) AS lag_ms,
+               per.n_rows,
+               per.max_et_us = g.g_min AS is_watermark_holder
+        FROM per, g
+    """,
+)
+def watermark_partition_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = cached_envelope(spark, sf_dir)
+    per = env.groupBy("partition").agg(
+        F.max(F.unix_micros("event_time")).alias("max_et_us"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    g = per.agg(
+        F.max("max_et_us").alias("g_max"), F.min("max_et_us").alias("g_min")
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "partition",
+        F.col("max_et_us").cast("long").alias("max_event_us"),
+        F.expr("(g_max - max_et_us) div 1000").cast("long").alias("lag_ms"),
+        "n_rows",
+        (F.col("max_et_us") == F.col("g_min")).alias("is_watermark_holder"),
+    )

@@ -106,6 +106,7 @@ PRIORITY_ORDER = [
     "peak_concurrency_sweep", "missing_hours_audit", "ab_test_z_scores",
     "phash_banded_neardup", "multimodal_resize_stats",
     "sequential_pattern_support", "consistent_hash_rebalance",
+    "watermark_partition_lag",
     "tableview_latest", "txn_visibility", "minhash_lsh_dedup",
     "asof_join_prior_view", "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata", "compaction_tombstones",

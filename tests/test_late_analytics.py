@@ -459,3 +459,17 @@ def test_consistent_hash_rebalance_moves_only_to_joiner(spark):
             assert r["consumer_after"] == joiner
         assert r["consumer_before"] != joiner  # joiner owned nothing before
     assert 0 < moved < total  # the joiner takes a strict, non-empty share
+
+
+def test_watermark_lag_identifies_straggler_and_leader(spark):
+    from pulsar_3_2_codedump_spark.operators.timeops import watermark_partition_lag
+
+    rows = watermark_partition_lag(spark, SF_DIR).collect()
+    assert rows
+    lags = {r["partition"]: r["lag_ms"] for r in rows}
+    assert min(lags.values()) == 0  # the most-advanced partition has zero lag
+    holders = [r for r in rows if r["is_watermark_holder"]]
+    assert holders
+    worst = max(lags.values())
+    for h in holders:
+        assert lags[h["partition"]] == worst  # the straggler defines the watermark
