@@ -47,45 +47,26 @@ def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""
 
 
 # The correctness harness verifies queries in registry order with a bounded
-# budget (50 per round). Round-8 rotation (VERDICT r7 directive #1: finish
-# the never-hashed backlog): the window holds (a) the 24 queries that have
-# never had a driver hash — the r7 post-boundary queue, including the two
-# approx sketches that NOW carry envelope oracles, (b) the four operators
-# new in r8 (EntryFilter RESCHEDULE, nack ladder, the two admin decision
-# scans), (c) everything whose code changed in r8 (the sketch-battery
-# envelope rewrite, the crypto plaintext-passthrough/CONSUME fixes, the
-# rate-limit tiebreaker family), and (d) 16 freshness re-hashes of r4-era
-# rows whose hashes are the oldest in the series. After the boundary the
-# standing-green tail follows in prior order.
+# budget (50 per round). Round-9 rotation (VERDICT r8 directive #1: reach
+# 257/257-hashed parity): the window holds (a) the 47 registered queries
+# that have never had a driver hash — the whole r8 late-session backlog,
+# locally oracle-verified at both SFs, (b) the single new r9 operator
+# (streaming CUSUM alarm, VERDICT r8 directive #7 — growth otherwise
+# frozen), and (c) 2 freshness re-hashes of the oldest green rows.
+#
+# FRESHNESS RE-HASH POLICY (applies from r10 on, once every registered
+# query has at least one green driver row): compose each round's window as
+#   1. every query whose CODE CHANGED since its last green driver hash
+#   2. every NEW registration (keep additions ≤ the spare slot count)
+#   3. fill remaining slots with the queries whose last green driver hash
+#      is OLDEST (round number ascending; ties in prior PRIORITY_ORDER
+#      order) — i.e. rotate oldest-green-first so hashes never go more
+#      than ~4 rounds stale against fixture regenerations.
+# The window is ALWAYS the first 50 entries of this list; the boundary
+# comment below marks it. Never leave a changed query below the boundary.
 PRIORITY_ORDER = [
-    # (a) the last never-driver-hashed queries — after this round, every
+    # (a) the 47 never-driver-hashed queries — after this round, every
     # registered query has at least one green CORRECTNESS row
-    "chi2_terms", "vocab_oov_rate", "length_bucketing",
-    "embedding_centroids", "bm25_topk", "setsim_prefix_join",
-    "repeated_passages", "funnel_conversion", "cohort_retention",
-    "event_bigram_counts", "bpe_merge_step", "hashing_trick_features",
-    "schema_evolution_decode", "streaming_tableview",
-    "reservoir_sample_per_group", "importance_resampling", "ngram_novelty",
-    "streaming_topk", "anomaly_zscore", "moving_range_frame_revenue",
-    "unpivot_price_components", "streaming_static_enrich",
-    "approx_distinct_sketch", "approx_percentile_sketch",
-    # (b) new in r8
-    "entry_filter_reschedule", "nack_redelivery_ladder",
-    "topic_gc_candidates", "subscription_expiry_scan",
-    "source_cap_sample", "token_budget_selection",
-    "expire_messages_by_time", "tiered_shadow_roundtrip",
-    "bpe_train_merges", "event_graph_pagerank", "kmeans_lloyd_iterations",
-    "bpe_apply_encode", "pca_power_iteration", "constraint_audit",
-    "kfold_assignment", "greedy_coverage_selection", "fuzzy_blocking_pairs",
-    # (c) code changed in r8 — prior hashes invalidated
-    "theta_kll_sketch_battery", "encrypted_roundtrip",
-    "streaming_encrypted_scan", "publish_rate_limit",
-    "subscribe_rate_limit", "dispatch_rate_limit",
-    # (d) new late-r8 operators (the three strongest take the slots the r4
-    # freshness re-hashes held — those rows are already green, these are new)
-    "connected_components_star", "bloom_filter_semi_join", "ks_two_sample",
-    # ---- rotation window boundary (50) ----
-    # r9 queue head: new post-window additions, locally oracle-verified
     "psi_drift", "score_calibration_bins",
     "triangle_count", "skyline_pareto", "attribution_last_touch",
     "priority_sample_topk", "histogram_equi_depth", "association_rules",
@@ -107,7 +88,33 @@ PRIORITY_ORDER = [
     "phash_banded_neardup", "multimodal_resize_stats",
     "sequential_pattern_support", "consistent_hash_rebalance",
     "watermark_partition_lag",
-    "tableview_latest", "txn_visibility", "minhash_lsh_dedup",
+    # (b) new in r9 (VERDICT r8 #7): streaming CUSUM change-point monitor
+    "streaming_cusum_alarm",
+    # (c) freshness re-hashes: oldest r4-era green rows
+    "tableview_latest", "txn_visibility",
+    # ---- rotation window boundary (50) ----
+    # standing-green: r8-hashed (CORRECTNESS_r08 50/50), code unchanged
+    "chi2_terms", "vocab_oov_rate", "length_bucketing",
+    "embedding_centroids", "bm25_topk", "setsim_prefix_join",
+    "repeated_passages", "funnel_conversion", "cohort_retention",
+    "event_bigram_counts", "bpe_merge_step", "hashing_trick_features",
+    "schema_evolution_decode", "streaming_tableview",
+    "reservoir_sample_per_group", "importance_resampling", "ngram_novelty",
+    "streaming_topk", "anomaly_zscore", "moving_range_frame_revenue",
+    "unpivot_price_components", "streaming_static_enrich",
+    "approx_distinct_sketch", "approx_percentile_sketch",
+    "entry_filter_reschedule", "nack_redelivery_ladder",
+    "topic_gc_candidates", "subscription_expiry_scan",
+    "source_cap_sample", "token_budget_selection",
+    "expire_messages_by_time", "tiered_shadow_roundtrip",
+    "bpe_train_merges", "event_graph_pagerank", "kmeans_lloyd_iterations",
+    "bpe_apply_encode", "pca_power_iteration", "constraint_audit",
+    "kfold_assignment", "greedy_coverage_selection", "fuzzy_blocking_pairs",
+    "theta_kll_sketch_battery", "encrypted_roundtrip",
+    "streaming_encrypted_scan", "publish_rate_limit",
+    "subscribe_rate_limit", "dispatch_rate_limit",
+    "connected_components_star", "bloom_filter_semi_join", "ks_two_sample",
+    "minhash_lsh_dedup",
     "asof_join_prior_view", "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata", "compaction_tombstones",
     "strategic_compaction", "compacted_read", "dedup_producer_sequence",

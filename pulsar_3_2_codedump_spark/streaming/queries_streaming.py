@@ -14,14 +14,16 @@ Determinism: fixture replay + availableNow triggers + event-time watermarks
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pulsar_3_2_codedump_spark import topic as T
 from pulsar_3_2_codedump_spark.catalog import load
 from pulsar_3_2_codedump_spark.envelope import EVENTS_ENVELOPE_ORACLE, wrap_events
+from pulsar_3_2_codedump_spark.operators.behavior import CUSUM_H_MULT, CUSUM_SCALE
 from pulsar_3_2_codedump_spark.queries import query
 
 _ENV = f"WITH envelope AS ({EVENTS_ENVELOPE_ORACLE})"
@@ -1452,5 +1454,279 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             out, "event_type string, n_registers long, hll_estimate double"
         )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# --- streaming CUSUM change-point monitor (VERDICT r8 directive #7) --------
+
+CUSUM_BUCKET = 50    # sequence ids per volume bucket (the monitor's "day")
+CUSUM_REF_HI = 300   # allowance k is frozen from this prefix (generation 1)
+
+
+def _cusum_fold(opens: DataFrame, carry: DataFrame, kdf: DataFrame) -> DataFrame:
+    """Fold CLOSED volume buckets into the per-type CUSUM carry state.
+
+    The CUSUM recurrence s_d = max(0, s_{d-1} + x_d - k) is sequential, but
+    its prefix closed form s_d = P_d - min(0, min(P_1..P_d)) (P = running
+    sum of x - k) makes the fold associative: a carry of
+    (P_last, M = min(0, prefix mins), peak_s, n, last_x, last_bucket)
+    absorbs any suffix of new buckets with one type-partitioned window.
+    State is ONE ROW PER TYPE regardless of stream length — the bounded
+    per-key state the broker's sequential monitor would hold.
+
+    ``opens``: (event_type, bucket, x) closed buckets to retire;
+    ``carry``: prior carry (empty on first fold); ``kdf``: frozen allowance.
+    Types absent from ``kdf`` (never seen in the reference window) are
+    dropped, mirroring the oracle's inner join.
+    """
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")  # unique per type after the commutative count merge
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = (
+        opens.join(F.broadcast(kdf), "event_type")
+        .join(
+            F.broadcast(
+                carry.select(
+                    "event_type",
+                    F.col("p").alias("c_p"),
+                    F.col("m").alias("c_m"),
+                    F.col("peak").alias("c_peak"),
+                    F.col("n").alias("c_n"),
+                )
+            ),
+            "event_type",
+            "left",
+        )
+        .fillna({"c_p": 0, "c_m": 0, "c_peak": 0, "c_n": 0})
+    )
+    scored = (
+        base.withColumn(
+            "pd",
+            F.col("c_p")
+            + F.sum(F.col("x") * CUSUM_SCALE - F.col("k_scaled")).over(w),
+        )
+        .withColumn("m_d", F.least(F.col("c_m"), F.min("pd").over(w)))
+        .withColumn("s_d", F.col("pd") - F.col("m_d"))
+    )
+    folded = scored.groupBy("event_type").agg(
+        F.max_by("pd", "bucket").alias("p"),
+        F.min("m_d").alias("m"),
+        F.greatest(F.max("s_d"), F.max("c_peak")).alias("peak"),
+        (F.max("c_n") + F.count(F.lit(1))).alias("n"),
+        F.max_by("x", "bucket").alias("last_x"),
+        F.max("bucket").alias("last_bucket"),
+    )
+    untouched = carry.join(folded, "event_type", "left_anti")
+    return folded.unionByName(untouched)
+
+
+_CUSUM_NULLS = ["v2", "v3", "v4", "v5"]
+
+
+def _cusum_open_rows(df: DataFrame) -> DataFrame:
+    """(event_type, bucket, x) -> wide view rows of kind 'open'."""
+    return df.select(
+        "event_type",
+        F.lit("open").alias("kind"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("x").cast("long").alias("v1"),
+        *[F.lit(None).cast("long").alias(c) for c in _CUSUM_NULLS],
+    )
+
+
+def _cusum_merge(u: DataFrame) -> DataFrame:
+    """Versioned-view merge: open bucket counts add commutatively (safe under
+    any micro-batch split of a generation); carry/k rows pass through — they
+    are only rewritten by the between-generation compaction."""
+    opens = _cusum_open_rows(
+        u.filter(F.col("kind") == "open")
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("v1").alias("x"))
+    )
+    return opens.unionByName(u.filter(F.col("kind") != "open"))
+
+
+@query(
+    "streaming_cusum_alarm",
+    section="2.G-stream",
+    doc="LIVE CUSUM change-point monitor (the streaming deployment shape of "
+    "cusum_changepoint, per VERDICT r8 #7): per-type volumes bucketed by "
+    f"sequence range ({CUSUM_BUCKET} ids/bucket) accrue in the versioned "
+    "view; at each generation commit the closed buckets are RETIRED into a "
+    "one-row-per-type carry via the associative prefix closed form "
+    "s = P - min(0, min prefix P), so state is bounded by #types + the "
+    "open bucket — generation 2 never re-reads generation 1. The allowance "
+    f"k is frozen from the generation-1 reference (sequence < {CUSUM_REF_HI}"
+    "), fixed-point BIGINT so the fold is exact on both engines. Emits one "
+    "row per type: current statistic + alarm, peak statistic + alarm-ever. "
+    "Reference windowing tests: pulsar-functions/instance/src/test/java/org/"
+    "apache/pulsar/functions/windowing/WindowManagerTest.java.",
+    oracle=f"""
+        {_ENV},
+        b AS (
+            SELECT event_type, sequence_id // {CUSUM_BUCKET} AS bucket,
+                   COUNT(*) AS x
+            FROM envelope WHERE sequence_id < 400
+            GROUP BY 1, 2
+        ),
+        k AS (
+            SELECT event_type,
+                   (SUM(x) * {CUSUM_SCALE}) // COUNT(*) AS k_scaled
+            FROM b WHERE bucket < {CUSUM_REF_HI // CUSUM_BUCKET}
+            GROUP BY 1
+        ),
+        p AS (
+            SELECT b.event_type, b.bucket, b.x, k.k_scaled,
+                   SUM(b.x * {CUSUM_SCALE} - k.k_scaled)
+                       OVER (PARTITION BY b.event_type ORDER BY b.bucket) AS pd
+            FROM b JOIN k ON k.event_type = b.event_type
+        ),
+        s AS (
+            SELECT event_type, bucket, x, k_scaled,
+                   pd - LEAST(MIN(pd) OVER (PARTITION BY event_type
+                                            ORDER BY bucket), 0) AS s_scaled
+            FROM p
+        ),
+        fin AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                   MAX(bucket) AS last_bucket, MAX(s_scaled) AS peak_s_scaled,
+                   MAX(k_scaled) AS k_scaled
+            FROM s GROUP BY 1
+        )
+        SELECT f.event_type, f.n_buckets,
+               CAST(f.last_bucket AS BIGINT) AS last_bucket,
+               CAST(s.x AS BIGINT) AS x_last,
+               CAST(s.s_scaled AS BIGINT) AS s_scaled,
+               s.s_scaled > {CUSUM_H_MULT} * f.k_scaled AS alarm_now,
+               CAST(f.peak_s_scaled AS BIGINT) AS peak_s_scaled,
+               f.peak_s_scaled > {CUSUM_H_MULT} * f.k_scaled AS alarm_ever
+        FROM fin f
+        JOIN s ON s.event_type = f.event_type AND s.bucket = f.last_bucket
+    """,
+)
+def streaming_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.sources import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="sca_")
+    view_schema = (
+        "event_type string, kind string, bucket long, "
+        "v1 long, v2 long, v3 long, v4 long, v5 long"
+    )
+    out_schema = (
+        "event_type string, n_buckets long, last_bucket long, x_last long, "
+        "s_scaled long, alarm_now boolean, peak_s_scaled long, "
+        "alarm_ever boolean"
+    )
+
+    def view_parts(path):
+        v = spark.read.parquet(path)
+        opens = v.filter(F.col("kind") == "open").select(
+            "event_type", "bucket", F.col("v1").alias("x")
+        )
+        carry = v.filter(F.col("kind") == "carry").select(
+            "event_type",
+            F.col("v1").alias("p"),
+            F.col("v2").alias("m"),
+            F.col("v3").alias("peak"),
+            F.col("v4").alias("n"),
+            F.col("v5").alias("last_x"),
+            F.col("bucket").alias("last_bucket"),
+        )
+        kdf = v.filter(F.col("kind") == "k").select(
+            "event_type", F.col("v1").alias("k_scaled")
+        )
+        return opens, carry, kdf
+
+    try:
+        tp = _replay_topic(spark, sf_dir, root, 0, CUSUM_REF_HI)
+        src = spark.readStream.format("pulsarlike").option("path", tp).load()
+        upsert, state = _versioned_view(
+            root,
+            view_schema,
+            lambda b: _cusum_open_rows(
+                b.groupBy(
+                    F.col("properties")["event_type"].alias("event_type"),
+                    F.expr(f"sequence_id DIV {CUSUM_BUCKET}").alias("bucket"),
+                ).agg(F.count(F.lit(1)).alias("x"))
+            ),
+            _cusum_merge,
+        )
+        # generation 1: the reference range accrues as open bucket counts
+        _run_bounded_foreach(src, root + "/ck", [None], upsert)
+        if state["path"] is None:
+            return spark.createDataFrame([], out_schema)
+
+        # generation-1 commit: freeze the allowance k from the reference
+        # buckets, retire every closed bucket (all but each type's max —
+        # the next generation may still extend it) into the per-type carry
+        opens, carry, kdf = view_parts(state["path"])
+        ref_buckets = CUSUM_REF_HI // CUSUM_BUCKET
+        kdf = opens.filter(F.col("bucket") < ref_buckets).groupBy(
+            "event_type"
+        ).agg(F.expr(f"(SUM(x) * {CUSUM_SCALE}) DIV COUNT(*)").alias("k_scaled"))
+        mx = opens.groupBy("event_type").agg(F.max("bucket").alias("mxb"))
+        closed = opens.join(F.broadcast(mx), "event_type").filter(
+            F.col("bucket") < F.col("mxb")
+        ).select("event_type", "bucket", "x")
+        still_open = opens.join(F.broadcast(mx), "event_type").filter(
+            F.col("bucket") == F.col("mxb")
+        ).select("event_type", "bucket", "x")
+        new_carry = _cusum_fold(closed, carry, kdf)
+        compact = os.path.join(root, "view_compact_1")
+        _cusum_open_rows(still_open).unionByName(
+            new_carry.select(
+                "event_type",
+                F.lit("carry").alias("kind"),
+                F.col("last_bucket").cast("long").alias("bucket"),
+                F.col("p").cast("long").alias("v1"),
+                F.col("m").cast("long").alias("v2"),
+                F.col("peak").cast("long").alias("v3"),
+                F.col("n").cast("long").alias("v4"),
+                F.col("last_x").cast("long").alias("v5"),
+            )
+        ).unionByName(
+            kdf.select(
+                "event_type",
+                F.lit("k").alias("kind"),
+                F.lit(None).cast("long").alias("bucket"),
+                F.col("k_scaled").cast("long").alias("v1"),
+                *[F.lit(None).cast("long").alias(c) for c in _CUSUM_NULLS],
+            )
+        ).write.mode("overwrite").parquet(compact)
+        state["path"] = compact
+
+        # generation 2: new data only ever increments open buckets
+        _run_bounded_foreach(
+            src,
+            root + "/ck",
+            [lambda: _append_range(spark, sf_dir, tp, CUSUM_REF_HI, 400)],
+            upsert,
+        )
+
+        # emission: fold the remaining open buckets and report per type
+        opens, carry, kdf = view_parts(state["path"])
+        fin = _cusum_fold(opens, carry, kdf)
+        h = CUSUM_H_MULT
+        out = (
+            fin.join(F.broadcast(kdf), "event_type")
+            .select(
+                "event_type",
+                F.col("n").cast("long").alias("n_buckets"),
+                F.col("last_bucket").cast("long").alias("last_bucket"),
+                F.col("last_x").cast("long").alias("x_last"),
+                (F.col("p") - F.col("m")).cast("long").alias("s_scaled"),
+                ((F.col("p") - F.col("m")) > h * F.col("k_scaled")).alias(
+                    "alarm_now"
+                ),
+                F.col("peak").cast("long").alias("peak_s_scaled"),
+                (F.col("peak") > h * F.col("k_scaled")).alias("alarm_ever"),
+            )
+            .collect()  # materialize before the temp view dirs are removed
+        )
+        return spark.createDataFrame(out, out_schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -289,3 +289,74 @@ def test_streaming_chunk_reassembly_crosses_generation_boundary(spark):
         if int(uuid) % 3 == 0 and out[uuid]["n_chunks"] > 1:
             crossers += 1
     assert crossers > 0  # the cross-generation path actually exercised
+
+
+def test_streaming_cusum_matches_batch_and_fold_is_associative(spark):
+    """Generation continuity: the CUSUM monitor's carry-fold must absorb the
+    stream in ANY number of pieces and land on the same state as one batch
+    fold — that associativity is exactly what lets generation 2 continue
+    from generation 1's carry without re-reading it."""
+    from pulsar_3_2_codedump_spark.operators.behavior import (
+        CUSUM_H_MULT,
+        CUSUM_SCALE,
+    )
+    from pulsar_3_2_codedump_spark.streaming.queries_streaming import (
+        CUSUM_BUCKET,
+        CUSUM_REF_HI,
+        _cusum_fold,
+        streaming_cusum_alarm,
+    )
+
+    got = {r["event_type"]: r for r in streaming_cusum_alarm(spark, SF_DIR).collect()}
+    assert got
+
+    # batch recomputation of the same monitor over the replayed range
+    env = wrap_events(load(spark, SF_DIR, "events")).filter(
+        F.col("sequence_id") < 400
+    )
+    buckets = (
+        env.groupBy(
+            F.col("properties")["event_type"].alias("event_type"),
+            F.expr(f"sequence_id DIV {CUSUM_BUCKET}").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    kdf = (
+        buckets.filter(F.col("bucket") < CUSUM_REF_HI // CUSUM_BUCKET)
+        .groupBy("event_type")
+        .agg(F.expr(f"(SUM(x) * {CUSUM_SCALE}) DIV COUNT(*)").alias("k_scaled"))
+    )
+    empty_carry = spark.createDataFrame(
+        [], "event_type string, p long, m long, peak long, n long, "
+            "last_x long, last_bucket long"
+    )
+    one_shot = {
+        r["event_type"]: r
+        for r in _cusum_fold(buckets, empty_carry, kdf)
+        .join(kdf, "event_type")
+        .collect()
+    }
+    assert set(got) == set(one_shot)
+    for et, r in got.items():
+        b = one_shot[et]
+        assert r["n_buckets"] == b["n"]
+        assert r["last_bucket"] == b["last_bucket"]
+        assert r["x_last"] == b["last_x"]
+        assert r["s_scaled"] == b["p"] - b["m"]
+        assert r["peak_s_scaled"] == b["peak"]
+        assert r["alarm_now"] == (r["s_scaled"] > CUSUM_H_MULT * b["k_scaled"])
+        assert r["alarm_ever"] == (r["peak_s_scaled"] > CUSUM_H_MULT * b["k_scaled"])
+
+    # associativity at an arbitrary split (not the generation boundary):
+    # fold buckets < 3, then fold the rest onto the carry
+    pre = buckets.filter(F.col("bucket") < 3)
+    post = buckets.filter(F.col("bucket") >= 3)
+    two_step = {
+        r["event_type"]: r
+        for r in _cusum_fold(post, _cusum_fold(pre, empty_carry, kdf), kdf).collect()
+    }
+    for et, b in one_shot.items():
+        t = two_step[et]
+        assert (t["p"], t["m"], t["peak"], t["n"], t["last_x"], t["last_bucket"]) == (
+            b["p"], b["m"], b["peak"], b["n"], b["last_x"], b["last_bucket"]
+        )
