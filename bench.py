@@ -47,14 +47,19 @@ HEADLINE = [
     "text_quality_score",
 ]
 
-# Scale-killer regression guard (VERDICT r7 item 6): the r7-repaired heavy
-# queries, timed and reported under "secondary" so a regression shows up in
+# Scale-killer regression guard (VERDICT r7 item 6): heavy-plan queries,
+# timed and reported under "secondary" so a regression shows up in
 # BENCH_r{N}.json — but kept OUT of the frozen headline set/total so the
-# cross-round headline series stays comparable.
+# cross-round headline series stays comparable. r9 rotation (VERDICT r8
+# item 4): the three highest-exchange-count r8 operators join the
+# r7-repaired trio.
 SECONDARY = [
     "rfm_scores",
     "cdc_chunk_dedup",
     "token_balanced_shards",
+    "hybrid_rrf_fusion",
+    "source_overlap_matrix",
+    "bitmap_distinct_rollup",
 ]
 
 

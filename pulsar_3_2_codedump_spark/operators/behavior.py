@@ -597,8 +597,10 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     # materialize the basket table once: four consumers (totals, item
     # supports, the pruned copy, both pair sides) would otherwise each
-    # re-derive the join+distinct lineage (72 exchanges → 18; at 100 TB
-    # this is the "persist the projection first" step)
+    # re-derive the join+distinct build lineage (1 shuffle, executed once
+    # here; the emitted plan then holds 26 exchanges — PLANS.md counting
+    # convention: distinct nodes, checkpoint-truncated lineage excluded).
+    # At 100 TB this is the "persist the projection first" step.
     baskets = (
         lineitem.join(
             F.broadcast(part.select("p_partkey", "p_brand")),
