@@ -635,6 +635,25 @@ def main() -> None:
         .groupBy("t").agg(F.max("running").alias("peak")),
     )
 
+    # Streaming CUSUM monitor fold: the fact-scale stage is ONE partial+final
+    # count shuffle down to (type × bucket) rows; the carry-fold then windows
+    # over that metadata-scale frame (64 types × 1000 buckets here). This is
+    # the shape that keeps the monitor's state bounded at 100 TB.
+    from pulsar_3_2_codedump_spark.streaming.queries_streaming import _cusum_fold
+
+    cb = env.groupBy(
+        F.col("producer_name").alias("event_type"),
+        F.expr(f"sequence_id DIV {max(n // 1000, 1)}").alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    ck = cb.groupBy("event_type").agg(
+        F.expr("(SUM(x) * 1000) DIV COUNT(*)").alias("k_scaled")
+    )
+    c_empty = spark.createDataFrame(
+        [], "event_type string, p long, m long, peak long, n long, "
+            "last_x long, last_bucket long"
+    )
+    run("streaming_cusum_bucket_fold", _cusum_fold(cb, c_empty, ck))
+
     print(json.dumps({"metric": "scale_smoke", "rows": n, "n_docs": n_docs, "ops": results}))
 
 
