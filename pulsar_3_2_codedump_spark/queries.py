@@ -90,8 +90,11 @@ PRIORITY_ORDER = [
     "watermark_partition_lag",
     # (b) new in r9 (VERDICT r8 #7): streaming CUSUM change-point monitor
     "streaming_cusum_alarm",
-    # (c) freshness re-hashes: oldest r4-era green rows
-    "tableview_latest", "txn_visibility",
+    # (c) freshness re-hashes — the two OLDEST last-green rows per the
+    # policy above (tools/rotate_window.py derives this mechanically from
+    # the CORRECTNESS_r*.json history): scalar_functions last green r1,
+    # asof_join_prior_view first of the r4 cohort
+    "scalar_functions", "asof_join_prior_view",
     # ---- rotation window boundary (50) ----
     # standing-green: r8-hashed (CORRECTNESS_r08 50/50), code unchanged
     "chi2_terms", "vocab_oov_rate", "length_bucketing",
@@ -115,7 +118,8 @@ PRIORITY_ORDER = [
     "subscribe_rate_limit", "dispatch_rate_limit",
     "connected_components_star", "bloom_filter_semi_join", "ks_two_sample",
     "minhash_lsh_dedup",
-    "asof_join_prior_view", "text_token_stats", "sequence_packing",
+    "tableview_latest", "txn_visibility",
+    "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata", "compaction_tombstones",
     "strategic_compaction", "compacted_read", "dedup_producer_sequence",
     "delayed_delivery_due", "ttl_expiry", "seek_by_timestamp",
@@ -159,7 +163,7 @@ PRIORITY_ORDER = [
     "gopher_quality_rules", "char_entropy", "perplexity_proxy",
     "ann_recall_at_k", "streaming_dedup", "streaming_stream_stream_join",
     "winnowing_fingerprints", "cross_corpus_dedup",
-    "pricing_summary", "scalar_functions",
+    "pricing_summary",
     # standing-green tail: r4/r5-hashed, code unchanged since
     # (txn_visibility is an envelope-level simulation — the r6 txn_abort fix
     # is outside its code path, covered by tests/test_txn.py; the 16 oldest
