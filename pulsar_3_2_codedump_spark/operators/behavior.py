@@ -250,8 +250,8 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then score each dimension INDEPENDENTLY off the flat checkpointed
     # user frame and join the three (user_id, score) outputs back — naive
     # chaining nests each stage's bound/count aggregates inside the next
-    # stage's lineage and the plan grows ~4^depth (measured: >1100
-    # exchanges chained vs ~40 in this shape)
+    # stage's lineage and the plan grows ~4^depth (measured: ~560 exchanges
+    # chained vs 24 in this shape — PLANS.md distinct-node convention)
     per = per.localCheckpoint(eager=True)
     # DESC orderings rank by the negated value (ties keep the user_id ASC
     # tiebreak, matching NTILE ... ORDER BY x DESC, user_id exactly)
