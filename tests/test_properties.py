@@ -513,3 +513,54 @@ def test_hll_register_merge_equals_union_registers(spark, users_a, users_b):
     for k, v in rb.items():
         merged[k] = max(merged.get(k, 0), v)
     assert merged == ru
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=60),
+    st.integers(min_value=0, max_value=500_000),
+    st.data(),
+)
+@settings(max_examples=100, deadline=None)
+def test_cusum_carry_fold_is_associative_at_any_split(xs, k, data):
+    # queries_streaming._cusum_fold's device: the carry
+    # (P, M = min(0, prefix mins), peak, n, last_x) absorbs bucket suffixes
+    # associatively — folding the series in ANY number of pieces equals the
+    # one-shot fold, which is what lets a streaming generation continue from
+    # the previous generation's carry without re-reading it.
+    SCALE = 1000
+
+    def fold(carry, chunk):
+        p, m, peak, n, last_x = carry
+        for x in chunk:
+            p += x * SCALE - k
+            m = min(m, p)
+            peak = max(peak, p - m)
+            n += 1
+            last_x = x
+        return (p, m, peak, n, last_x)
+
+    one_shot = fold((0, 0, 0, 0, None), xs)
+    n_cuts = data.draw(st.integers(min_value=0, max_value=4))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(xs)),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+    )
+    carry = (0, 0, 0, 0, None)
+    prev = 0
+    for c in cuts + [len(xs)]:
+        carry = fold(carry, xs[prev:c])
+        prev = c
+    assert carry == one_shot
+    # and the emitted statistics agree with the Page recurrence
+    s = 0
+    peak_ref = 0
+    for x in xs:
+        s = max(0, s + x * SCALE - k)
+        peak_ref = max(peak_ref, s)
+    p, m, peak, n, last_x = one_shot
+    assert p - m == s and peak == peak_ref and n == len(xs) and last_x == xs[-1]
