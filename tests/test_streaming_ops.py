@@ -360,3 +360,65 @@ def test_streaming_cusum_matches_batch_and_fold_is_associative(spark):
         assert (t["p"], t["m"], t["peak"], t["n"], t["last_x"], t["last_bucket"]) == (
             b["p"], b["m"], b["peak"], b["n"], b["last_x"], b["last_bucket"]
         )
+
+
+def test_cusum_view_merge_survives_arbitrary_microbatch_splits(spark, tmp_root):
+    """The CUSUM monitor's view merge must be COMMUTATIVE over micro-batch
+    boundaries: with flow control capping each trigger, a generation drains
+    in several batches whose rows split volume buckets arbitrarily (the
+    2-partition interleave scatters sequence ids), and the merged view must
+    still equal the batch bucket counts — the precondition the carry fold
+    relies on."""
+    from pulsar_3_2_codedump_spark.streaming.queries_streaming import (
+        CUSUM_BUCKET,
+        _cusum_merge,
+        _cusum_open_rows,
+        _replay_topic,
+        _run_bounded_foreach,
+        _versioned_view,
+    )
+
+    tp = _replay_topic(spark, SF_DIR, str(tmp_root), 0, 300)
+    src = (
+        spark.readStream.format("pulsarlike")
+        .option("path", tp)
+        .option("maxRecordsPerTrigger", "40")  # 2 partitions × 40 per batch
+        # flow control across restarts needs the named durable cursor —
+        # each start() builds a fresh reader, and only the subscription
+        # carries the capped read position forward (reader docstring)
+        .option("subscription", "cusum-split-test")
+        .load()
+    )
+    upsert, state = _versioned_view(
+        str(tmp_root),
+        "event_type string, kind string, bucket long, "
+        "v1 long, v2 long, v3 long, v4 long, v5 long",
+        lambda b: _cusum_open_rows(
+            b.groupBy(
+                F.col("properties")["event_type"].alias("event_type"),
+                F.expr(f"sequence_id DIV {CUSUM_BUCKET}").alias("bucket"),
+            ).agg(F.count(F.lit(1)).alias("x"))
+        ),
+        _cusum_merge,
+    )
+    # 6 capped runs drain the 300 rows (routing skews the 2 partitions, so
+    # a partition may hold up to ~240 rows) in ≥6 micro-batches, none
+    # aligned to a bucket boundary
+    _run_bounded_foreach(src, str(tmp_root) + "/ck", [None] * 6, upsert)
+    got = {
+        (r["event_type"], r["bucket"]): r["v1"]
+        for r in spark.read.parquet(state["path"]).collect()
+    }
+    env = wrap_events(load(spark, SF_DIR, "events")).filter(
+        F.col("sequence_id") < 300
+    )
+    want = {
+        (r["event_type"], r["bucket"]): r["x"]
+        for r in env.groupBy(
+            F.col("properties")["event_type"].alias("event_type"),
+            F.expr(f"sequence_id DIV {CUSUM_BUCKET}").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    }
+    assert got == want
