@@ -90,11 +90,14 @@ PRIORITY_ORDER = [
     "watermark_partition_lag",
     # (b) new in r9 (VERDICT r8 #7): streaming CUSUM change-point monitor
     "streaming_cusum_alarm",
-    # (c) freshness re-hashes — the two OLDEST last-green rows per the
-    # policy above (tools/rotate_window.py derives this mechanically from
-    # the CORRECTNESS_r*.json history): scalar_functions last green r1,
-    # asof_join_prior_view first of the r4 cohort
-    "scalar_functions", "asof_join_prior_view",
+    # (b2) new in r9: REAL PPM decode closing the uncompressed half of the
+    # multimodal-decode gap (VERDICT r8 "What's missing" #3) — 2 of the 3
+    # allowed additions used
+    "ppm_decode_pixel_stats",
+    # (c) freshness re-hash — the OLDEST last-green row per the policy
+    # above (tools/rotate_window.py derives this mechanically from the
+    # CORRECTNESS_r*.json history): scalar_functions last green r1
+    "scalar_functions",
     # ---- rotation window boundary (50) ----
     # standing-green: r8-hashed (CORRECTNESS_r08 50/50), code unchanged
     "chi2_terms", "vocab_oov_rate", "length_bucketing",
@@ -118,7 +121,7 @@ PRIORITY_ORDER = [
     "subscribe_rate_limit", "dispatch_rate_limit",
     "connected_components_star", "bloom_filter_semi_join", "ks_two_sample",
     "minhash_lsh_dedup",
-    "tableview_latest", "txn_visibility",
+    "tableview_latest", "txn_visibility", "asof_join_prior_view",
     "text_token_stats", "sequence_packing",
     "bpe_regex_tokens", "multimodal_metadata", "compaction_tombstones",
     "strategic_compaction", "compacted_read", "dedup_producer_sequence",

@@ -583,3 +583,48 @@ def test_pca_power_iteration_matches_numpy_and_aligns_with_svd(spark):
         cos = abs(vq @ vf) / (np.linalg.norm(vq) * np.linalg.norm(vf))
         assert cos > 0.9999, (k, cos)
     assert rayleighs == sorted(rayleighs) and rayleighs[0] < rayleighs[-1]
+
+
+def test_ppm_decoder_roundtrips_a_known_image_and_rejects_malformed():
+    """The PPM decode path is REAL (no PIL): a hand-built 2×2 P6 image
+    round-trips to the exact pixel grid, and malformed inputs fail loudly
+    rather than producing garbage statistics."""
+    import numpy as np
+    import pytest
+
+    from pulsar_3_2_codedump_spark.functions.multimodal import decode_ppm
+
+    blob = b"P6\n2 2\n255\n" + bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 8, 7])
+    w, h, px = decode_ppm(blob)
+    assert (w, h) == (2, 2)
+    assert px.tolist() == [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [9, 8, 7]]]
+    with pytest.raises(ValueError, match="magic"):
+        decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4)       # greyscale magic
+    with pytest.raises(ValueError, match="payload"):
+        decode_ppm(b"P6\n2 2\n255\n" + b"\x00" * 11)      # truncated payload
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)    # 16-bit channels
+    with pytest.raises(ValueError, match="header"):
+        decode_ppm(b"P6\n2")                              # truncated header
+
+
+def test_encode_ppm_emits_genuine_image_files(spark):
+    """The encoder's output is a real image file, not a fake: the decoder is
+    a pure function, so parse one blob directly and check dims + a pixel
+    against the generator formula."""
+    from pulsar_3_2_codedump_spark.functions.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    ids = spark.range(5, 6).select(F.col("id").alias("media_id"))
+    blob = bytes(encode_ppm(ids).collect()[0]["blob"])
+    w, h, px = decode_ppm(blob)
+    d = 5
+    assert (w, h) == (4 + d % 5, 3 + d % 4)
+    r, c = 1, 2
+    assert px[r, c].tolist() == [
+        (d * 7 + r * 13 + c * 31) % 256,
+        (d * 11 + r * 17 + c * 5) % 256,
+        (d * 3 + r * 29 + c * 23) % 256,
+    ]
