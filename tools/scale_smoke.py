@@ -654,6 +654,33 @@ def main() -> None:
     )
     run("streaming_cusum_bucket_fold", _cusum_fold(cb, c_empty, ck))
 
+    # REAL image decode path: encode → parse → pixel stats over genuine
+    # binary PPM files, Arrow-batched end to end. Per-image work is
+    # irreducible in any decoder; what must scale is the batching, and the
+    # blob never leaves the executor.
+    from pulsar_3_2_codedump_spark.functions.multimodal import (
+        decode_ppm_stats,
+        encode_ppm,
+    )
+
+    n_img = max(n // 50, 1)
+    ids = spark.range(0, n_img, numPartitions=64).select(
+        F.col("id").alias("media_id")
+    )
+    t0 = time.time()
+    cnt = decode_ppm_stats(encode_ppm(ids)).count()
+    dt = time.time() - t0
+    results["ppm_encode_decode_stats"] = {
+        "sec": round(dt, 2),
+        "rows_out": cnt,
+        "kimg_per_sec": round(n_img / dt / 1e3, 1),
+    }
+    print(
+        f"# ppm_encode_decode_stats: {dt:.2f}s ({cnt} images, "
+        f"{n_img/dt/1e3:.1f}k img/s)",
+        file=sys.stderr,
+    )
+
     print(json.dumps({"metric": "scale_smoke", "rows": n, "n_docs": n_docs, "ops": results}))
 
 
