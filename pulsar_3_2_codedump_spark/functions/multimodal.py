@@ -400,9 +400,14 @@ PPM_DOCS = 200          # media rows driven through encode→decode
 PPM_MAXVAL = 255
 
 
-def ppm_dims(media_id_col):
-    """Deterministic tiny dimensions per media id (4–8 × 3–6)."""
-    return (4 + media_id_col % 5), (3 + media_id_col % 4)
+def ppm_dims(media_id):
+    """Deterministic tiny dimensions (w, h) per media id (4–8 × 3–6).
+
+    The single Python source of truth for the dimension formula — the
+    encode kernel calls this (works on ints and Columns alike); the DuckDB
+    oracle necessarily inlines the same `4 + id % 5` / `3 + id % 4` in SQL,
+    and tests/test_functions_ml.py pins the two against each other."""
+    return (4 + media_id % 5), (3 + media_id % 4)
 
 
 def encode_ppm(ids: DataFrame) -> DataFrame:
@@ -424,7 +429,7 @@ def encode_ppm(ids: DataFrame) -> DataFrame:
             blobs = []
             for mid in pdf["media_id"]:
                 d = int(mid)
-                w, h = 4 + d % 5, 3 + d % 4
+                w, h = ppm_dims(d)
                 r = np.arange(h).reshape(h, 1)
                 c = np.arange(w).reshape(1, w)
                 px = np.stack(

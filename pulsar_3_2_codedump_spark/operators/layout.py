@@ -206,7 +206,7 @@ _ROW_OVERHEAD = 48             # per-row envelope overhead added to payload leng
             FROM seg
         )
         SELECT event_type,
-               cum_before // {COMPACT_TARGET_BYTES} AS bin_id,
+               CAST(cum_before // {COMPACT_TARGET_BYTES} AS BIGINT) AS bin_id,
                CAST(COUNT(*) AS BIGINT) AS n_segments,
                CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
                CAST(SUM(n_rows) AS BIGINT) AS bin_rows,

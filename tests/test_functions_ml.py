@@ -615,13 +615,18 @@ def test_encode_ppm_emits_genuine_image_files(spark):
     from pulsar_3_2_codedump_spark.functions.multimodal import (
         decode_ppm,
         encode_ppm,
+        ppm_dims,
     )
 
     ids = spark.range(5, 6).select(F.col("id").alias("media_id"))
     blob = bytes(encode_ppm(ids).collect()[0]["blob"])
     w, h, px = decode_ppm(blob)
     d = 5
-    assert (w, h) == (4 + d % 5, 3 + d % 4)
+    # ppm_dims is the Python source of truth; the oracle SQL inlines the
+    # same formula — pin them against each other for every small id
+    assert (w, h) == ppm_dims(d)
+    for mid in range(25):
+        assert ppm_dims(mid) == (4 + mid % 5, 3 + mid % 4)
     r, c = 1, 2
     assert px[r, c].tolist() == [
         (d * 7 + r * 13 + c * 31) % 256,

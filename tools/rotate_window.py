@@ -71,6 +71,14 @@ def main() -> None:
         (n for n in PRIORITY_ORDER if n in greens and n not in changed),
         key=lambda n: (greens[n], pos[n]),
     )
+    if len(changed) + len(never) > args.window:
+        sys.exit(
+            f"ERROR: {len(changed)} changed + {len(never)} never-hashed queries "
+            f"exceed the {args.window}-slot window — some would silently fall "
+            f"below the boundary, violating the policy in queries.py. Split "
+            f"across rounds explicitly (or raise --window if the driver's "
+            f"window actually grew)."
+        )
     window = (changed + never + fresh)[: args.window]
     tail = [n for n in PRIORITY_ORDER if n not in set(window)]
 
