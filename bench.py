@@ -52,7 +52,9 @@ HEADLINE = [
 # BENCH_r{N}.json — but kept OUT of the frozen headline set/total so the
 # cross-round headline series stays comparable. r9 rotation (VERDICT r8
 # item 4): the three highest-exchange-count r8 operators join the
-# r7-repaired trio.
+# r7-repaired trio. r10 (VERDICT r9 item 6): ppm_decode_pixel_stats joins —
+# the only query exercising the mapInPandas decode path end-to-end, so a
+# kernel de-vectorization (e.g. a pandas behavior change) shows here.
 SECONDARY = [
     "rfm_scores",
     "cdc_chunk_dedup",
@@ -60,6 +62,7 @@ SECONDARY = [
     "hybrid_rrf_fusion",
     "source_overlap_matrix",
     "bitmap_distinct_rollup",
+    "ppm_decode_pixel_stats",
 ]
 
 

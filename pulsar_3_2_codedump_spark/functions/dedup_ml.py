@@ -1382,3 +1382,146 @@ def passjoin_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_parts_a").cast("long").alias("n_parts_a"),
         F.col("n_parts_b").cast("long").alias("n_parts_b"),
     )
+
+
+# --- exact-substring dedup via distributed suffix ordering -----------------
+
+ESD_MIN = 20    # duplicated-substring threshold, in normalized characters
+ESD_CAP = 50    # suffix truncation cap (max measurable duplicate length)
+ESD_WORDS = 25  # word window per suffix (>= ESD_CAP chars for real text)
+
+
+def _lcp(a: Column, b: Column) -> Column:
+    """Longest-common-prefix length of two <= ESD_CAP-char strings, as a
+    bounded fold: prefix equality is monotone in i, so the sum of
+    per-length equality indicators IS the LCP. NULL neighbor -> 0.
+    Mirrors the oracle's list_aggregate character for character."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(ESD_CAP)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            (i <= F.length(a))
+            & (i <= F.length(b))
+            & (a.substr(F.lit(1), i) == b.substr(F.lit(1), i)),
+            1,
+        ).otherwise(0),
+    )
+
+
+_D_ESD_LCP = (
+    "list_aggregate(list_transform(generate_series(1, {cap}),"
+    " i -> CASE WHEN i <= length({a}) AND i <= length({b})"
+    " AND substr({a}, 1, i) = substr({b}, 1, i) THEN 1 ELSE 0 END), 'sum')"
+)
+
+
+@query(
+    "exact_substring_dedup",
+    section="2.N-dedup",
+    doc="EXACT-substring duplication via distributed suffix ordering — the "
+    "suffix-array half of Lee et al., 'Deduplicating Training Data Makes "
+    "Language Models Better' (their ExactSubstr dedup), complementing the "
+    f"n-gram span dedup: every word-start suffix (truncated to {ESD_CAP} "
+    "normalized chars) is bucketed by its first "
+    f"{ESD_MIN} chars; a position starts a duplicated substring of >= "
+    f"{ESD_MIN} chars iff its bucket holds another suffix, and its MAXIMUM "
+    "duplicate length is the larger LCP against its sorted-order neighbors "
+    "WITHIN the bucket (the suffix-array property: the max-LCP partner of "
+    "any suffix is adjacent in sorted order; cross-bucket pairs share < "
+    f"{ESD_MIN} chars by construction, so the global sort a single-machine "
+    "suffix array needs collapses to bucket-partitioned windows — no "
+    "global window, no all-pairs). Per-document output: word-start count, "
+    "duplicated-start count, max duplicate length (capped at "
+    f"{ESD_CAP}). 100 TB: the suffix table is corpus_tokens rows x "
+    f"{ESD_CAP} chars shuffled once on the bucket key; LCP work is a "
+    "bounded per-row fold. Pinned against an independent Python suffix "
+    "scan in tests/test_functions_ml.py.",
+    oracle=rf"""
+        WITH t AS (SELECT doc_id, {_D_WORDS} AS ws FROM documents),
+        starts AS (
+            SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws))) AS pos
+            FROM t),
+        sfx AS (
+            SELECT doc_id, pos,
+                   substr(array_to_string(ws[pos:pos+{ESD_WORDS - 1}], ' '),
+                          1, {ESD_CAP}) AS s
+            FROM starts),
+        eligible AS (
+            SELECT doc_id, pos, s, substr(s, 1, {ESD_MIN}) AS bucket
+            FROM sfx WHERE length(s) >= {ESD_MIN}),
+        nbr AS (
+            SELECT doc_id, pos, s,
+                   lag(s)  OVER w AS p,
+                   lead(s) OVER w AS nx
+            FROM eligible
+            WINDOW w AS (PARTITION BY bucket ORDER BY s, doc_id, pos)),
+        scored AS (
+            SELECT doc_id,
+                   GREATEST({_D_ESD_LCP.format(cap=ESD_CAP, a="s", b="p")},
+                            {_D_ESD_LCP.format(cap=ESD_CAP, a="s", b="nx")})
+                       AS dup_len
+            FROM nbr),
+        agg AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN dup_len >= {ESD_MIN} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS dup_starts,
+                   CAST(MAX(dup_len) AS BIGINT) AS max_dup_len
+            FROM scored GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(len(t.ws) AS BIGINT) AS n_starts,
+               COALESCE(a.dup_starts, 0) AS dup_starts,
+               COALESCE(a.max_dup_len, 0) AS max_dup_len
+        FROM t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fanout(load(spark, sf_dir, "documents"))
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = docs.select("doc_id", ws.alias("ws"))
+    sfx = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("ws"))).alias("pos"),
+        "ws",
+    ).select(
+        "doc_id",
+        "pos",
+        F.substring(
+            F.concat_ws(" ", F.slice(F.col("ws"), F.col("pos"), ESD_WORDS)),
+            1,
+            ESD_CAP,
+        ).alias("s"),
+    )
+    eligible = sfx.filter(F.length("s") >= ESD_MIN).withColumn(
+        "bucket", F.substring("s", 1, ESD_MIN)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy("s", "doc_id", "pos")
+    nbr = eligible.select(
+        "doc_id",
+        "pos",
+        "s",
+        F.lag("s").over(w).alias("p"),
+        F.lead("s").over(w).alias("nx"),
+    )
+    scored = nbr.select(
+        "doc_id",
+        F.greatest(
+            _lcp(F.col("s"), F.col("p")), _lcp(F.col("s"), F.col("nx"))
+        ).alias("dup_len"),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("dup_len") >= ESD_MIN, 1).otherwise(0))
+        .cast("long")
+        .alias("dup_starts"),
+        F.max("dup_len").cast("long").alias("max_dup_len"),
+    )
+    base = t.select("doc_id", F.size("ws").cast("long").alias("n_starts"))
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_starts",
+        F.coalesce(F.col("dup_starts"), F.lit(0)).cast("long").alias("dup_starts"),
+        F.coalesce(F.col("max_dup_len"), F.lit(0)).cast("long").alias("max_dup_len"),
+    )

@@ -2144,3 +2144,169 @@ def filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "postfilter_recall",
         )
     )
+
+
+# --- OPQ: rotated product quantization (Ge et al., CVPR'13) ----------------
+
+OPQ_QSCALE = 100  # fixed-point quantization for the per-dim variance proxy
+
+
+def opq_dim_order(emb: DataFrame) -> list[int]:
+    """Source dimension for each rotated output position (1-based dims,
+    list index j-1 for output position j) under OPQ's *eigenvalue
+    allocation* initialization (Ge et al., 'Optimized Product
+    Quantization', §4 — here on the diagonal/per-dimension-variance
+    approximation of the covariance, i.e. a data-dependent coordinate
+    PERMUTATION, which is an orthogonal rotation SQL can replicate):
+    dimensions ranked by corpus variance descending are snake-dealt
+    (boustrophedon) across the PQ_M subspaces so every subspace receives
+    one dimension per variance tier — balancing per-subspace variance
+    products, the criterion eigenvalue allocation optimizes.
+
+    Determinism: the variance proxy is exact integer arithmetic on
+    fixed-point values (q = floor(v * OPQ_QSCALE) as BIGINT; proxy =
+    n*Σq² − (Σq)², overflow-safe to ~1e9 vectors at |v| ≤ 1), so the
+    ranking — and hence the permutation — is bit-identical across engines
+    and runs. FLOOR, not ROUND: round-half ties on float inputs diverge
+    between engines. One corpus aggregation pass; the 64-row result is
+    control-plane."""
+    d = PQ_M * PQ_SUB
+    stats = (
+        emb.select(F.posexplode("embedding").alias("i0", "v"))
+        .select(
+            (F.col("i0") + 1).alias("dim"),
+            F.floor(F.col("v").cast("double") * OPQ_QSCALE).cast("long").alias("q"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("s"),
+            F.sum(F.col("q") * F.col("q")).alias("ss"),
+        )
+        .collect()
+    )
+    var = {r["dim"]: r["n"] * r["ss"] - r["s"] * r["s"] for r in stats}
+    assert len(var) == d, f"expected {d} dims, saw {len(var)}"
+    order = sorted(var, key=lambda dim: (-var[dim], dim))
+    srcs = [0] * d
+    for r0, dim in enumerate(order):
+        block, within = divmod(r0, PQ_M)
+        m = within if block % 2 == 0 else PQ_M - 1 - within
+        srcs[m * PQ_SUB + block] = dim
+    return srcs
+
+
+def opq_rotate(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding): the corpus under the OPQ permutation, elements
+    cast to double so both engines carry the identical rotated vector."""
+    srcs = opq_dim_order(emb)
+    rot = F.array(
+        *[F.element_at(F.col("embedding"), d).cast("double") for d in srcs]
+    )
+    return emb.select("vec_id", rot.alias("embedding"))
+
+
+# the trained-codebook CTE chain retargeted at the rotated corpus: the
+# `rotated` CTE below exposes the same (vec_id, embedding) shape
+_D_CODEBOOK_ROT = _D_CODEBOOK.replace("FROM embeddings", "FROM rotated")
+
+_D_OPQ_PERM = f"""
+        qv AS (
+            SELECT ix.i AS dim,
+                   CAST(FLOOR(CAST(embedding[ix.i] AS DOUBLE) * {OPQ_QSCALE})
+                        AS BIGINT) AS q
+            FROM embeddings,
+                 (SELECT unnest(generate_series(1, {PQ_M * PQ_SUB})) AS i) ix),
+        dimstats AS (
+            SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q) AS BIGINT) AS s,
+                   CAST(SUM(q * q) AS BIGINT) AS ss
+            FROM qv GROUP BY dim),
+        ranked AS (
+            SELECT dim,
+                   ROW_NUMBER() OVER (ORDER BY n * ss - s * s DESC, dim) - 1 AS r0
+            FROM dimstats),
+        perm AS (
+            SELECT dim,
+                   (CASE WHEN (r0 // {PQ_M}) % 2 = 0 THEN r0 % {PQ_M}
+                         ELSE {PQ_M - 1} - (r0 % {PQ_M}) END) * {PQ_SUB}
+                   + (r0 // {PQ_M}) + 1 AS j
+            FROM ranked),
+        rotated AS (
+            SELECT e.vec_id,
+                   list(CAST(e.embedding[p.dim] AS DOUBLE) ORDER BY p.j)
+                       AS embedding
+            FROM embeddings e, perm p GROUP BY e.vec_id)"""
+
+
+@query(
+    "opq_rotated_adc_topk",
+    section="2.N-sim",
+    doc="OPQ: product quantization in an OPTIMIZED-ROTATION space (Ge et "
+    "al., 'Optimized Product Quantization', CVPR'13 — the eigenvalue-"
+    "allocation initialization on the per-dimension-variance diagonal "
+    "approximation, i.e. a data-dependent coordinate permutation = an "
+    "orthogonal rotation both engines replicate exactly): dimensions "
+    "ranked by exact fixed-point corpus variance are snake-dealt across "
+    f"the {PQ_M} subspaces so no subspace hoards the high-variance axes "
+    "(plain PQ's failure mode on anisotropic data), then the EXISTING "
+    "trained-PQ harness runs unchanged in the rotated space — one-Lloyd "
+    "codebook, Arrow-vectorized encode, per-query LUT, fixed-order ADC "
+    f"top-{PQ_TOP_K}. The permutation costs ONE corpus aggregation pass "
+    "(64-row control-plane result); everything downstream is the "
+    "pq_adc_ann_topk topology — broadcast equi-joins + agg shuffles, no "
+    "corpus×corpus product. Permutation bijectivity, cross-engine "
+    "equality, and the subspace variance-balance objective are pinned in "
+    "tests/test_functions_ml.py (the quantization-ERROR gain needs an "
+    "anisotropic corpus; this fixture is near-isotropic, where error is "
+    "flat within one-Lloyd noise).",
+    oracle=f"""
+        WITH {_D_OPQ_PERM},
+        {_D_CODEBOOK_ROT},
+        enc AS (
+            SELECT vec_id, m, code_id FROM (
+                SELECT s.vec_id, s.m, cb.code_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY {_D_SQ.format(n=PQ_SUB, a="s.sv", b="cb.cw")},
+                                    cb.code_id) AS rn
+                FROM corpus_sub s JOIN cb ON cb.m = s.m)
+            WHERE rn = 1),
+        lut AS (
+            SELECT q.vec_id AS query_id, cb.m, cb.code_id,
+                   {_D_SQ.format(n=PQ_SUB, a="q.sv", b="cb.cw")} AS pd
+            FROM (SELECT vec_id, m, sv FROM corpus_sub
+                  WHERE vec_id % {QUERY_STRIDE} = 0) q
+            JOIN cb ON cb.m = q.m),
+        adc AS (
+            SELECT l.query_id, e.vec_id AS neighbor_id,
+                   {_D_ADC_SUM} AS adc_dist
+            FROM enc e JOIN lut l ON l.m = e.m AND l.code_id = e.code_id
+            WHERE e.vec_id <> l.query_id
+            GROUP BY l.query_id, e.vec_id)
+        SELECT query_id, neighbor_id, ROUND(adc_dist, 4) AS adc_dist, rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY adc_dist, neighbor_id) AS rank
+              FROM adc)
+        WHERE rank <= {PQ_TOP_K}
+    """,
+)
+def opq_rotated_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    rotated = opq_rotate(emb)
+    cb = pq_codebook(rotated, kernel="arrow")
+    codes = pq_encode(fanout(rotated), cb, kernel="arrow")
+    adc = pq_adc_search_arrow(
+        codes, cb, rotated.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc_dist", 4).alias("adc_dist"),
+            "rank",
+        )
+    )

@@ -64,131 +64,275 @@ def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""
 #      than ~4 rounds stale against fixture regenerations.
 # The window is ALWAYS the first 50 entries of this list; the boundary
 # comment below marks it. Never leave a changed query below the boundary.
+# r10 window (tools/rotate_window.py --changed segment_compaction_plan,
+# ppm_decode_pixel_stats): the 2 code-changed queries (layout.py oracle
+# HUGEINT cast; ppm_dims single-source-of-truth refactor), the 3 NEW r10
+# registrations (OPQ-rotated PQ, exact-substring dedup, streaming token
+# drift monitor), then 45 freshness re-hashes oldest-green-first (the r4
+# cohort).
 PRIORITY_ORDER = [
-    # (a) the 47 never-driver-hashed queries — after this round, every
-    # registered query has at least one green CORRECTNESS row
-    "psi_drift", "score_calibration_bins",
-    "triangle_count", "skyline_pareto", "attribution_last_touch",
-    "priority_sample_topk", "histogram_equi_depth", "association_rules",
-    "poisson_bootstrap_means", "zorder_data_skipping",
-    "hll_explicit_distinct", "streaming_psi_monitor",
-    "funnel_within_window", "cusum_changepoint",
-    "phrase_search_postings", "cms_join_size_estimate",
-    "k_anonymity_audit", "dp_laplace_counts",
-    "conversion_paths", "skew_diagnosis",
-    "decayed_engagement_scores", "column_profile", "ann_ndcg_at_k",
-    "bootstrap_median_replicates", "revenue_trend_ols",
-    "hard_negative_mining", "time_weighted_avg", "robust_mad_outliers",
-    "pmi_collocations", "source_overlap_matrix",
-    "truncated_embedding_recall", "segment_compaction_plan",
-    "hll_union_windows", "passjoin_edit_pairs", "hybrid_rrf_fusion",
-    "bitmap_distinct_rollup", "filtered_vector_search",
-    "streaming_hll_distinct", "attribution_position_based",
-    "peak_concurrency_sweep", "missing_hours_audit", "ab_test_z_scores",
-    "phash_banded_neardup", "multimodal_resize_stats",
-    "sequential_pattern_support", "consistent_hash_rebalance",
-    "watermark_partition_lag",
-    # (b) new in r9 (VERDICT r8 #7): streaming CUSUM change-point monitor
-    "streaming_cusum_alarm",
-    # (b2) new in r9: REAL PPM decode closing the uncompressed half of the
-    # multimodal-decode gap (VERDICT r8 "What's missing" #3) — 2 of the 3
-    # allowed additions used
+    "segment_compaction_plan",
     "ppm_decode_pixel_stats",
-    # (c) freshness re-hash — the OLDEST last-green row per the policy
-    # above (tools/rotate_window.py derives this mechanically from the
-    # CORRECTNESS_r*.json history): scalar_functions last green r1
-    "scalar_functions",
-    # ---- rotation window boundary (50) ----
-    # standing-green: r8-hashed (CORRECTNESS_r08 50/50), code unchanged
-    "chi2_terms", "vocab_oov_rate", "length_bucketing",
-    "embedding_centroids", "bm25_topk", "setsim_prefix_join",
-    "repeated_passages", "funnel_conversion", "cohort_retention",
-    "event_bigram_counts", "bpe_merge_step", "hashing_trick_features",
-    "schema_evolution_decode", "streaming_tableview",
-    "reservoir_sample_per_group", "importance_resampling", "ngram_novelty",
-    "streaming_topk", "anomaly_zscore", "moving_range_frame_revenue",
-    "unpivot_price_components", "streaming_static_enrich",
-    "approx_distinct_sketch", "approx_percentile_sketch",
-    "entry_filter_reschedule", "nack_redelivery_ladder",
-    "topic_gc_candidates", "subscription_expiry_scan",
-    "source_cap_sample", "token_budget_selection",
-    "expire_messages_by_time", "tiered_shadow_roundtrip",
-    "bpe_train_merges", "event_graph_pagerank", "kmeans_lloyd_iterations",
-    "bpe_apply_encode", "pca_power_iteration", "constraint_audit",
-    "kfold_assignment", "greedy_coverage_selection", "fuzzy_blocking_pairs",
-    "theta_kll_sketch_battery", "encrypted_roundtrip",
-    "streaming_encrypted_scan", "publish_rate_limit",
-    "subscribe_rate_limit", "dispatch_rate_limit",
-    "connected_components_star", "bloom_filter_semi_join", "ks_two_sample",
+    "opq_rotated_adc_topk",
+    "exact_substring_dedup",
+    "streaming_token_drift_monitor",
+    "asof_join_prior_view",
+    "text_token_stats",
+    "sequence_packing",
+    "bpe_regex_tokens",
+    "multimodal_metadata",
+    "min_acctbal_supplier_per_part",
+    "nation_volume_shipping",
+    "nation_market_share",
+    "product_profit",
+    "important_part_values",
+    "priority_line_counts",
+    "promo_revenue_pct",
+    "top_supplier_revenue",
+    "supplier_part_variety",
+    "small_quantity_revenue",
+    "large_volume_customers",
+    "disjunctive_predicate_revenue",
+    "excess_volume_suppliers",
+    "sole_return_suppliers",
+    "idle_wealthy_customers",
     "minhash_lsh_dedup",
-    "tableview_latest", "txn_visibility", "asof_join_prior_view",
-    "text_token_stats", "sequence_packing",
-    "bpe_regex_tokens", "multimodal_metadata", "compaction_tombstones",
-    "strategic_compaction", "compacted_read", "dedup_producer_sequence",
-    "delayed_delivery_due", "ttl_expiry", "seek_by_timestamp",
+    "tableview_latest",
+    "txn_visibility",
+    "compaction_tombstones",
+    "strategic_compaction",
+    "compacted_read",
+    "dedup_producer_sequence",
+    "delayed_delivery_due",
+    "ttl_expiry",
+    "seek_by_timestamp",
     "last_message_id",
-    # standing-green tail (r5-r7 hashed, code unchanged since)
-    "pq_adc_ann_topk", "ivfadc_ann_topk", "semdedup_prune",
-    "duplicated_ngram_coverage", "dedup_span_removal",
-    "quality_classifier_score", "streaming_late_side_topic",
-    "streaming_left_outer_join", "streaming_full_outer_join",
-    "chunked_messages_roundtrip", "streaming_chunk_reassembly",
-    "token_balanced_shards", "count_min_heavy_hitters",
-    "peek_skip_messages",
-    "cdc_chunk_dedup", "rfm_scores", "watermark_late_data",
-    "sorted_neighborhood_pairs", "minhash_estimate_error",
-    "json_properties", "string_library", "date_extraction",
-    "regexp_functions", "array_functions", "offset_pagination",
-    "temperature_mixture", "backlog_quota_eviction", "priority_dispatch",
-    "streaming_multi_topic_union", "ohlc_resample",
-    "streaming_sequence_gap_monitor",
-    "pivot_revenue_matrix", "lsh_dedup_recall", "dedup_keep_best",
-    "quantized_ann_recall", "event_trigram_paths", "knn_label_vote",
-    "scd2_intervals", "group_holdout_split", "winsorized_stats",
-    "tfidf_top_terms", "zipf_slope", "topic_storage_stats",
-    "shingle_containment_pairs",
-    "lsh_ann_topk", "ivf_ann_topk", "lsh_bucket_stats",
-    "ngram_jaccard_pairs", "simhash_fingerprint", "embedding_cosine_neardup",
-    "language_id", "doc_fingerprints", "top_terms", "document_chunking",
-    "multimodal_features",
-    "count_window_sliding", "salted_hot_key_agg",
-    "anti_join_customers_without_orders", "semi_join_customers_with_orders",
-    "outer_join_order_counts", "theta_join_acctbal", "range_join_price_bands",
-    "setops_nations", "distinct_counts", "cube_quantity", "rollup_revenue",
-    "grouping_sets_priority", "monthly_rollup", "conditional_pivot",
-    "window_rank_parts", "window_lag_lead_orders", "window_running_revenue",
-    "first_last_window", "rank_distributions", "topk_orders",
-    "correlated_subquery_avg", "exists_in_subqueries",
-    "forecast_revenue_change", "order_priority_check",
-    "returned_item_customers",
-    "schema_decode_value", "protobuf_decode_value",
-    "streaming_session_windows", "dedup_clusters", "contamination_overlap",
-    "gopher_quality_rules", "char_entropy", "perplexity_proxy",
-    "ann_recall_at_k", "streaming_dedup", "streaming_stream_stream_join",
-    "winnowing_fingerprints", "cross_corpus_dedup",
-    "pricing_summary",
-    # standing-green tail: r4/r5-hashed, code unchanged since
-    # (txn_visibility is an envelope-level simulation — the r6 txn_abort fix
-    # is outside its code path, covered by tests/test_txn.py; the 16 oldest
-    # r4 rows moved into window section (d) for a freshness re-hash)
-    "min_acctbal_supplier_per_part", "nation_volume_shipping", "nation_market_share",
-    "product_profit", "important_part_values", "priority_line_counts",
-    "promo_revenue_pct", "top_supplier_revenue", "supplier_part_variety",
-    "small_quantity_revenue", "large_volume_customers",
-    "disjunctive_predicate_revenue", "excess_volume_suppliers",
-    "sole_return_suppliers", "idle_wealthy_customers",
     "seek_reset_cursor",
-    "entry_filter_pushdown", "dlq_routing", "replicator_loop_guard",
-    "multi_topic_union", "routing_partition_counts", "key_shared_assignment",
-    "key_shared_sticky_ranges", "batch_receive_policy", "ack_holes_redelivery",
-    "marker_filtered_scan", "jdbc_roundtrip", "streaming_delayed_delivery",
-    "streaming_count_windows", "stratified_sample", "mixture_weights",
-    "repetition_ratio", "pii_scrub_stats", "corpus_curation_pipeline",
-    "multimodal_frame_sample", "embedding_quantization",
-    "round_robin_routing", "avro_decode_value", "keyvalue_decode",
-    "shipping_priority", "local_supplier_volume", "stats_summary",
-    "exact_dedup", "cosine_topk", "text_quality_score",
-    "tumbling_window_counts", "sliding_window_counts", "session_window_gaps",
+    "entry_filter_pushdown",
+    "dlq_routing",
+    "replicator_loop_guard",
+    "multi_topic_union",
+    "routing_partition_counts",
+    "key_shared_assignment",
+    "key_shared_sticky_ranges",
+    "batch_receive_policy",
+    "ack_holes_redelivery",
+    "marker_filtered_scan",
+    "jdbc_roundtrip",
+    "streaming_delayed_delivery",
+    "streaming_count_windows",
+    # ---- rotation window boundary (50) ----
+    "psi_drift",
+    "score_calibration_bins",
+    "triangle_count",
+    "skyline_pareto",
+    "attribution_last_touch",
+    "priority_sample_topk",
+    "histogram_equi_depth",
+    "association_rules",
+    "poisson_bootstrap_means",
+    "zorder_data_skipping",
+    "hll_explicit_distinct",
+    "streaming_psi_monitor",
+    "funnel_within_window",
+    "cusum_changepoint",
+    "phrase_search_postings",
+    "cms_join_size_estimate",
+    "k_anonymity_audit",
+    "dp_laplace_counts",
+    "conversion_paths",
+    "skew_diagnosis",
+    "decayed_engagement_scores",
+    "column_profile",
+    "ann_ndcg_at_k",
+    "bootstrap_median_replicates",
+    "revenue_trend_ols",
+    "hard_negative_mining",
+    "time_weighted_avg",
+    "robust_mad_outliers",
+    "pmi_collocations",
+    "source_overlap_matrix",
+    "truncated_embedding_recall",
+    "hll_union_windows",
+    "passjoin_edit_pairs",
+    "hybrid_rrf_fusion",
+    "bitmap_distinct_rollup",
+    "filtered_vector_search",
+    "streaming_hll_distinct",
+    "attribution_position_based",
+    "peak_concurrency_sweep",
+    "missing_hours_audit",
+    "ab_test_z_scores",
+    "phash_banded_neardup",
+    "multimodal_resize_stats",
+    "sequential_pattern_support",
+    "consistent_hash_rebalance",
+    "watermark_partition_lag",
+    "streaming_cusum_alarm",
+    "scalar_functions",
+    "chi2_terms",
+    "vocab_oov_rate",
+    "length_bucketing",
+    "embedding_centroids",
+    "bm25_topk",
+    "setsim_prefix_join",
+    "repeated_passages",
+    "funnel_conversion",
+    "cohort_retention",
+    "event_bigram_counts",
+    "bpe_merge_step",
+    "hashing_trick_features",
+    "schema_evolution_decode",
+    "streaming_tableview",
+    "reservoir_sample_per_group",
+    "importance_resampling",
+    "ngram_novelty",
+    "streaming_topk",
+    "anomaly_zscore",
+    "moving_range_frame_revenue",
+    "unpivot_price_components",
+    "streaming_static_enrich",
+    "approx_distinct_sketch",
+    "approx_percentile_sketch",
+    "entry_filter_reschedule",
+    "nack_redelivery_ladder",
+    "topic_gc_candidates",
+    "subscription_expiry_scan",
+    "source_cap_sample",
+    "token_budget_selection",
+    "expire_messages_by_time",
+    "tiered_shadow_roundtrip",
+    "bpe_train_merges",
+    "event_graph_pagerank",
+    "kmeans_lloyd_iterations",
+    "bpe_apply_encode",
+    "pca_power_iteration",
+    "constraint_audit",
+    "kfold_assignment",
+    "greedy_coverage_selection",
+    "fuzzy_blocking_pairs",
+    "theta_kll_sketch_battery",
+    "encrypted_roundtrip",
+    "streaming_encrypted_scan",
+    "publish_rate_limit",
+    "subscribe_rate_limit",
+    "dispatch_rate_limit",
+    "connected_components_star",
+    "bloom_filter_semi_join",
+    "ks_two_sample",
+    "pq_adc_ann_topk",
+    "ivfadc_ann_topk",
+    "semdedup_prune",
+    "duplicated_ngram_coverage",
+    "dedup_span_removal",
+    "quality_classifier_score",
+    "streaming_late_side_topic",
+    "streaming_left_outer_join",
+    "streaming_full_outer_join",
+    "chunked_messages_roundtrip",
+    "streaming_chunk_reassembly",
+    "token_balanced_shards",
+    "count_min_heavy_hitters",
+    "peek_skip_messages",
+    "cdc_chunk_dedup",
+    "rfm_scores",
+    "watermark_late_data",
+    "sorted_neighborhood_pairs",
+    "minhash_estimate_error",
+    "json_properties",
+    "string_library",
+    "date_extraction",
+    "regexp_functions",
+    "array_functions",
+    "offset_pagination",
+    "temperature_mixture",
+    "backlog_quota_eviction",
+    "priority_dispatch",
+    "streaming_multi_topic_union",
+    "ohlc_resample",
+    "streaming_sequence_gap_monitor",
+    "pivot_revenue_matrix",
+    "lsh_dedup_recall",
+    "dedup_keep_best",
+    "quantized_ann_recall",
+    "event_trigram_paths",
+    "knn_label_vote",
+    "scd2_intervals",
+    "group_holdout_split",
+    "winsorized_stats",
+    "tfidf_top_terms",
+    "zipf_slope",
+    "topic_storage_stats",
+    "shingle_containment_pairs",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "lsh_bucket_stats",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprint",
+    "embedding_cosine_neardup",
+    "language_id",
+    "doc_fingerprints",
+    "top_terms",
+    "document_chunking",
+    "multimodal_features",
+    "count_window_sliding",
+    "salted_hot_key_agg",
+    "anti_join_customers_without_orders",
+    "semi_join_customers_with_orders",
+    "outer_join_order_counts",
+    "theta_join_acctbal",
+    "range_join_price_bands",
+    "setops_nations",
+    "distinct_counts",
+    "cube_quantity",
+    "rollup_revenue",
+    "grouping_sets_priority",
+    "monthly_rollup",
+    "conditional_pivot",
+    "window_rank_parts",
+    "window_lag_lead_orders",
+    "window_running_revenue",
+    "first_last_window",
+    "rank_distributions",
+    "topk_orders",
+    "correlated_subquery_avg",
+    "exists_in_subqueries",
+    "forecast_revenue_change",
+    "order_priority_check",
+    "returned_item_customers",
+    "schema_decode_value",
+    "protobuf_decode_value",
+    "streaming_session_windows",
+    "dedup_clusters",
+    "contamination_overlap",
+    "gopher_quality_rules",
+    "char_entropy",
+    "perplexity_proxy",
+    "ann_recall_at_k",
+    "streaming_dedup",
+    "streaming_stream_stream_join",
+    "winnowing_fingerprints",
+    "cross_corpus_dedup",
+    "pricing_summary",
+    "stratified_sample",
+    "mixture_weights",
+    "repetition_ratio",
+    "pii_scrub_stats",
+    "corpus_curation_pipeline",
+    "multimodal_frame_sample",
+    "embedding_quantization",
+    "round_robin_routing",
+    "avro_decode_value",
+    "keyvalue_decode",
+    "shipping_priority",
+    "local_supplier_volume",
+    "stats_summary",
+    "exact_dedup",
+    "cosine_topk",
+    "text_quality_score",
+    "tumbling_window_counts",
+    "sliding_window_counts",
+    "session_window_gaps",
     "count_window_tumbling",
 ]
 

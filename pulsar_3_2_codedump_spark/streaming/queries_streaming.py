@@ -1730,3 +1730,190 @@ def streaming_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out, out_schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+TDM_REF_HI = 150   # reference window: doc_id < 150 (frozen after gen 1)
+TDM_DOCS = 400     # replayed corpus bound
+TDM_BAND = 0.2     # alarm when tokens/doc drifts beyond ±20% of reference
+
+
+@query(
+    "streaming_token_drift_monitor",
+    section="2.G-stream",
+    doc="LIVE token-rate / quality drift monitor for a training-data "
+    "ingest stream (the data-pipeline twin of streaming_psi_monitor): "
+    "documents flow through a real topic; per SOURCE the monitor keeps "
+    f"exact token/char/doc counts split into a FIXED reference window "
+    f"(doc_id < {TDM_REF_HI}, frozen once generation 1 commits) and the "
+    "accruing current window, maintained incrementally across two "
+    "availableNow generations with the versioned-view merge — state is "
+    "#sources × 7 integers regardless of stream length, and no "
+    "generation re-reads history. The emission derives tokens-per-doc "
+    "for both windows, their drift ratio, chars-per-token (the quality "
+    f"proxy), and an alarm when the ratio leaves ±{int(TDM_BAND*100)}% — "
+    "the monitor a 100 TB ingest pipeline runs to catch a source "
+    "suddenly shipping truncated or concatenated documents. Exact "
+    "oracle over the replayed range; tokenization matches the corpus "
+    "convention (split lower(trim(text)) on whitespace).",
+    oracle=f"""
+        WITH cat AS (
+            SELECT source,
+                   SUM(CASE WHEN doc_id < {TDM_REF_HI} THEN 1 ELSE 0 END)
+                       AS n_ref,
+                   SUM(CASE WHEN doc_id < {TDM_REF_HI}
+                            THEN len(string_split_regex(lower(trim(text)), '\\s+'))
+                            ELSE 0 END) AS tok_ref,
+                   SUM(CASE WHEN doc_id < {TDM_REF_HI}
+                            THEN length(text) ELSE 0 END) AS ch_ref,
+                   SUM(CASE WHEN doc_id >= {TDM_REF_HI} THEN 1 ELSE 0 END)
+                       AS n_cur,
+                   SUM(CASE WHEN doc_id >= {TDM_REF_HI}
+                            THEN len(string_split_regex(lower(trim(text)), '\\s+'))
+                            ELSE 0 END) AS tok_cur,
+                   SUM(CASE WHEN doc_id >= {TDM_REF_HI}
+                            THEN length(text) ELSE 0 END) AS ch_cur
+            FROM documents WHERE doc_id < {TDM_DOCS}
+            GROUP BY 1
+        )
+        SELECT source,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               CAST(tok_ref AS BIGINT) AS tok_ref,
+               CAST(tok_cur AS BIGINT) AS tok_cur,
+               CASE WHEN n_ref > 0
+                    THEN ROUND(CAST(tok_ref AS DOUBLE) / n_ref, 4) END
+                   AS ref_tokens_per_doc,
+               CASE WHEN n_cur > 0
+                    THEN ROUND(CAST(tok_cur AS DOUBLE) / n_cur, 4) END
+                   AS cur_tokens_per_doc,
+               CASE WHEN tok_ref > 0
+                    THEN ROUND(CAST(ch_ref AS DOUBLE) / tok_ref, 4) END
+                   AS ref_chars_per_token,
+               CASE WHEN tok_cur > 0
+                    THEN ROUND(CAST(ch_cur AS DOUBLE) / tok_cur, 4) END
+                   AS cur_chars_per_token,
+               CASE WHEN n_ref > 0 AND n_cur > 0 AND tok_ref > 0
+                    THEN ROUND((CAST(tok_cur AS DOUBLE) / n_cur)
+                               / (CAST(tok_ref AS DOUBLE) / n_ref), 4) END
+                   AS drift_ratio,
+               CASE WHEN n_ref > 0 AND n_cur > 0 AND tok_ref > 0
+                    THEN ROUND((CAST(tok_cur AS DOUBLE) / n_cur)
+                               / (CAST(tok_ref AS DOUBLE) / n_ref), 4)
+                         NOT BETWEEN {1 - TDM_BAND} AND {1 + TDM_BAND}
+               END AS alarm
+        FROM cat
+    """,
+)
+def streaming_token_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.sources import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="stdm_")
+    view_schema = (
+        "source string, n_ref long, tok_ref long, ch_ref long, "
+        "n_cur long, tok_cur long, ch_cur long"
+    )
+
+    def append_docs(tp, lo, hi):
+        docs = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id").between(lo, hi - 1))
+            .select(
+                F.col("doc_id").cast("string").alias("key"),
+                F.to_binary(F.col("text"), F.lit("utf-8")).alias("value"),
+                F.timestamp_micros(F.col("doc_id") * 1_000_000).alias(
+                    "publish_time"
+                ),
+                F.timestamp_micros(F.col("doc_id") * 1_000_000).alias(
+                    "event_time"
+                ),
+                F.col("source").alias("producer_name"),
+                F.col("doc_id").alias("sequence_id"),
+            )
+        )
+        T.append(spark, docs, tp)
+
+    try:
+        tp = T.create_topic(root, "docs", n_partitions=2)
+        append_docs(tp, 0, 300)
+        src = spark.readStream.format("pulsarlike").option("path", tp).load()
+        text = F.lower(F.trim(F.col("value").cast("string")))
+        toks = F.size(F.split(text, r"\s+")).cast("long")
+        chars = F.length(F.col("value").cast("string")).cast("long")
+        is_ref = F.col("sequence_id") < TDM_REF_HI
+
+        upsert, state = _versioned_view(
+            root,
+            view_schema,
+            lambda b: b.groupBy(F.col("producer_name").alias("source")).agg(
+                F.sum(F.when(is_ref, 1).otherwise(0)).alias("n_ref"),
+                F.sum(F.when(is_ref, toks).otherwise(0)).alias("tok_ref"),
+                F.sum(F.when(is_ref, chars).otherwise(0)).alias("ch_ref"),
+                F.sum(F.when(~is_ref, 1).otherwise(0)).alias("n_cur"),
+                F.sum(F.when(~is_ref, toks).otherwise(0)).alias("tok_cur"),
+                F.sum(F.when(~is_ref, chars).otherwise(0)).alias("ch_cur"),
+            ),
+            lambda u: u.groupBy("source").agg(
+                *[
+                    F.sum(c).cast("long").alias(c)
+                    for c in [
+                        "n_ref",
+                        "tok_ref",
+                        "ch_ref",
+                        "n_cur",
+                        "tok_cur",
+                        "ch_cur",
+                    ]
+                ]
+            ),
+        )
+        _run_bounded_foreach(
+            src,
+            root + "/ck",
+            [None, lambda: append_docs(tp, 300, TDM_DOCS)],
+            upsert,
+        )
+        if state["path"] is None:
+            out_schema = (
+                "source string, n_ref long, n_cur long, tok_ref long, "
+                "tok_cur long, ref_tokens_per_doc double, "
+                "cur_tokens_per_doc double, ref_chars_per_token double, "
+                "cur_chars_per_token double, drift_ratio double, "
+                "alarm boolean"
+            )
+            return spark.createDataFrame([], out_schema)
+        rows = spark.read.parquet(state["path"]).collect()
+        cat = spark.createDataFrame(rows, view_schema)
+        ref_tpd = F.col("tok_ref").cast("double") / F.col("n_ref")
+        cur_tpd = F.col("tok_cur").cast("double") / F.col("n_cur")
+        drift = F.round(cur_tpd / ref_tpd, 4)
+        ok = (
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0) & (F.col("tok_ref") > 0)
+        )
+        return cat.select(
+            "source",
+            "n_ref",
+            "n_cur",
+            "tok_ref",
+            "tok_cur",
+            F.when(F.col("n_ref") > 0, F.round(ref_tpd, 4)).alias(
+                "ref_tokens_per_doc"
+            ),
+            F.when(F.col("n_cur") > 0, F.round(cur_tpd, 4)).alias(
+                "cur_tokens_per_doc"
+            ),
+            F.when(
+                F.col("tok_ref") > 0,
+                F.round(F.col("ch_ref").cast("double") / F.col("tok_ref"), 4),
+            ).alias("ref_chars_per_token"),
+            F.when(
+                F.col("tok_cur") > 0,
+                F.round(F.col("ch_cur").cast("double") / F.col("tok_cur"), 4),
+            ).alias("cur_chars_per_token"),
+            F.when(ok, drift).alias("drift_ratio"),
+            F.when(
+                ok, ~drift.between(F.lit(1 - TDM_BAND), F.lit(1 + TDM_BAND))
+            ).alias("alarm"),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -633,3 +633,135 @@ def test_encode_ppm_emits_genuine_image_files(spark):
         (d * 11 + r * 17 + c * 5) % 256,
         (d * 3 + r * 29 + c * 23) % 256,
     ]
+
+
+def test_opq_permutation_bijective_and_cross_engine_equal(spark):
+    """opq_dim_order is a bijection of 1..64 AND matches the oracle's SQL
+    perm CTE value-for-value (the permutation is the only new moving part
+    of opq_rotated_adc_topk — downstream is the pinned PQ harness)."""
+    import duckdb
+
+    from pulsar_3_2_codedump_spark.catalog import load
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        _D_OPQ_PERM,
+        PQ_M,
+        PQ_SUB,
+        opq_dim_order,
+    )
+
+    srcs = opq_dim_order(load(spark, SF_DIR, "embeddings"))
+    d = PQ_M * PQ_SUB
+    assert sorted(srcs) == list(range(1, d + 1))  # bijection of source dims
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    sql_perm = dict(
+        con.execute(f"WITH {_D_OPQ_PERM} SELECT dim, j FROM perm").fetchall()
+    )
+    # srcs[j-1] = source dim for output position j  <=>  sql j per dim
+    for j, dim in enumerate(srcs, start=1):
+        assert sql_perm[dim] == j, f"dim {dim}: spark j={j} sql j={sql_perm[dim]}"
+
+
+def test_opq_allocation_balances_subspace_variance(spark):
+    """Eigenvalue allocation's actual objective: the per-subspace variance
+    sums under the OPQ permutation are far more BALANCED than the identity
+    layout's (here: spread shrinks >= 2x; measured ~8x on this fixture).
+    The downstream quantization-ERROR gain of OPQ only materializes on
+    anisotropic corpora — this fixture is nearly isotropic (per-dim
+    variance 0.013-0.019), where error is flat within one-Lloyd noise
+    (measured +0.9%), so the balance criterion is the right pin."""
+    import numpy as np
+
+    from pulsar_3_2_codedump_spark.catalog import load
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        PQ_M,
+        PQ_SUB,
+        opq_dim_order,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    x = np.vstack(
+        [r["embedding"] for r in emb.select("embedding").collect()]
+    ).astype(np.float64)
+    v = x.var(axis=0)
+    srcs = opq_dim_order(emb)
+    rot = [
+        sum(v[srcs[m * PQ_SUB + b] - 1] for b in range(PQ_SUB))
+        for m in range(PQ_M)
+    ]
+    ident = [
+        sum(v[m * PQ_SUB + b] for b in range(PQ_SUB)) for m in range(PQ_M)
+    ]
+    rot_spread = max(rot) - min(rot)
+    id_spread = max(ident) - min(ident)
+    assert rot_spread * 2 <= id_spread, (rot_spread, id_spread)
+
+
+def test_exact_substring_dedup_matches_python_suffix_scan(spark):
+    """Independent Python mirror of the suffix-ordering dedup at sf0.001:
+    same tokenization, suffix truncation and bucketing, but the Python
+    side computes each suffix's max LCP against ALL other suffixes in its
+    bucket (brute force) — passing proves the engine's sorted-adjacent
+    LCP equals the all-pairs max (the suffix-array property) AND that the
+    per-doc aggregation is right."""
+    import re
+    from collections import defaultdict
+
+    from pulsar_3_2_codedump_spark.catalog import load
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import (
+        ESD_CAP,
+        ESD_MIN,
+        ESD_WORDS,
+        exact_substring_dedup,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF_DIR, "documents").collect()
+    }
+    buckets = defaultdict(list)
+    n_starts = {}
+    for doc_id, text in docs.items():
+        ws = re.split(r"\s+", text.strip().lower())
+        n_starts[doc_id] = len(ws)
+        for pos in range(1, len(ws) + 1):
+            s = " ".join(ws[pos - 1 : pos - 1 + ESD_WORDS])[:ESD_CAP]
+            if len(s) >= ESD_MIN:
+                buckets[s[:ESD_MIN]].append((doc_id, pos, s))
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    dup_starts = defaultdict(int)
+    max_dup = defaultdict(int)
+    for members in buckets.values():
+        for doc_id, pos, s in members:
+            best = max(
+                (
+                    lcp(s, s2)
+                    for d2, p2, s2 in members
+                    if (d2, p2) != (doc_id, pos)
+                ),
+                default=0,
+            )
+            if best >= ESD_MIN:
+                dup_starts[doc_id] += 1
+            max_dup[doc_id] = max(max_dup[doc_id], best)
+
+    got = {
+        r["doc_id"]: (r["n_starts"], r["dup_starts"], r["max_dup_len"])
+        for r in exact_substring_dedup(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(docs)
+    for doc_id in docs:
+        expect = (n_starts[doc_id], dup_starts[doc_id], max_dup[doc_id])
+        assert got[doc_id] == expect, f"doc {doc_id}: {got[doc_id]} != {expect}"

@@ -422,3 +422,47 @@ def test_cusum_view_merge_survives_arbitrary_microbatch_splits(spark, tmp_root):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_token_drift_monitor_matches_batch(spark):
+    """The incrementally-maintained drift view equals the batch computation
+    over the same replayed document range, and the alarm fires exactly on
+    sources whose rounded drift ratio leaves the ±band."""
+    from pulsar_3_2_codedump_spark.queries import load_all
+    from pulsar_3_2_codedump_spark.streaming.queries_streaming import (
+        TDM_BAND,
+        TDM_DOCS,
+        TDM_REF_HI,
+    )
+
+    got = {
+        r["source"]: r
+        for r in load_all()["streaming_token_drift_monitor"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    docs = load(spark, SF_DIR, "documents").filter(F.col("doc_id") < TDM_DOCS)
+    toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("long")
+    is_ref = F.col("doc_id") < TDM_REF_HI
+    want = {
+        r["source"]: r
+        for r in docs.groupBy("source")
+        .agg(
+            F.sum(F.when(is_ref, 1).otherwise(0)).cast("long").alias("n_ref"),
+            F.sum(F.when(~is_ref, 1).otherwise(0)).cast("long").alias("n_cur"),
+            F.sum(F.when(is_ref, toks).otherwise(0)).cast("long").alias("tok_ref"),
+            F.sum(F.when(~is_ref, toks).otherwise(0)).cast("long").alias("tok_cur"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for src, w in want.items():
+        g = got[src]
+        assert (g["n_ref"], g["n_cur"], g["tok_ref"], g["tok_cur"]) == (
+            w["n_ref"], w["n_cur"], w["tok_ref"], w["tok_cur"]
+        ), src
+        ratio = round((w["tok_cur"] / w["n_cur"]) / (w["tok_ref"] / w["n_ref"]), 4)
+        assert g["drift_ratio"] == ratio, src
+        assert g["alarm"] == (
+            not (1 - TDM_BAND <= ratio <= 1 + TDM_BAND)
+        ), src
