@@ -59,10 +59,21 @@ def main() -> None:
     env = synthetic_envelope(spark, n)
     results = {}
 
-    def run(name, df):
+    # EXECUTION CONVENTION (fixed r10): time a `noop`-format write, which
+    # executes the FULL plan without driver transfer. The previous count()
+    # convention let Catalyst prune the aggregate expressions (count of a
+    # groupBy needs only the keys; count of a global agg constant-folds to
+    # 1), so entries whose output was an aggregate under-measured — up to
+    # 10x on expression-heavy aggs. rows_out comes from a separate untimed
+    # count pass.
+    def execute_fully(df) -> float:
         t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    def run(name, df):
+        dt = execute_fully(df)
         cnt = df.count()
-        dt = time.time() - t0
         results[name] = {"sec": round(dt, 2), "rows_out": cnt, "mrows_per_sec": round(n / dt / 1e6, 1)}
         print(f"# {name}: {dt:.2f}s ({cnt} out, {n/dt/1e6:.1f}M rows/s)", file=sys.stderr)
 
@@ -135,9 +146,8 @@ def main() -> None:
     )
 
     def run_docs(name, df):
-        t0 = time.time()
+        dt = execute_fully(df)  # noop write — see the r10 convention above
         cnt = df.count()
-        dt = time.time() - t0
         results[name] = {
             "sec": round(dt, 2),
             "rows_out": cnt,
@@ -678,6 +688,131 @@ def main() -> None:
     print(
         f"# ppm_encode_decode_stats: {dt:.2f}s ({cnt} images, "
         f"{n_img/dt/1e3:.1f}k img/s)",
+        file=sys.stderr,
+    )
+
+    # Exact-substring dedup (suffix ordering): the suffix table is
+    # corpus_tokens rows × ≤50 chars shuffled ONCE on the 20-char-prefix
+    # bucket key; LCP work is a bounded 50-step fold per row. The 50-word
+    # synthetic vocabulary makes buckets pathologically hot (every suffix
+    # collides) — a deliberate stress of the bucket-partitioned windows.
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import (
+        exact_substring_stats,
+    )
+
+    # filter (not limit — limit would single-partition the scan) and an
+    # aggregate over the COMPUTED columns (a bare count would let Catalyst
+    # eliminate the distinct-key left join and skip the window work).
+    # Two corpora: the 50-word-vocab docs are a deliberate WORST CASE
+    # (~87% of suffixes duplicated -> a few huge buckets, so the
+    # bucket-partitioned sort runs hot; the skew ceiling documented in the
+    # query doc), while the 10k-vocab corpus has the singleton-bucket
+    # profile of real text, where the same plan runs at scan speed.
+    def esd_run(name, frame, nd):
+        # time a COLLECT of the 1-row aggregate: count() of a global agg is
+        # constant-folded by Catalyst (it never runs the suffix plan)
+        agg = exact_substring_stats(frame).agg(
+            F.sum("n_starts").alias("starts"),
+            F.sum("dup_starts").alias("dups"),
+            F.max("max_dup_len").alias("max_len"),
+        )
+        t0 = time.time()
+        r = agg.collect()[0]
+        dt = time.time() - t0
+        results[name] = {
+            "sec": round(dt, 2),
+            "n_docs": nd,
+            "starts": r["starts"],
+            "dups": r["dups"],
+            "kdocs_per_sec": round(nd / dt / 1e3, 1),
+        }
+        print(
+            f"# {name}: {dt:.2f}s ({nd} docs, {nd/dt/1e3:.1f}k docs/s, "
+            f"dup frac {r['dups']/r['starts']:.2f})",
+            file=sys.stderr,
+        )
+
+    n_esd = max(n_docs // 10, 100_000)
+    esd_run(
+        "exact_substring_suffix_dedup_hotbucket_stress",
+        docs.filter(F.col("doc_id") < n_esd),
+        n_esd,
+    )
+
+    # tokens via xxhash64(id, i): a polynomial-mod formula is PERIODIC in
+    # id (period = vocab modulus), which silently makes the corpus ~100
+    # copies of each distinct doc — the hash mix gives genuinely unique
+    # docs and the near-singleton bucket profile of real text
+    realdocs = spark.range(0, n_docs, numPartitions=64).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(25) + F.pmod("id", 30).cast("int")),
+                lambda i: F.concat(
+                    F.lit("w"), F.pmod(F.xxhash64(F.col("id"), i), F.lit(9973))
+                ),
+            ),
+        ).alias("text"),
+    )
+    esd_run("exact_substring_suffix_dedup_10k_vocab", realdocs, n_docs)
+
+    # OPQ permutation: the only new fact-scale work vs the smoked PQ
+    # harness is ONE posexplode+agg corpus pass for the per-dimension
+    # variance proxies (64-row control-plane result) and a pure projection.
+    from pulsar_3_2_codedump_spark.functions.similarity import opq_rotate
+
+    n_vec = max(n // 10, 1_000_000)
+    vecs = spark.range(0, n_vec, numPartitions=64).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                F.pmod(F.col("id") * i + i * i * F.lit(7), 1000) / 1000.0 - 0.5
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    # aggregate over a rotated element so the projection itself executes
+    # (count alone would be pruned to a scan of the id range)
+    cnt = opq_rotate(vecs).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.element_at("embedding", 1)).alias("chk"),
+    ).collect()[0]["n"]
+    dt = time.time() - t0
+    results["opq_variance_permutation_rotate"] = {
+        "sec": round(dt, 2),
+        "rows_out": cnt,
+        "mvecs_per_sec": round(n_vec / dt / 1e6, 2),
+    }
+    print(
+        f"# opq_variance_permutation_rotate: {dt:.2f}s ({cnt} vectors, "
+        f"{n_vec/dt/1e6:.2f}M vecs/s)",
+        file=sys.stderr,
+    )
+
+    # Streaming token-drift monitor's fact-scale stage: one partial+final
+    # agg from the corpus down to #sources × 7 integers — the bounded
+    # state the incremental monitor carries.
+    ws_tdm = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    is_ref = F.col("doc_id") % 4 == 0
+    tdm = docs.groupBy("source").agg(
+        F.sum(F.when(is_ref, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(is_ref, F.size(ws_tdm)).otherwise(0)).alias("tok_ref"),
+        F.sum(F.when(~is_ref, 1).otherwise(0)).alias("n_cur"),
+        F.sum(F.when(~is_ref, F.size(ws_tdm)).otherwise(0)).alias("tok_cur"),
+    )
+    t0 = time.time()
+    tdm_rows = tdm.collect()  # collect VALUES — a bare count would let the
+    dt = time.time() - t0     # agg expressions (the tokenization) be pruned
+    results["token_drift_monitor_agg"] = {
+        "sec": round(dt, 2),
+        "rows_out": len(tdm_rows),
+        "mdocs_per_sec": round(n_docs / dt / 1e6, 2),
+    }
+    print(
+        f"# token_drift_monitor_agg: {dt:.2f}s ({len(tdm_rows)} out, "
+        f"{n_docs/dt/1e6:.2f}M docs/s)",
         file=sys.stderr,
     )
 

@@ -5,13 +5,15 @@ then compares row count, column names, and order-insensitive values
 (floats canonicalized to 9 significant digits — stricter than any sane
 driver hash, so passing here should pass there).
 
-It ALSO fetches the oracle result's Arrow schema and fails when an oracle
-column leaves DuckDB as decimal128 while the Spark column is not decimal.
-DuckDB silently widens BIGINT SUM/COUNT (and derived arithmetic like
-``window_sum // k``) to HUGEINT, which exits Arrow as decimal128(38,0);
-Python ``fetchall()`` canonicalizes HUGEINT to plain int so the value
-compare below CANNOT see the divergence, but the driver hashes the Arrow
-types and records a hash mismatch (r9: segment_compaction_plan.bin_id).
+It ALSO checks the oracle's DuckDB output types (via DESCRIBE — no extra
+execution) and fails when a column leaves as HUGEINT or DECIMAL while the
+Spark column is not DecimalType. DuckDB silently widens BIGINT SUM/COUNT
+(and derived arithmetic like ``window_sum // k``) to HUGEINT, which exits
+Arrow as decimal128(38,0); Python ``fetchall()`` canonicalizes HUGEINT to
+plain int so the value compare below CANNOT see the divergence, but the
+driver hashes the Arrow types and records a hash mismatch (r9:
+segment_compaction_plan.bin_id). tests/test_oracle_arrow_schemas.py is
+the Arrow-level (executed) form of the same guard over every oracle.
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
 """
@@ -49,23 +51,23 @@ def canon_cell(v):
     return str(v)
 
 
-def decimal_drift(spark_schema, arrow_schema) -> list[str]:
-    """Oracle columns that leave DuckDB as Arrow decimal128/256 while the
-    Spark column is not DecimalType — the uncast-HUGEINT class the value
-    compare cannot see (the driver's Arrow-level hash can)."""
-    import pyarrow as pa
+def decimal_drift(spark_schema, duck_described) -> list[str]:
+    """Oracle columns whose DuckDB type is HUGEINT/DECIMAL (→ Arrow
+    decimal128) while the Spark column is not DecimalType — the
+    uncast-HUGEINT class the value compare cannot see (the driver's
+    Arrow-level hash can). ``duck_described`` is DESCRIBE output rows."""
     from pyspark.sql.types import DecimalType
 
     spark_types = {f.name: f.dataType for f in spark_schema.fields}
     out = []
-    for field in arrow_schema:
-        if pa.types.is_decimal(field.type) and not isinstance(
-            spark_types.get(field.name), DecimalType
-        ):
+    for name, dtype, *_ in duck_described:
+        if (
+            dtype == "HUGEINT" or dtype.startswith("DECIMAL")
+        ) and not isinstance(spark_types.get(name), DecimalType):
             out.append(
-                f"oracle col {field.name} is Arrow {field.type} but spark is "
-                f"{spark_types.get(field.name)} — uncast DuckDB HUGEINT? "
-                f"CAST it to BIGINT in the oracle"
+                f"oracle col {name} is DuckDB {dtype} (Arrow decimal128) but "
+                f"spark is {spark_types.get(name)} — uncast HUGEINT? CAST it "
+                f"to BIGINT in the oracle"
             )
     return out
 
@@ -104,16 +106,16 @@ def main() -> int:
             n_noracle += 1
             continue
         try:
+            described = con.execute(f"DESCRIBE {q.oracle}").fetchall()
             res = con.execute(q.oracle)
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
-            arrow_schema = con.execute(q.oracle).fetch_arrow_table().schema
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0]}")
             n_fail += 1
             continue
         problems = []
-        problems += decimal_drift(sdf.schema, arrow_schema)
+        problems += decimal_drift(sdf.schema, described)
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
         if len(s_rows) != len(d_rows):
