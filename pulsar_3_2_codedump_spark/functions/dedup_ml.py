@@ -869,8 +869,14 @@ def _dup_covered_positions(docs: DataFrame) -> DataFrame:
         .filter(F.col("df") >= 2)
         .select("ng")
     )
+    # The duplicated-ngram set is DATA-PROPORTIONAL (grows with corpus
+    # size), but Catalyst's post-aggregate size estimate can look small
+    # enough to broadcast — at 5M docs the materialized broadcast is
+    # ~3 GB and kills the driver (maxResultSize), and at 100 TB it is
+    # unthinkable. Force the shuffle join; AQE skew-join handles hot
+    # ngrams.
     return (
-        flat.join(dup, "ng")
+        flat.join(dup.hint("MERGE"), "ng")
         .select(
             "doc_id",
             F.explode(
@@ -891,7 +897,8 @@ def ngram_coverage(docs: DataFrame) -> DataFrame:
     )
     base = docs.select("doc_id", F.size(ws).cast("long").alias("n_tokens"))
     dup_tokens = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
-    return base.join(covered, "doc_id", "left").select(
+    # covered is one row per (duplicated) doc — also data-proportional.
+    return base.join(covered.hint("MERGE"), "doc_id", "left").select(
         "doc_id",
         "n_tokens",
         dup_tokens.alias("dup_tokens"),
@@ -948,7 +955,9 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size(ws)),
         lambda i: ~F.array_contains(cps, i.cast("int")),
     )
-    return docs.join(cov, "doc_id", "left").select(
+    # cov is one row per duplicated doc — data-proportional; see
+    # _dup_covered_positions on why it must not broadcast.
+    return docs.join(cov.hint("MERGE"), "doc_id", "left").select(
         "doc_id",
         F.size(ws).cast("long").alias("n_tokens"),
         F.size(cps).cast("long").alias("n_removed"),
@@ -1543,7 +1552,11 @@ def exact_substring_stats(docs: DataFrame) -> DataFrame:
         F.max("dup_len").cast("long").alias("max_dup_len"),
     )
     base = t.select("doc_id", F.size("ws").cast("long").alias("n_starts"))
-    return base.join(agg, "doc_id", "left").select(
+    # agg is one row per doc — data-proportional; a static broadcast
+    # decision on an estimate-unreliable intermediate (range/in-memory
+    # backed input) materializes the whole per-doc frame on the driver.
+    # Force the doc_id-keyed shuffle join (see _dup_covered_positions).
+    return base.join(agg.hint("MERGE"), "doc_id", "left").select(
         "doc_id",
         "n_starts",
         F.coalesce(F.col("dup_starts"), F.lit(0)).cast("long").alias("dup_starts"),

@@ -65,14 +65,18 @@ def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""
 # The window is ALWAYS the first 50 entries of this list; the boundary
 # comment below marks it. Never leave a changed query below the boundary.
 # r10 window (tools/rotate_window.py --changed segment_compaction_plan,
-# ppm_decode_pixel_stats): the 2 code-changed queries (layout.py oracle
-# HUGEINT cast; ppm_dims single-source-of-truth refactor), the 3 NEW r10
-# registrations (OPQ-rotated PQ, exact-substring dedup, streaming token
-# drift monitor), then 45 freshness re-hashes oldest-green-first (the r4
-# cohort).
+# ppm_decode_pixel_stats,duplicated_ngram_coverage,dedup_span_removal):
+# the 4 code-changed queries (layout.py oracle HUGEINT cast; ppm_dims
+# single-source-of-truth refactor; MERGE hints pinning the data-
+# proportional dup-ngram / per-doc-agg joins off the broadcast path),
+# the 3 NEW r10 registrations (OPQ-rotated PQ, exact-substring dedup,
+# streaming token drift monitor), then 43 freshness re-hashes
+# oldest-green-first (the r4 cohort).
 PRIORITY_ORDER = [
     "segment_compaction_plan",
     "ppm_decode_pixel_stats",
+    "duplicated_ngram_coverage",
+    "dedup_span_removal",
     "opq_rotated_adc_topk",
     "exact_substring_dedup",
     "streaming_token_drift_monitor",
@@ -119,9 +123,9 @@ PRIORITY_ORDER = [
     "ack_holes_redelivery",
     "marker_filtered_scan",
     "jdbc_roundtrip",
+    # ---- rotation window boundary (50) ----
     "streaming_delayed_delivery",
     "streaming_count_windows",
-    # ---- rotation window boundary (50) ----
     "psi_drift",
     "score_calibration_bins",
     "triangle_count",
@@ -223,8 +227,6 @@ PRIORITY_ORDER = [
     "pq_adc_ann_topk",
     "ivfadc_ann_topk",
     "semdedup_prune",
-    "duplicated_ngram_coverage",
-    "dedup_span_removal",
     "quality_classifier_score",
     "streaming_late_side_topic",
     "streaming_left_outer_join",
