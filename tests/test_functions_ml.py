@@ -765,3 +765,35 @@ def test_exact_substring_dedup_matches_python_suffix_scan(spark):
     for doc_id in docs:
         expect = (n_starts[doc_id], dup_starts[doc_id], max_dup[doc_id])
         assert got[doc_id] == expect, f"doc {doc_id}: {got[doc_id]} != {expect}"
+
+
+def test_data_proportional_joins_never_broadcast(spark):
+    """Regression pin for the r10 static-broadcast failure: over an
+    ESTIMATE-UNRELIABLE input (in-memory frames report tiny sizeInBytes,
+    like the scale smoke's range-backed corpora), Catalyst would happily
+    broadcast the duplicated-ngram / per-doc aggregate frames — which are
+    data-proportional and materialized ~3 GB through the driver at 5M
+    docs before the MERGE hints pinned them to sort-merge joins. Assert
+    the executed plans contain no BroadcastExchange at all under exactly
+    those conditions, so a refactor dropping a hint fails here instead
+    of at 50M rows."""
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import (
+        exact_substring_stats,
+        ngram_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} the quick brown fox w{i % 3} jumps over it")
+         for i in range(64)],
+        "doc_id long, text string",
+    )
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import dedup_span_removal
+
+    for frame in (
+        ngram_coverage(docs),
+        exact_substring_stats(docs),
+        dedup_span_removal(spark, SF_DIR),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan
+        assert "SortMergeJoin" in plan
