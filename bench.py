@@ -70,6 +70,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warm_dir = "/root/testdata/sf0.001"
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # Ambient 1-min load BEFORE the run starts: BASELINE.md's regression
+    # rule ("uniform offset = environmental") needs the load context next
+    # to the number, not reconstructed after the fact.
+    try:
+        load_1m_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_1m_start = -1.0
     registry = load_all()
     spark = get_spark("bench")
 
@@ -109,6 +116,7 @@ def main() -> None:
                 "queries": timings,
                 "secondary": secondary,
                 "sf": sf,
+                "load_1m_start": load_1m_start,
             }
         )
     )
