@@ -96,6 +96,13 @@ def main() -> None:
     skewed = synthetic_envelope(spark, n, skewed=True)
     run("salted_hot_key_agg_90pct_skew", salted_count_sum(skewed, "key", "value", "sequence_id"))
 
+    # --spine: stop after the envelope-spine entries (a cheap 10x-scale
+    # probe: `scale_smoke.py 100 --spine` runs the per-key/window/skew
+    # cores at 100M rows without the hour-long doc battery).
+    if "--spine" in sys.argv:
+        print(json.dumps({"metric": "scale_smoke_spine", "rows": n, "ops": results}))
+        return
+
     # bulk ingest through the JVM path (topic.append: route → offset-assign →
     # parquet write → manifest commit). THE way 100 TB enters a topic — the
     # Python row-at-a-time streaming sink is for live tails only (see
