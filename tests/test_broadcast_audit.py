@@ -1,0 +1,65 @@
+"""The broadcast-audit tool guards the 100x posture (no data-proportional
+frame may ride a statically-planned BroadcastExchange — the r10 50M-smoke
+crash class), so its plan parsing and classification rules get pinned here
+on canned plan strings. No Spark needed."""
+
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
+
+from broadcast_audit import audit_plan, audit_plan_rich, subtree
+
+FACT_BUILD = """AdaptiveSparkPlan isFinalPlan=false
++- SortMergeJoin [ng#1], [ng#2], Inner
+   :- Sort [ng#1 ASC NULLS FIRST], false, 0
+   :  +- Exchange hashpartitioning(ng#1, 32)
+   :     +- FileScan parquet [doc_id#0,ng#1] ... documents.parquet
+   +- BroadcastExchange HashedRelationBroadcastMode(List(input[0, string, true]),false)
+      +- HashAggregate(keys=[ng#2], functions=[count(distinct doc_id#3L)])
+         +- Exchange hashpartitioning(ng#2, 32)
+            +- FileScan parquet [doc_id#3L,ng#2] ... documents.parquet
+"""
+
+LIMIT_BUILD = FACT_BUILD.replace(
+    "+- HashAggregate(keys=[ng#2], functions=[count(distinct doc_id#3L)])",
+    "+- GlobalLimit 100\n         +- HashAggregate(keys=[ng#2], functions=[count(distinct doc_id#3L)])",
+)
+
+SCALAR_BUILD = FACT_BUILD.replace(
+    "HashAggregate(keys=[ng#2], functions=[count(distinct doc_id#3L)])",
+    "HashAggregate(keys=[], functions=[sum(v#9L)])",
+)
+
+DIM_BUILD = FACT_BUILD.replace("documents.parquet", "nation.parquet").replace(
+    "documents", "nation"
+)
+
+
+def test_fact_backed_keyed_aggregate_build_is_flagged():
+    hits = audit_plan(FACT_BUILD)
+    assert len(hits) == 1 and hits[0][0] == ["documents"]
+    rich = audit_plan_rich(FACT_BUILD)
+    assert len(rich) == 1
+    fact, keys, _root = rich[0]
+    assert fact == ["documents"] and keys == ["ng"]
+
+
+def test_limit_scalar_and_dim_builds_are_not_flagged():
+    assert audit_plan(LIMIT_BUILD) == []          # bounded by construction
+    assert audit_plan_rich(SCALAR_BUILD) == []    # one-row threshold
+    assert audit_plan(DIM_BUILD) == []            # dimension scan, not a fact
+
+
+def test_subtree_stops_at_sibling_depth():
+    lines = FACT_BUILD.splitlines()
+    i = next(n for n, ln in enumerate(lines) if "BroadcastExchange" in ln)
+    sub = "\n".join(subtree(lines, i))
+    assert "HashAggregate" in sub
+    # the probe side (shallower/equal depth) is not part of the build subtree
+    assert "SortMergeJoin" not in sub and "Sort [ng#1" not in sub
