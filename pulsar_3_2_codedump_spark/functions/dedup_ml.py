@@ -1397,7 +1397,10 @@ def passjoin_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ESD_MIN = 20    # duplicated-substring threshold, in normalized characters
 ESD_CAP = 50    # suffix truncation cap (max measurable duplicate length)
-ESD_WORDS = 25  # word window per suffix (>= ESD_CAP chars for real text)
+ESD_WORDS = 26  # word window per suffix: 26 single-space-joined words are
+#                 >= 51 chars even for 1-char tokens, so the window always
+#                 covers ESD_CAP chars (25 could saturate at 49 — ADVICE r10)
+ESD_BUCKET_CAP = 2048  # hot-bucket skew cap, see exact_substring_stats
 
 
 def _lcp_in_bucket(a: Column, b: Column) -> Column:
@@ -1457,13 +1460,19 @@ _D_ESD_LCP = (
     f"{ESD_CAP}). 100 TB: the suffix table is corpus_tokens rows x "
     f"{ESD_CAP} chars shuffled once on the bucket key; LCP folds only the "
     f"tail beyond the {ESD_MIN} chars the bucket already proved equal. "
-    "Skew ceiling: a hyper-common prefix (boilerplate) makes its bucket's "
-    "sort hot — real-text buckets are near-singletons (scale_smoke "
-    "measures both profiles); past that ceiling the production form is a "
-    "range-partitioned global sort with boundary handshake, or capping "
-    "bucket size at the point where dup_start is already decided and max "
-    f"length saturates to {ESD_CAP}. Pinned against an independent Python "
-    "suffix scan in tests/test_functions_ml.py.",
+    "Skew ceiling — CAPPED (r11): a hyper-common prefix (boilerplate) "
+    "would make its bucket's sort hot, so buckets larger than "
+    f"{ESD_BUCKET_CAP} suffixes skip the sorted-neighbor pass entirely: "
+    "membership in a >=2 bucket already DECIDES dup_start exactly (any "
+    f"two same-bucket suffixes share >= {ESD_MIN} chars), and the hot "
+    "path saturates each member's dup_len to length(s) (a deterministic "
+    "over-approximation of max duplicate length, applied identically in "
+    "the DuckDB oracle). Per-bucket sort work is thus bounded at "
+    f"{ESD_BUCKET_CAP}·log — no single task ever sorts a boilerplate "
+    "bucket; the hot-bucket membership probe is a MERGE-hinted join "
+    "against the (tiny, <= n/cap rows) over-cap bucket list. Pinned "
+    "against an independent Python suffix scan and a cap-boundary corpus "
+    "in tests/test_functions_ml.py.",
     oracle=rf"""
         WITH t AS (SELECT doc_id, {_D_WORDS} AS ws FROM documents),
         starts AS (
@@ -1478,17 +1487,22 @@ _D_ESD_LCP = (
         eligible AS (
             SELECT doc_id, pos, s, substr(s, 1, {ESD_MIN}) AS bucket
             FROM sfx WHERE length(s) >= {ESD_MIN}),
+        sized AS (
+            SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bsz
+            FROM eligible),
         nbr AS (
-            SELECT doc_id, pos, s,
+            SELECT doc_id, pos, s, bsz,
                    lag(s)  OVER w AS p,
                    lead(s) OVER w AS nx
-            FROM eligible
+            FROM sized
             WINDOW w AS (PARTITION BY bucket ORDER BY s, doc_id, pos)),
         scored AS (
             SELECT doc_id,
+                   CASE WHEN bsz > {ESD_BUCKET_CAP} THEN length(s)
+                   ELSE
                    GREATEST({_D_ESD_LCP.format(a="s", b="p", min=ESD_MIN, tail=ESD_CAP - ESD_MIN)},
                             {_D_ESD_LCP.format(a="s", b="nx", min=ESD_MIN, tail=ESD_CAP - ESD_MIN)})
-                       AS dup_len
+                   END AS dup_len
             FROM nbr),
         agg AS (
             SELECT doc_id,
@@ -1507,9 +1521,19 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_stats(fanout(load(spark, sf_dir, "documents")))
 
 
-def exact_substring_stats(docs: DataFrame) -> DataFrame:
+def exact_substring_stats(
+    docs: DataFrame, bucket_cap: int = ESD_BUCKET_CAP
+) -> DataFrame:
     """Suffix-ordering exact-substring duplication core over a
-    (doc_id, text) frame — see the exact_substring_dedup query doc."""
+    (doc_id, text) frame — see the exact_substring_dedup query doc.
+
+    Hot-bucket cap: buckets with more than ``bucket_cap`` suffixes never
+    reach the sorted-neighbor window — dup_start is already decided for
+    them (>= 2 same-bucket suffixes share >= ESD_MIN chars) and dup_len
+    saturates to length(s). This bounds the per-bucket sort at
+    bucket_cap rows, so a boilerplate-heavy corpus cannot pin one task.
+    The over-cap bucket list is ~n/bucket_cap rows (data-proportional):
+    MERGE-hinted, never a static broadcast."""
     ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     t = docs.select("doc_id", ws.alias("ws"))
     sfx = t.select(
@@ -1530,8 +1554,23 @@ def exact_substring_stats(docs: DataFrame) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # over-cap buckets: map-side-combined count, so the hot key arrives
+    # at the reduce side as one partial row per input partition — the
+    # size census itself cannot go hot
+    hot_buckets = (
+        eligible.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") > F.lit(bucket_cap))
+        .select("bucket", F.lit(True).alias("is_hot"))
+    )
+    marked = eligible.join(hot_buckets.hint("MERGE"), "bucket", "left")
+    hot_scored = marked.filter(F.col("is_hot").isNotNull()).select(
+        "doc_id", F.length("s").alias("dup_len")
+    )
+    cold = marked.filter(F.col("is_hot").isNull())
+
     w = Window.partitionBy("bucket").orderBy("s", "doc_id", "pos")
-    nbr = eligible.select(
+    nbr = cold.select(
         "doc_id",
         "pos",
         "s",
@@ -1544,7 +1583,7 @@ def exact_substring_stats(docs: DataFrame) -> DataFrame:
             _lcp_in_bucket(F.col("s"), F.col("p")),
             _lcp_in_bucket(F.col("s"), F.col("nx")),
         ).alias("dup_len"),
-    )
+    ).unionByName(hot_scored)
     agg = scored.groupBy("doc_id").agg(
         F.sum(F.when(F.col("dup_len") >= ESD_MIN, 1).otherwise(0))
         .cast("long")

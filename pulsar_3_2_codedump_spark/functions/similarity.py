@@ -2165,7 +2165,9 @@ def opq_dim_order(emb: DataFrame) -> list[int]:
 
     Determinism: the variance proxy is exact integer arithmetic on
     fixed-point values (q = floor(v * OPQ_QSCALE) as BIGINT; proxy =
-    n*Σq² − (Σq)², overflow-safe to ~1e9 vectors at |v| ≤ 1), so the
+    n*Σq² − (Σq)², overflow-safe to ~1e9 vectors at |v| ≤ 1 — the Spark
+    product runs in arbitrary-precision Python, the oracle's ranked CTE
+    casts n·Σq² and (Σq)² to HUGEINT for the same headroom), so the
     ranking — and hence the permutation — is bit-identical across engines
     and runs. FLOOR, not ROUND: round-half ties on float inputs diverge
     between engines. One corpus aggregation pass; the 64-row result is
@@ -2224,7 +2226,9 @@ _D_OPQ_PERM = f"""
             FROM qv GROUP BY dim),
         ranked AS (
             SELECT dim,
-                   ROW_NUMBER() OVER (ORDER BY n * ss - s * s DESC, dim) - 1 AS r0
+                   ROW_NUMBER() OVER (
+                       ORDER BY CAST(n AS HUGEINT) * ss
+                                - CAST(s AS HUGEINT) * s DESC, dim) - 1 AS r0
             FROM dimstats),
         perm AS (
             SELECT dim,

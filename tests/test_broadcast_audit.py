@@ -50,10 +50,22 @@ def test_fact_backed_keyed_aggregate_build_is_flagged():
     assert fact == ["documents"] and keys == ["ng"]
 
 
+COLLECT_LIMIT_BUILD = FACT_BUILD.replace(
+    "+- HashAggregate(keys=[ng#2], functions=[count(distinct doc_id#3L)])",
+    "+- CollectLimit 100\n         +- HashAggregate(keys=[ng#2], functions=[count(distinct doc_id#3L)])",
+)
+
+# fact-name SUFFIX in an identifier (e.g. a derived column preorders#12)
+# must not trip the fact matcher — requires a LEFT word boundary too
+SUFFIX_NAME_BUILD = FACT_BUILD.replace("documents", "predocuments")
+
+
 def test_limit_scalar_and_dim_builds_are_not_flagged():
     assert audit_plan(LIMIT_BUILD) == []          # bounded by construction
     assert audit_plan_rich(SCALAR_BUILD) == []    # one-row threshold
     assert audit_plan(DIM_BUILD) == []            # dimension scan, not a fact
+    assert audit_plan(COLLECT_LIMIT_BUILD) == []  # CollectLimit is Limit-bounded
+    assert audit_plan(SUFFIX_NAME_BUILD) == []    # identifier merely ends in a fact name
 
 
 def test_subtree_stops_at_sibling_depth():

@@ -713,6 +713,7 @@ def test_exact_substring_dedup_matches_python_suffix_scan(spark):
 
     from pulsar_3_2_codedump_spark.catalog import load
     from pulsar_3_2_codedump_spark.functions.dedup_ml import (
+        ESD_BUCKET_CAP,
         ESD_CAP,
         ESD_MIN,
         ESD_WORDS,
@@ -744,6 +745,11 @@ def test_exact_substring_dedup_matches_python_suffix_scan(spark):
     dup_starts = defaultdict(int)
     max_dup = defaultdict(int)
     for members in buckets.values():
+        if len(members) > ESD_BUCKET_CAP:  # hot-bucket saturation rule
+            for doc_id, pos, s in members:
+                dup_starts[doc_id] += 1
+                max_dup[doc_id] = max(max_dup[doc_id], len(s))
+            continue
         for doc_id, pos, s in members:
             best = max(
                 (
@@ -765,6 +771,59 @@ def test_exact_substring_dedup_matches_python_suffix_scan(spark):
     for doc_id in docs:
         expect = (n_starts[doc_id], dup_starts[doc_id], max_dup[doc_id])
         assert got[doc_id] == expect, f"doc {doc_id}: {got[doc_id]} != {expect}"
+
+
+def test_exact_substring_hot_bucket_cap_boundary(spark):
+    """Pins the r11 skew cap at its boundary: a bucket with EXACTLY
+    bucket_cap members takes the exact sorted-neighbor path; one past the
+    cap takes the saturated path (dup_start still exact — >= 2 members
+    decide it; dup_len saturates to length(s)). The same corpus run at a
+    cap large enough for both buckets must give the exact answers, so the
+    test also proves the cap only ever touches over-cap buckets."""
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import (
+        exact_substring_stats,
+    )
+
+    rows = [
+        # bucket 'a'*20 — 3 members (AT cap=3): exact path
+        (1, "a" * 20 + "X" * 10),            # LCP vs doc2 = 25
+        (2, "a" * 20 + "X" * 5 + "Y" * 5),   # LCP 25 / 20
+        (3, "a" * 20 + "Z" * 10),            # LCP vs doc2 = 20
+        # bucket 'b'*20 — 4 members (OVER cap=3): saturated path;
+        # exact answers would be 20 everywhere (all diverge at char 21)
+        (4, "b" * 20 + "P" * 5),             # len 25
+        (5, "b" * 20 + "Q" * 12),            # len 32
+        (6, "b" * 20 + "R" * 30),            # len 50
+        (7, "b" * 20),                       # len 20 (eligibility edge)
+        # singleton bucket: no duplication either way
+        (8, "c" * 30),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def result(cap):
+        return {
+            r["doc_id"]: (r["n_starts"], r["dup_starts"], r["max_dup_len"])
+            for r in exact_substring_stats(docs, bucket_cap=cap).collect()
+        }
+
+    capped = result(3)
+    assert capped[1] == (1, 1, 25)
+    assert capped[2] == (1, 1, 25)
+    assert capped[3] == (1, 1, 20)
+    # saturated: dup_len = length(s), dup_starts exact
+    assert capped[4] == (1, 1, 25)
+    assert capped[5] == (1, 1, 32)
+    assert capped[6] == (1, 1, 50)
+    assert capped[7] == (1, 1, 20)
+    assert capped[8] == (1, 0, 0)
+
+    exact = result(4)  # both buckets inside the cap -> fully exact
+    assert exact[4] == (1, 1, 20)
+    assert exact[5] == (1, 1, 20)
+    assert exact[6] == (1, 1, 20)
+    assert exact[7] == (1, 1, 20)
+    for d in (1, 2, 3, 8):
+        assert exact[d] == capped[d]
 
 
 def test_data_proportional_joins_never_broadcast(spark):

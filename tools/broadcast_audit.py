@@ -51,10 +51,10 @@ def audit_plan(plan: str):
             continue
         sub = subtree(lines, i)
         text = "\n".join(sub)
-        fact = [t for t in FACTS if re.search(rf"{t}\b|{t}\.parquet", text)]
+        fact = [t for t in FACTS if re.search(rf"\b{t}\b", text)]
         if not fact:
             continue
-        if re.search(r"\b(Global|Local)?Limit\b|WindowGroupLimit", text):
+        if re.search(r"\b(Global|Local|Collect)?Limit\b|WindowGroupLimit", text):
             continue  # bounded by construction
         # scalar (global) aggregate: HashAggregate(keys=[], ...)
         if re.search(r"HashAggregate\(keys=\[\]", text) and not re.search(
@@ -109,10 +109,10 @@ def audit_plan_rich(plan: str):
             continue
         sub = subtree(lines, i)
         text = "\n".join(sub)
-        fact = [t for t in FACTS if re.search(rf"{t}\b|{t}\.parquet", text)]
+        fact = [t for t in FACTS if re.search(rf"\b{t}\b", text)]
         if not fact:
             continue
-        if re.search(r"\b(Global|Local)?Limit\b|WindowGroupLimit", text):
+        if re.search(r"\b(Global|Local|Collect)?Limit\b|WindowGroupLimit", text):
             continue
         keyed = re.findall(r"HashAggregate\(keys=\[([^\]]+)\]", text)
         keyed = [k for k in keyed if k.strip()]

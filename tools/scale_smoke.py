@@ -53,7 +53,9 @@ def synthetic_envelope(spark, n_rows: int, skewed: bool = False):
 
 
 def main() -> None:
-    n_m = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
+    # flags (e.g. --spine) are not the positional row count
+    positional = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_m = float(positional[0]) if positional else 10.0
     n = int(n_m * 1_000_000)
     spark = get_spark("scale_smoke")
     env = synthetic_envelope(spark, n)
