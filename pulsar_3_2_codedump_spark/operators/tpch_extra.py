@@ -120,7 +120,7 @@ def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), supp.s_nationkey == sn.sn_key)
@@ -177,7 +177,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), cust.c_nationkey == cn.cn_key)
         .join(F.broadcast(region), cn.cn_region == region.r_regionkey)
@@ -232,7 +232,7 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(amount), 2).cast("double").alias("profit"))
     )
@@ -300,7 +300,7 @@ def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
@@ -439,7 +439,10 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(per_part_avg), li.l_partkey == F.col("ap_key"))
+        # per_part_avg is #parts rows DERIVED FROM LINEITEM — estimate-
+        # driven join choice (broadcasts at test SF, flips to shuffle at
+        # scale); an explicit broadcast would pin a fact-derived frame
+        .join(per_part_avg, li.l_partkey == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(_r2(F.sum("l_extendedprice") / 7.0).alias("avg_weekly_revenue"))
     )
@@ -479,7 +482,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "raw_qty")
     )
     return (
-        big.join(F.broadcast(orders), big.l_orderkey == orders.o_orderkey)
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
@@ -632,7 +635,7 @@ def sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
             "left_anti",
         )
-        .join(F.broadcast(orders), F.col("l_orderkey") == orders.o_orderkey)
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -15,6 +15,8 @@ sys.path.insert(
 
 from broadcast_audit import audit_plan, audit_plan_rich, subtree
 
+from tests.conftest import SF_DIR
+
 FACT_BUILD = """AdaptiveSparkPlan isFinalPlan=false
 +- SortMergeJoin [ng#1], [ng#2], Inner
    :- Sort [ng#1 ASC NULLS FIRST], false, 0
@@ -66,6 +68,32 @@ def test_limit_scalar_and_dim_builds_are_not_flagged():
     assert audit_plan(DIM_BUILD) == []            # dimension scan, not a fact
     assert audit_plan(COLLECT_LIMIT_BUILD) == []  # CollectLimit is Limit-bounded
     assert audit_plan(SUFFIX_NAME_BUILD) == []    # identifier merely ends in a fact name
+
+
+def test_flip_audit_only_allowlisted_fact_broadcasts_survive(spark):
+    """The class-(b) pin (VERDICT r10 item 3): every fact-backed broadcast
+    in the registry must be ESTIMATE-DRIVEN — plan the whole registry with
+    the broadcast threshold floored (-1, the 100TB condition where every
+    corpus-derived frame's estimate exceeds any threshold) and assert the
+    only builds still broadcasting are the explicit, documented measurement
+    forms in EXPLICIT_MEASUREMENT_BROADCASTS. Catches any future explicit
+    F.broadcast()/hint('BROADCAST') of a data-proportional frame at plan
+    time — this test found six TPC-H shapes broadcasting ORDERS when first
+    written. Planning-only (no execution): ~2 min for the full registry."""
+    from broadcast_audit import EXPLICIT_MEASUREMENT_BROADCASTS, flip_audit
+    from pulsar_3_2_codedump_spark.queries import load_all
+
+    flagged = flip_audit(spark, load_all(), SF_DIR)
+    skips = {n: h for n, h in flagged.items() if h and h[0][0] == "SKIP"}
+    assert not skips, f"flip audit could not plan: {skips}"
+    rogue = set(flagged) - set(EXPLICIT_MEASUREMENT_BROADCASTS)
+    assert not rogue, (
+        f"fact-backed broadcasts survive a floored threshold outside the "
+        f"documented allowlist: { {n: flagged[n] for n in sorted(rogue)} }"
+    )
+    # every allowlist entry must carry a non-empty documented reason
+    for name, reason in EXPLICIT_MEASUREMENT_BROADCASTS.items():
+        assert reason and len(reason) > 20, name
 
 
 def test_subtree_stops_at_sibling_depth():
