@@ -63,6 +63,9 @@ SECONDARY = [
     "source_overlap_matrix",
     "bitmap_distinct_rollup",
     "ppm_decode_pixel_stats",
+    # r11 (VERDICT r10 item 6): the heaviest r10 addition — suffix fan-out
+    # ~corpus_tokens rows; a kernel or hint regression was invisible in BENCH
+    "exact_substring_dedup",
 ]
 
 

@@ -720,3 +720,184 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf", 6).alias("rrf"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# MMR re-rank over the cosine top-k harness
+# --------------------------------------------------------------------------
+MMR_POOL = 15     # candidate pool depth re-ranked per query
+MMR_K = 4         # results emitted per query (greedy steps)
+MMR_LAM = 0.7     # relevance weight; (1 - MMR_LAM) weighs redundancy
+
+
+def _d_cos(a: str, b: str) -> str:
+    """DuckDB cosine between two list columns, mirroring similarity.cosine's
+    fold order exactly (left-fold sum, then divide by the norm product)."""
+    dot = (
+        f"list_aggregate(list_transform(generate_series(1, len({a})),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+    norm = lambda x: (  # noqa: E731
+        f"sqrt(list_aggregate(list_transform({x},"
+        f" v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))"
+    )
+    return f"{dot} / ({norm(a)} * {norm(b)})"
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as DuckDB CTEs (same pattern as the
+    greedy_coverage_selection oracle: one CTE pair per greedy step)."""
+    om = repr(1 - MMR_LAM)  # bit-identical to Spark's F.lit(1 - MMR_LAM)
+    score = f"({MMR_LAM} * r.rel - {om} * p.pen)"
+    parts = [
+        f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                   WHERE vec_id % 50 = 0),
+        rels AS (
+            SELECT q.query_id, c.vec_id AS cand_id, c.embedding,
+                   {_d_cos('q.embedding', 'c.embedding')} AS rel
+            FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+        pool AS (SELECT query_id, cand_id, embedding, rel FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY rel DESC, cand_id) AS rn
+            FROM rels) WHERE rn <= {MMR_POOL}),
+        sims AS (
+            SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+                   {_d_cos('a.embedding', 'b.embedding')} AS sim
+            FROM pool a JOIN pool b
+              ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+        s1 AS (SELECT query_id, cand_id, rel AS score FROM (
+            SELECT query_id, cand_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY rel DESC, cand_id) AS rn
+            FROM pool) WHERE rn = 1),
+        sel1 AS (SELECT query_id, cand_id FROM s1)"""
+    ]
+    for t in range(2, MMR_K + 1):
+        parts.append(f""",
+        p{t} AS (
+            SELECT s.query_id, s.ca AS cand_id, MAX(s.sim) AS pen
+            FROM sims s JOIN sel{t-1} x
+              ON x.query_id = s.query_id AND x.cand_id = s.cb
+            WHERE NOT EXISTS (SELECT 1 FROM sel{t-1} y
+                              WHERE y.query_id = s.query_id
+                                AND y.cand_id = s.ca)
+            GROUP BY s.query_id, s.ca),
+        s{t} AS (SELECT query_id, cand_id, score FROM (
+            SELECT p.query_id, p.cand_id, {score} AS score,
+                   ROW_NUMBER() OVER (PARTITION BY p.query_id
+                       ORDER BY {score} DESC, p.cand_id) AS rn
+            FROM p{t} p JOIN pool r
+              ON r.query_id = p.query_id AND r.cand_id = p.cand_id)
+            WHERE rn = 1),
+        sel{t} AS (SELECT query_id, cand_id FROM sel{t-1}
+                   UNION ALL SELECT query_id, cand_id FROM s{t})""")
+    emits = "\n        UNION ALL ".join(
+        f"SELECT query_id, CAST({t} AS BIGINT) AS step, cand_id AS neighbor_id,"
+        f" ROUND(score, 4) AS mmr_score FROM s{t}"
+        for t in range(1, MMR_K + 1)
+    )
+    parts.append(f"\n        {emits}")
+    return "".join(parts)
+
+
+@query(
+    "mmr_rerank",
+    section="2.N-sim",
+    doc="Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein '98, the "
+    f"standard diversity re-ranker in retrieval pipelines): the top-"
+    f"{MMR_POOL} cosine pool per query is greedily re-ranked {MMR_K} steps, "
+    f"each picking argmax {MMR_LAM}*rel(d) - {1 - MMR_LAM:.1f}*max_sim(d, "
+    "selected) with cand_id-asc tiebreak. All arithmetic is IEEE-identical "
+    "across engines (same fold order for dot/norm, same literal parse, "
+    "same op order for the score), so even this iterative optimizer has a "
+    "full hash oracle — the greedy_coverage_selection discipline applied "
+    "to vectors. Scale shape: the pool is a BOUNDED top-k from the "
+    "existing ANN harness (broadcast-queries measurement form; LSH/IVF/PQ "
+    f"bucketed variants are the serving path), so MMR adds O(pool² x K) "
+    "per query regardless of corpus size; each step is one anti-join + "
+    "one bounded max-agg + one per-query argmax window, lineage cut per "
+    "step.",
+    oracle=_mmr_oracle(),
+)
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from pulsar_3_2_codedump_spark.functions.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = fanout(emb).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    wp = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
+    pool = (
+        F.broadcast(q)
+        .join(c, F.col("cand_id") != F.col("query_id"))
+        .withColumn("rel", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= MMR_POOL)
+        .select("query_id", "cand_id", "rel", "c_emb")
+        .localCheckpoint()
+    )
+    a = pool.select(
+        "query_id", F.col("cand_id").alias("ca"), F.col("c_emb").alias("ea")
+    )
+    b = pool.select(
+        "query_id", F.col("cand_id").alias("cb"), F.col("c_emb").alias("eb")
+    )
+    sims = (
+        a.join(b, ["query_id"])
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            "query_id", "ca", "cb",
+            cosine(F.col("ea"), F.col("eb")).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    cand = pool.select("query_id", "cand_id", "rel")
+    best = (
+        cand.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "cand_id", F.col("rel").alias("score"))
+        .localCheckpoint()
+    )
+    outs = [best.select("query_id", F.lit(1).alias("step"), "cand_id", "score")]
+    selected = best.select("query_id", "cand_id")
+    ws = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    for step in range(2, MMR_K + 1):
+        remaining = cand.join(selected, ["query_id", "cand_id"], "left_anti")
+        pen = (
+            sims.join(
+                selected.select("query_id", F.col("cand_id").alias("cb")),
+                ["query_id", "cb"],
+            )
+            .groupBy("query_id", F.col("ca").alias("cand_id"))
+            .agg(F.max("sim").alias("pen"))
+        )
+        pick = (
+            remaining.join(pen, ["query_id", "cand_id"])
+            .withColumn(
+                "score",
+                F.lit(MMR_LAM) * F.col("rel") - F.lit(1 - MMR_LAM) * F.col("pen"),
+            )
+            .withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "cand_id", "score")
+            .localCheckpoint()
+        )
+        outs.append(
+            pick.select("query_id", F.lit(step).alias("step"), "cand_id", "score")
+        )
+        selected = selected.unionByName(pick.select("query_id", "cand_id"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "query_id",
+        F.col("step").cast("long").alias("step"),
+        F.col("cand_id").alias("neighbor_id"),
+        F.round("score", 4).alias("mmr_score"),
+    )

@@ -925,3 +925,170 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(lift, 6).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Trigram stupid-backoff perplexity (held-out scoring)
+# --------------------------------------------------------------------------
+SB_ALPHA = 0.4        # the stupid-backoff discount (Brants et al. 2007)
+SB_SCORE_DOCS = 400   # held-out docs reported (doc_id bound, output size)
+
+
+@query(
+    "trigram_backoff_perplexity",
+    section="2.N-text",
+    doc="Trigram stupid-backoff LM scoring (Brants et al., 'Large Language "
+    "Models in Machine Translation' — the web-scale backoff that skips "
+    "normalization): the model trains on the EVEN doc_ids and scores the "
+    "HELD-OUT odd doc_ids, so unseen trigrams actually exercise the "
+    f"backoff chain: S(w3|w1w2) = c3/ctx2, else {SB_ALPHA}*c2(w2w3)/"
+    f"ctx1(w2), else {SB_ALPHA}^2*c1(w3)/N, else {SB_ALPHA}^2/N (OOV "
+    "floor). Upgrade of perplexity_proxy's bigram form (VERDICT r10 item "
+    "5b); per-tier hit counts are exact integers so the backoff routing "
+    "itself is hash-audited, not just the final score. Scale shape: all "
+    "three count models are map-side-combinable aggs; context totals "
+    "derive from the already-aggregated n-gram tables (vocab-bounded), "
+    "never a second corpus pass; scoring is three shuffle joins on n-gram "
+    "string keys — estimate-driven strategies, no explicit broadcasts of "
+    "the vocab-scale models (flip-audit clean by construction); N ships "
+    "as a one-row scalar broadcast.",
+    oracle=rf"""
+        WITH tok AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+            FROM documents
+        ),
+        tg AS (
+            SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS tgm
+            FROM tok, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+        ),
+        bg AS (
+            SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bgm
+            FROM tok, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        ),
+        ug AS (
+            SELECT doc_id, ws[i] AS w
+            FROM tok, UNNEST(generate_series(1, len(ws))) AS t(i)
+        ),
+        cnt3 AS (SELECT tgm, COUNT(*) AS c3 FROM tg WHERE doc_id % 2 = 0 GROUP BY tgm),
+        ctx2 AS (SELECT array_to_string(string_split(tgm, ' ')[1:2], ' ') AS ctx,
+                        SUM(c3) AS cctx2
+                 FROM cnt3 GROUP BY 1),
+        tri AS (SELECT tgm, c3, cctx2 FROM cnt3
+                JOIN ctx2 ON array_to_string(string_split(tgm, ' ')[1:2], ' ') = ctx),
+        cnt2 AS (SELECT bgm, COUNT(*) AS c2 FROM bg WHERE doc_id % 2 = 0 GROUP BY bgm),
+        ctx1 AS (SELECT string_split(bgm, ' ')[1] AS ctx, SUM(c2) AS cctx1
+                 FROM cnt2 GROUP BY 1),
+        bi AS (SELECT bgm, c2, cctx1 FROM cnt2
+               JOIN ctx1 ON string_split(bgm, ' ')[1] = ctx),
+        uni AS (SELECT w, COUNT(*) AS c1 FROM ug WHERE doc_id % 2 = 0 GROUP BY w),
+        tot AS (SELECT SUM(c1) AS n FROM uni),
+        held AS (
+            SELECT doc_id, tgm,
+                   array_to_string(string_split(tgm, ' ')[2:3], ' ') AS bg23,
+                   string_split(tgm, ' ')[3] AS w3
+            FROM tg WHERE doc_id % 2 = 1 AND doc_id < {SB_SCORE_DOCS}
+        ),
+        scored AS (
+            SELECT h.doc_id,
+                   CASE WHEN t.c3 IS NOT NULL THEN 1 ELSE 0 END AS tri_hit,
+                   CASE WHEN t.c3 IS NULL AND b.c2 IS NOT NULL THEN 1 ELSE 0 END AS bi_hit,
+                   CASE WHEN t.c3 IS NULL AND b.c2 IS NULL AND u.c1 IS NOT NULL THEN 1 ELSE 0 END AS uni_hit,
+                   CASE WHEN t.c3 IS NOT NULL THEN t.c3 / t.cctx2
+                        WHEN b.c2 IS NOT NULL THEN {SB_ALPHA} * (b.c2 / b.cctx1)
+                        WHEN u.c1 IS NOT NULL THEN {SB_ALPHA * SB_ALPHA!r} * (u.c1 / tot.n)
+                        ELSE {SB_ALPHA * SB_ALPHA!r} * (1.0 / tot.n) END AS s
+            FROM held h
+            LEFT JOIN tri t ON h.tgm = t.tgm
+            LEFT JOIN bi b ON h.bg23 = b.bgm
+            LEFT JOIN uni u ON h.w3 = u.w
+            CROSS JOIN tot
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tri,
+               CAST(SUM(tri_hit) AS BIGINT) AS n_tri_hit,
+               CAST(SUM(bi_hit) AS BIGINT) AS n_bi_hit,
+               CAST(SUM(uni_hit) AS BIGINT) AS n_uni_hit,
+               ROUND(AVG(-log2(s)), 4) AS avg_neg_log2s
+        FROM scored GROUP BY doc_id
+    """,
+)
+def trigram_backoff_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.catalog import fanout
+
+    docs = fanout(load(spark, sf_dir, "documents"))
+    ws = words(F.col("text"))
+    n2 = F.greatest(F.size(ws) - 1, F.lit(0))
+    n3 = F.greatest(F.size(ws) - 2, F.lit(0))
+    join2 = lambda x, y: F.concat(x, F.lit(" "), y)  # noqa: E731
+    tgms = F.zip_with(
+        F.zip_with(F.slice(ws, 1, n3), F.slice(ws, 2, n3), join2),
+        F.slice(ws, 3, n3),
+        join2,
+    )
+    bgms = F.zip_with(F.slice(ws, 1, n2), F.slice(ws, 2, n2), join2)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    tg_t = train.select(F.explode(tgms).alias("tgm"))
+    bg_t = train.select(F.explode(bgms).alias("bgm"))
+    ug_t = train.select(F.explode(ws).alias("w"))
+    cnt3 = tg_t.groupBy("tgm").agg(F.count(F.lit(1)).alias("c3"))
+    ctx2 = cnt3.groupBy(
+        F.substring_index("tgm", " ", 2).alias("ctx")
+    ).agg(F.sum("c3").alias("cctx2"))
+    tri = cnt3.join(ctx2, F.substring_index(cnt3.tgm, " ", 2) == ctx2.ctx).select(
+        "tgm", "c3", "cctx2"
+    )
+    cnt2 = bg_t.groupBy("bgm").agg(F.count(F.lit(1)).alias("c2"))
+    ctx1 = cnt2.groupBy(
+        F.substring_index("bgm", " ", 1).alias("ctx")
+    ).agg(F.sum("c2").alias("cctx1"))
+    bi = cnt2.join(ctx1, F.substring_index(cnt2.bgm, " ", 1) == ctx1.ctx).select(
+        "bgm", "c2", "cctx1"
+    )
+    uni = ug_t.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    tot = uni.agg(F.sum("c1").alias("n"))
+    held = (
+        docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < SB_SCORE_DOCS))
+        .select("doc_id", F.explode(tgms).alias("tgm"))
+        .withColumn("bg23", F.substring_index("tgm", " ", -2))
+        .withColumn("w3", F.substring_index("tgm", " ", -1))
+    )
+    a2 = SB_ALPHA * SB_ALPHA
+    scored = (
+        held.join(tri, "tgm", "left")
+        .join(bi, held.bg23 == bi.bgm, "left")
+        .join(uni, held.w3 == uni.w, "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.when(F.col("c3").isNotNull(), 1).otherwise(0).alias("tri_hit"),
+            F.when(F.col("c3").isNull() & F.col("c2").isNotNull(), 1)
+            .otherwise(0)
+            .alias("bi_hit"),
+            F.when(
+                F.col("c3").isNull()
+                & F.col("c2").isNull()
+                & F.col("c1").isNotNull(),
+                1,
+            )
+            .otherwise(0)
+            .alias("uni_hit"),
+            F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("cctx2"))
+            .when(
+                F.col("c2").isNotNull(),
+                F.lit(SB_ALPHA) * (F.col("c2") / F.col("cctx1")),
+            )
+            .when(
+                F.col("c1").isNotNull(),
+                F.lit(a2) * (F.col("c1") / F.col("n")),
+            )
+            .otherwise(F.lit(a2) * (F.lit(1.0) / F.col("n")))
+            .alias("s"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tri"),
+        F.sum("tri_hit").cast("long").alias("n_tri_hit"),
+        F.sum("bi_hit").cast("long").alias("n_bi_hit"),
+        F.sum("uni_hit").cast("long").alias("n_uni_hit"),
+        F.round(F.avg(-F.log2("s")), 4).alias("avg_neg_log2s"),
+    )

@@ -745,3 +745,96 @@ def expire_messages_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_expired",
         "new_cursor",
     )
+
+
+# --------------------------------------------------------------------------
+# Exactly-once replay audit (broker dedup end-to-end)
+# --------------------------------------------------------------------------
+EO_BATCH1_HI = 1200   # first publish: event_id [0, 1200)
+EO_OVERLAP_LO = 800   # continuation batch: [800, 2000) — 400 ids overlap
+EO_TOTAL = 2000
+EO_PARTS = 4
+
+
+@query(
+    "exactly_once_replay_audit",
+    section="2.E1-K1",
+    doc="END-TO-END exactly-once idempotence audit through the real sink "
+    "(MessageDeduplication.java:325 — per-producer sequence high-water "
+    "marks consulted under the broker's publish path; our append() holds "
+    "them in the topic manifest and checks under the writer lock): a "
+    f"producer batch (event_id < {EO_BATCH1_HI}) is published, then "
+    "REPLAYED VERBATIM (the retry-after-lost-ack path PulsarClient's "
+    "resend logic produces), then a continuation batch "
+    f"[{EO_OVERLAP_LO}, {EO_TOTAL}) whose first "
+    f"{EO_BATCH1_HI - EO_OVERLAP_LO} ids overlap the first publish. The "
+    "committed log must hold each sequence_id EXACTLY ONCE — per-"
+    "partition count, max sequence and a payload md5 checksum must equal "
+    "what ONE clean publish gives, which is what the oracle computes "
+    "directly from events. Exercises append -> hwm dedup -> manifest "
+    "commit -> read_topic; the checksum catches duplicate AND corrupted "
+    "payloads, not just miscounts. Scale: dedup state is per-producer "
+    "high-water marks (manifest metadata), never per-message driver "
+    "state; the audit aggregate is one partial-agg scan of the topic.",
+    oracle=f"""
+        SELECT CAST(event_id % {EO_PARTS} AS BIGINT) AS partition,
+               COUNT(*) AS n_committed,
+               MAX(event_id) AS max_seq,
+               CAST(SUM(CAST(('0x' || substr(md5('ev-' || CAST(event_id AS VARCHAR)), 1, 8))
+                        AS BIGINT)) AS BIGINT) AS payload_md5_sum
+        FROM events WHERE event_id < {EO_TOTAL}
+        GROUP BY 1
+    """,
+)
+def exactly_once_replay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pulsar_3_2_codedump_spark import topic as T
+
+    ev = load(spark, sf_dir, "events")
+
+    def batch(lo: int, hi: int) -> DataFrame:
+        d = ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        return d.select(
+            F.col("event_id").cast("string").alias("key"),
+            F.to_binary(
+                F.concat(F.lit("ev-"), F.col("event_id").cast("string")),
+                F.lit("utf-8"),
+            ).alias("value"),
+            F.create_map(F.lit("event_type"), F.col("event_type")).alias(
+                "properties"
+            ),
+            F.col("ts").alias("event_time"),
+            F.col("ts").alias("publish_time"),
+            F.concat(
+                F.lit("p-"), (F.col("event_id") % EO_PARTS).cast("string")
+            ).alias("producer_name"),
+            F.col("event_id").alias("sequence_id"),
+            F.lit(None).cast("timestamp").alias("deliver_at"),
+            F.lit(None).cast("int").alias("marker_type"),
+            F.lit(None).cast("string").alias("replicated_from"),
+            (F.col("event_id") % EO_PARTS).cast("int").alias("partition"),
+        )
+
+    root = tempfile.mkdtemp(prefix="exactly_once_")
+    try:
+        tp = T.create_topic(root + "/topics", "replay", n_partitions=EO_PARTS)
+        T.append(spark, batch(0, EO_BATCH1_HI), tp)          # clean publish
+        T.append(spark, batch(0, EO_BATCH1_HI), tp)          # verbatim replay
+        T.append(spark, batch(EO_OVERLAP_LO, EO_TOTAL), tp)  # partial overlap
+        out = (
+            T.read_topic(spark, tp)
+            .groupBy(F.col("partition").cast("long").alias("partition"))
+            .agg(
+                F.count(F.lit(1)).alias("n_committed"),
+                F.max("sequence_id").alias("max_seq"),
+                F.sum(
+                    F.conv(F.substring(F.md5("value"), 1, 8), 16, 10).cast("long")
+                ).cast("long").alias("payload_md5_sum"),
+            )
+        )
+        rows = out.collect()  # EO_PARTS rows — materialize before cleanup
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

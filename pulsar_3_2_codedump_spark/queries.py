@@ -64,21 +64,69 @@ def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""
 #      than ~4 rounds stale against fixture regenerations.
 # The window is ALWAYS the first 50 entries of this list; the boundary
 # comment below marks it. Never leave a changed query below the boundary.
-# r10 window (tools/rotate_window.py --changed segment_compaction_plan,
-# ppm_decode_pixel_stats,duplicated_ngram_coverage,dedup_span_removal):
-# the 4 code-changed queries (layout.py oracle HUGEINT cast; ppm_dims
-# single-source-of-truth refactor; MERGE hints pinning the data-
-# proportional dup-ngram / per-doc-agg joins off the broadcast path),
-# the 3 NEW r10 registrations (OPQ-rotated PQ, exact-substring dedup,
-# streaming token drift monitor), then 43 freshness re-hashes
-# oldest-green-first (the r4 cohort).
+# r11 window (tools/rotate_window.py --changed <12 names>): the 12
+# code-changed queries (exact_substring_dedup hot-bucket cap + ESD_WORDS
+# 26; opq oracle HUGEINT ranking; ten TPC-H shapes de-hinted from
+# explicit fact broadcasts to estimate-driven joins), the 3 NEW r11
+# registrations (MMR re-rank, trigram stupid-backoff perplexity,
+# exactly-once replay audit), then 35 freshness re-hashes
+# oldest-green-first (the r5 cohort).
 PRIORITY_ORDER = [
+    "exact_substring_dedup",
+    "opq_rotated_adc_topk",
+    "shipping_priority",
+    "local_supplier_volume",
+    "returned_item_customers",
+    "nation_volume_shipping",
+    "nation_market_share",
+    "product_profit",
+    "priority_line_counts",
+    "large_volume_customers",
+    "sole_return_suppliers",
+    "small_quantity_revenue",
+    "mmr_rerank",
+    "trigram_backoff_perplexity",
+    "exactly_once_replay_audit",
+    "streaming_delayed_delivery",
+    "streaming_count_windows",
+    "stratified_sample",
+    "mixture_weights",
+    "repetition_ratio",
+    "pii_scrub_stats",
+    "corpus_curation_pipeline",
+    "multimodal_frame_sample",
+    "embedding_quantization",
+    "round_robin_routing",
+    "avro_decode_value",
+    "keyvalue_decode",
+    "stats_summary",
+    "exact_dedup",
+    "cosine_topk",
+    "text_quality_score",
+    "tumbling_window_counts",
+    "sliding_window_counts",
+    "session_window_gaps",
+    "count_window_tumbling",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "lsh_bucket_stats",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprint",
+    "embedding_cosine_neardup",
+    "language_id",
+    "doc_fingerprints",
+    "top_terms",
+    "document_chunking",
+    "multimodal_features",
+    "count_window_sliding",
+    "salted_hot_key_agg",
+    "anti_join_customers_without_orders",
+    "semi_join_customers_with_orders",
+    # ---- rotation window boundary (50) ----
     "segment_compaction_plan",
     "ppm_decode_pixel_stats",
     "duplicated_ngram_coverage",
     "dedup_span_removal",
-    "opq_rotated_adc_topk",
-    "exact_substring_dedup",
     "streaming_token_drift_monitor",
     "asof_join_prior_view",
     "text_token_stats",
@@ -86,19 +134,12 @@ PRIORITY_ORDER = [
     "bpe_regex_tokens",
     "multimodal_metadata",
     "min_acctbal_supplier_per_part",
-    "nation_volume_shipping",
-    "nation_market_share",
-    "product_profit",
     "important_part_values",
-    "priority_line_counts",
     "promo_revenue_pct",
     "top_supplier_revenue",
     "supplier_part_variety",
-    "small_quantity_revenue",
-    "large_volume_customers",
     "disjunctive_predicate_revenue",
     "excess_volume_suppliers",
-    "sole_return_suppliers",
     "idle_wealthy_customers",
     "minhash_lsh_dedup",
     "tableview_latest",
@@ -123,9 +164,6 @@ PRIORITY_ORDER = [
     "ack_holes_redelivery",
     "marker_filtered_scan",
     "jdbc_roundtrip",
-    # ---- rotation window boundary (50) ----
-    "streaming_delayed_delivery",
-    "streaming_count_windows",
     "psi_drift",
     "score_calibration_bins",
     "triangle_count",
@@ -266,21 +304,6 @@ PRIORITY_ORDER = [
     "zipf_slope",
     "topic_storage_stats",
     "shingle_containment_pairs",
-    "lsh_ann_topk",
-    "ivf_ann_topk",
-    "lsh_bucket_stats",
-    "ngram_jaccard_pairs",
-    "simhash_fingerprint",
-    "embedding_cosine_neardup",
-    "language_id",
-    "doc_fingerprints",
-    "top_terms",
-    "document_chunking",
-    "multimodal_features",
-    "count_window_sliding",
-    "salted_hot_key_agg",
-    "anti_join_customers_without_orders",
-    "semi_join_customers_with_orders",
     "outer_join_order_counts",
     "theta_join_acctbal",
     "range_join_price_bands",
@@ -301,7 +324,6 @@ PRIORITY_ORDER = [
     "exists_in_subqueries",
     "forecast_revenue_change",
     "order_priority_check",
-    "returned_item_customers",
     "schema_decode_value",
     "protobuf_decode_value",
     "streaming_session_windows",
@@ -316,26 +338,6 @@ PRIORITY_ORDER = [
     "winnowing_fingerprints",
     "cross_corpus_dedup",
     "pricing_summary",
-    "stratified_sample",
-    "mixture_weights",
-    "repetition_ratio",
-    "pii_scrub_stats",
-    "corpus_curation_pipeline",
-    "multimodal_frame_sample",
-    "embedding_quantization",
-    "round_robin_routing",
-    "avro_decode_value",
-    "keyvalue_decode",
-    "shipping_priority",
-    "local_supplier_volume",
-    "stats_summary",
-    "exact_dedup",
-    "cosine_topk",
-    "text_quality_score",
-    "tumbling_window_counts",
-    "sliding_window_counts",
-    "session_window_gaps",
-    "count_window_tumbling",
 ]
 
 

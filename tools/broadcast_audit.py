@@ -99,6 +99,8 @@ EXPLICIT_MEASUREMENT_BROADCASTS: dict[str, str] = {
     "#queries x M x 256 floats, bounded by the strided query set",
     "knn_label_vote": _QUERY_SET,
     "lsh_ann_topk": _QUERY_SET,
+    "mmr_rerank": _QUERY_SET + "; the re-ranked pool is top-"
+    "MMR_POOL bounded, so the MMR steps add O(pool^2 K) per query",
     "quantized_ann_recall": _QUERY_SET,
     "truncated_embedding_recall": _QUERY_SET,
     "pmi_collocations": "broadcasts the unigram count model — "
