@@ -713,10 +713,14 @@ def main() -> None:
     # aggregate over the COMPUTED columns (a bare count would let Catalyst
     # eliminate the distinct-key left join and skip the window work).
     # Two corpora: the 50-word-vocab docs are a deliberate WORST CASE
-    # (~87% of suffixes duplicated -> a few huge buckets, so the
-    # bucket-partitioned sort runs hot; the skew ceiling documented in the
-    # query doc), while the 10k-vocab corpus has the singleton-bucket
-    # profile of real text, where the same plan runs at scan speed.
+    # (~87% of suffixes duplicated -> a few huge buckets), while the
+    # 10k-vocab corpus has the singleton-bucket profile of real text,
+    # where the same plan runs at scan speed. Since r11 the hot profile
+    # exercises the ESD_BUCKET_CAP saturated path: over-cap buckets skip
+    # the sorted-neighbor window (dup_start stays exact, dup_len
+    # saturates to length(s)) — measured 19.6x faster than the uncapped
+    # sort on an all-identical-boilerplate corpus at equal scale
+    # (SCALE.md r11).
     def esd_run(name, frame, nd):
         # time a COLLECT of the 1-row aggregate: count() of a global agg is
         # constant-folded by Catalyst (it never runs the suffix plan)
