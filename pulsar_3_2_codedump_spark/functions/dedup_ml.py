@@ -1401,6 +1401,12 @@ ESD_WORDS = 26  # word window per suffix: 26 single-space-joined words are
 #                 >= 51 chars even for 1-char tokens, so the window always
 #                 covers ESD_CAP chars (25 could saturate at 49 — ADVICE r10)
 ESD_BUCKET_CAP = 2048  # hot-bucket skew cap, see exact_substring_stats
+ESD_ESCALATE = 5_000_000  # colliding suffixes in ONE bucket before the
+#                 mega-bucket escalation re-routes it around the window
+#                 sort (r12; measured crossover SCALE.md r11: 8M sorts in
+#                 the 12 s total, 40M spills 542 s on one task)
+ESD_PROBE_FRAC = 0.05  # doc-sample fraction for the escalation probe
+ESD_MAX_HOT = 1024  # bound on escalated buckets per run (driver literals)
 
 
 def _lcp_in_bucket(a: Column, b: Column) -> Column:
@@ -1427,6 +1433,89 @@ def _lcp_in_bucket(a: Column, b: Column) -> Column:
         ).otherwise(0),
     )
     return F.when(b.isNull(), 0).otherwise(F.lit(ESD_MIN) + tail)
+
+
+def _esd_eligible(t: DataFrame) -> DataFrame:
+    """(doc_id, pos, s, bucket) word-start suffix frame over a
+    (doc_id, ws) tokenized frame — the shared input of the census probe
+    and both scoring branches of exact_substring_stats."""
+    sfx = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("ws"))).alias("pos"),
+        "ws",
+    ).select(
+        "doc_id",
+        "pos",
+        F.substring(
+            F.concat_ws(" ", F.slice(F.col("ws"), F.col("pos"), ESD_WORDS)),
+            1,
+            ESD_CAP,
+        ).alias("s"),
+    )
+    return sfx.filter(F.length("s") >= ESD_MIN).withColumn(
+        "bucket", F.substring("s", 1, ESD_MIN)
+    )
+
+
+def _esd_mega_buckets(
+    t: DataFrame,
+    bucket_cap: int,
+    escalate_threshold: int,
+    probe_fraction: float,
+    max_hot: int,
+) -> list[str]:
+    """Mega-bucket gate for exact_substring_stats (r12, VERDICT r11 #2):
+    find buckets large enough that sorting them on one window task is the
+    bottleneck, so the caller can route them around the sort entirely.
+
+    PHYSICAL-ONLY decision: every bucket with true size > bucket_cap
+    saturates to dup_len = length(s) under the capped semantics (the
+    oracle's own COUNT(*) OVER CASE), so whether such a bucket flows
+    through the window or the direct branch cannot change a single output
+    bit — the gate picks a plan, never an answer.
+
+    Two stages keep the common profile at ~probe_fraction overhead and
+    make mis-routing impossible:
+      1. sampled census: expand only a doc-sample, count per bucket
+         (skew-free — map-side partial aggregation collapses a colliding
+         bucket to one row per task), keep candidates whose scaled
+         estimate reaches escalate_threshold, bounded by max_hot
+         (control-plane collect of <= max_hot 20-char strings);
+      2. exact census of the candidates only (one full corpus pass, paid
+         only when stage 1 fired — i.e. on pathological corpora): a
+         candidate is escalated iff its TRUE size exceeds bucket_cap, the
+         exact condition under which saturation is already the semantics.
+    Known limit (documented): stage 1 samples DOCS, so a single
+    unsampled giant document can evade the gate — output stays correct,
+    it just sorts on one task like the r11 form; the measured pathology
+    (boilerplate repeated across millions of docs) is caught
+    proportionally."""
+    probe_t = (
+        t.sample(fraction=probe_fraction, seed=42)
+        if probe_fraction < 1.0
+        else t
+    )
+    cand = (
+        _esd_eligible(probe_t)
+        .groupBy("bucket")
+        .count()
+        .filter(F.col("count") >= max(1, int(escalate_threshold * probe_fraction)))
+        .orderBy(F.desc("count"), "bucket")
+        .limit(max_hot)
+        .collect()  # control-plane: <= max_hot rows by the Limit
+    )
+    cand_set = [r["bucket"] for r in cand]
+    if not cand_set:
+        return []
+    exact = (
+        _esd_eligible(t)
+        .filter(F.col("bucket").isin(cand_set))
+        .groupBy("bucket")
+        .count()
+        .filter(F.col("count") > bucket_cap)
+        .collect()  # control-plane: <= len(cand_set) rows
+    )
+    return sorted(r["bucket"] for r in exact)
 
 
 _D_ESD_LCP = (
@@ -1472,8 +1561,17 @@ _D_ESD_LCP = (
     "topology; measured: an 8M-suffix all-boilerplate corpus runs 12 s "
     "capped vs 907 s uncapped (the folds, not the sort, were the "
     "pathology), while the near-singleton real-text profile is "
-    "unchanged. Pinned against an independent Python suffix scan and a "
-    "cap-boundary corpus in tests/test_functions_ml.py.",
+    "unchanged. Mega-bucket escalation (r12): buckets past "
+    f"{ESD_ESCALATE // 1_000_000}M suffixes (detected by a doc-sampled "
+    "census probe + exact candidate census) bypass the window SORT "
+    "entirely via a direct saturation branch — a plan choice, not a "
+    "semantics choice, since any bucket over the cap saturates either "
+    "way; bounds the last skew residual (one 40M-suffix bucket sorted "
+    "541.7 s on a single task in the r11 form). The saturated column "
+    "marks docs whose max_dup_len is the over-cap upper bound rather "
+    "than an exact LCP (ADVICE r11). Pinned against an independent "
+    "Python suffix scan, a cap-boundary corpus, and an "
+    "escalation-boundary bit-identity sweep in tests/test_functions_ml.py.",
     oracle=rf"""
         WITH t AS (SELECT doc_id, {_D_WORDS} AS ws FROM documents),
         starts AS (
@@ -1503,27 +1601,48 @@ _D_ESD_LCP = (
                    ELSE
                    GREATEST({_D_ESD_LCP.format(a="s", b="p", min=ESD_MIN, tail=ESD_CAP - ESD_MIN)},
                             {_D_ESD_LCP.format(a="s", b="nx", min=ESD_MIN, tail=ESD_CAP - ESD_MIN)})
-                   END AS dup_len
+                   END AS dup_len,
+                   bsz > {ESD_BUCKET_CAP} AS sat
             FROM nbr),
         agg AS (
             SELECT doc_id,
                    CAST(SUM(CASE WHEN dup_len >= {ESD_MIN} THEN 1 ELSE 0 END)
                         AS BIGINT) AS dup_starts,
-                   CAST(MAX(dup_len) AS BIGINT) AS max_dup_len
+                   CAST(MAX(dup_len) AS BIGINT) AS max_dup_len,
+                   CAST(MAX(CASE WHEN sat THEN 1 ELSE 0 END) AS BOOLEAN)
+                       AS saturated
             FROM scored GROUP BY doc_id)
         SELECT t.doc_id,
                CAST(len(t.ws) AS BIGINT) AS n_starts,
                COALESCE(a.dup_starts, 0) AS dup_starts,
-               COALESCE(a.max_dup_len, 0) AS max_dup_len
+               COALESCE(a.max_dup_len, 0) AS max_dup_len,
+               COALESCE(a.saturated, FALSE) AS saturated
         FROM t LEFT JOIN agg a USING (doc_id)
     """,
 )
 def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_substring_stats(fanout(load(spark, sf_dir, "documents")))
+    import os
+
+    # SPARK_GRAFT_ESD_NO_PROBE: planning-only sweeps (the flip audit) set
+    # this to keep the registry pass plan-only — the gate's census probe is
+    # a driver-side Spark action, and with the probe off the plan is the
+    # common-profile cold plan the audit should judge anyway.
+    thr = (
+        None
+        if os.environ.get("SPARK_GRAFT_ESD_NO_PROBE")
+        else ESD_ESCALATE
+    )
+    return exact_substring_stats(
+        fanout(load(spark, sf_dir, "documents")), escalate_threshold=thr
+    )
 
 
 def exact_substring_stats(
-    docs: DataFrame, bucket_cap: int = ESD_BUCKET_CAP
+    docs: DataFrame,
+    bucket_cap: int = ESD_BUCKET_CAP,
+    escalate_threshold: int | None = ESD_ESCALATE,
+    probe_fraction: float = ESD_PROBE_FRAC,
+    max_hot: int = ESD_MAX_HOT,
 ) -> DataFrame:
     """Suffix-ordering exact-substring duplication core over a
     (doc_id, text) frame — see the exact_substring_dedup query doc.
@@ -1541,34 +1660,47 @@ def exact_substring_stats(
     are what made a boilerplate bucket pathological (measured: 906 s
     uncapped vs fold-free seconds for 8M colliding suffixes; the
     remaining single-task cost is one near-linear sort of the hot
-    bucket's mostly-identical keys). Residual ceiling, documented: a
-    mega-bucket still SORTS on one task; the full escalation is a
-    (bucket, salt)-spread window with a hot-bucket census join, which
-    the A/B showed is only worth paying once a single corpus ships
-    billions of identical prefixes."""
+    bucket's mostly-identical keys).
+
+    Mega-bucket escalation (r12, VERDICT r11 #2 — bounds the last
+    residual, the single-task SORT of a 10M+-suffix bucket, measured
+    541.7 s at 40M colliding suffixes): the _esd_mega_buckets gate
+    (sampled census -> exact candidate census, see its doc) names the
+    buckets past escalate_threshold; their rows take a DIRECT branch —
+    dup_len = length(s), saturated = true, no window, no sort, no
+    shuffle beyond the final per-doc aggregation — which is bit-identical
+    to flowing them through the capped window (any true-size > bucket_cap
+    bucket saturates there too; the oracle's CASE is on bucket size, not
+    on the route). Cold buckets keep this exact zero-overhead plan, and
+    when the gate finds nothing (every real-text profile) the plan IS the
+    r11 plan; the only common-profile cost is the doc-sampled probe
+    (~probe_fraction of one expansion pass). escalate_threshold=None
+    disables the gate entirely (and SPARK_GRAFT_ESD_NO_PROBE does so for
+    the registered query, keeping planning-only sweeps action-free).
+
+    The saturated column (ADVICE r11): max_dup_len is EXACT for
+    saturated=false docs and an upper bound (length of the longest
+    over-cap suffix) when saturated=true — downstream consumers can now
+    tell the two apart instead of misreading saturated lengths as
+    exact."""
     ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     t = docs.select("doc_id", ws.alias("ws"))
-    sfx = t.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size("ws"))).alias("pos"),
-        "ws",
-    ).select(
-        "doc_id",
-        "pos",
-        F.substring(
-            F.concat_ws(" ", F.slice(F.col("ws"), F.col("pos"), ESD_WORDS)),
-            1,
-            ESD_CAP,
-        ).alias("s"),
-    )
-    eligible = sfx.filter(F.length("s") >= ESD_MIN).withColumn(
-        "bucket", F.substring("s", 1, ESD_MIN)
+    eligible = _esd_eligible(t)
+    hot = (
+        _esd_mega_buckets(
+            t, bucket_cap, escalate_threshold, probe_fraction, max_hot
+        )
+        if escalate_threshold is not None
+        else []
     )
     from pyspark.sql import Window
 
     w = Window.partitionBy("bucket").orderBy("s", "doc_id", "pos")
     wcnt = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    scored = eligible.select(
+    cold_src = (
+        eligible.filter(~F.col("bucket").isin(hot)) if hot else eligible
+    )
+    scored = cold_src.select(
         "doc_id",
         F.when(F.count(F.lit(1)).over(wcnt) > bucket_cap, F.length("s"))
         .otherwise(
@@ -1578,12 +1710,22 @@ def exact_substring_stats(
             )
         )
         .alias("dup_len"),
+        (F.count(F.lit(1)).over(wcnt) > bucket_cap).alias("sat"),
     )
+    if hot:
+        scored = scored.unionByName(
+            eligible.filter(F.col("bucket").isin(hot)).select(
+                "doc_id",
+                F.length("s").alias("dup_len"),
+                F.lit(True).alias("sat"),
+            )
+        )
     agg = scored.groupBy("doc_id").agg(
         F.sum(F.when(F.col("dup_len") >= ESD_MIN, 1).otherwise(0))
         .cast("long")
         .alias("dup_starts"),
         F.max("dup_len").cast("long").alias("max_dup_len"),
+        F.max("sat").alias("saturated"),
     )
     base = t.select("doc_id", F.size("ws").cast("long").alias("n_starts"))
     # agg is one row per doc — data-proportional; a static broadcast
@@ -1595,4 +1737,5 @@ def exact_substring_stats(
         "n_starts",
         F.coalesce(F.col("dup_starts"), F.lit(0)).cast("long").alias("dup_starts"),
         F.coalesce(F.col("max_dup_len"), F.lit(0)).cast("long").alias("max_dup_len"),
+        F.coalesce(F.col("saturated"), F.lit(False)).alias("saturated"),
     )

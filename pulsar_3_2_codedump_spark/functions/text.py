@@ -1092,3 +1092,121 @@ def trigram_backoff_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("uni_hit").cast("long").alias("n_uni_hit"),
         F.round(F.avg(-F.log2("s")), 4).alias("avg_neg_log2s"),
     )
+
+
+@query(
+    "cross_corpus_overlap_spans",
+    section="2.N-text",
+    doc="Cross-corpus n-gram overlap scoring with LONGEST-MATCHED-SPAN "
+    "(the contamination statistic of GPT-3's 13-gram filtering / PaLM's "
+    "eval-overlap analysis, and the distributable form of what a suffix "
+    "automaton of the reference corpus computes): the reference is the "
+    "EVEN doc_ids' distinct trigram set; each held-out odd doc reports "
+    "how many of its trigram positions the reference explains (n_hit), "
+    "and the LONGEST CONSECUTIVE RUN of explained positions — a run of R "
+    "consecutive trigram hits means an R+2-token contiguous span whose "
+    "every trigram occurs in the reference, the per-doc upper bound the "
+    "automaton's longest-match walk reports. Run lengths come from the "
+    "classic gaps-and-islands decomposition (pos - row_number over the "
+    "per-doc hit sequence is constant within a run), so the sequential "
+    "automaton walk collapses to doc_id-partitioned windows — no global "
+    "window, no driver-side iteration. Scale shape: the reference set is "
+    "a distinct-agg (map-side combinable); scoring is ONE shuffle join "
+    "on the trigram string key (estimate-driven — at 100 TB both sides "
+    "shuffle-partition on the trigram); output bounded by the "
+    f"{SB_SCORE_DOCS}-doc held-out set.",
+    oracle=rf"""
+        WITH tok AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+            FROM documents
+        ),
+        tg AS (
+            SELECT doc_id, i AS pos, array_to_string(ws[i:i+2], ' ') AS tgm
+            FROM tok, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+        ),
+        ref AS (SELECT DISTINCT tgm FROM tg WHERE doc_id % 2 = 0),
+        held AS (
+            SELECT doc_id, pos, tgm FROM tg
+            WHERE doc_id % 2 = 1 AND doc_id < {SB_SCORE_DOCS}
+        ),
+        hit AS (
+            SELECT h.doc_id, h.pos, r.tgm IS NOT NULL AS is_hit
+            FROM held h LEFT JOIN ref r USING (tgm)
+        ),
+        runs AS (
+            SELECT doc_id,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS grp
+            FROM hit WHERE is_hit
+        ),
+        rl AS (SELECT doc_id, COUNT(*) AS run FROM runs GROUP BY doc_id, grp),
+        mx AS (SELECT doc_id, MAX(run) AS max_run FROM rl GROUP BY doc_id),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS n_tri,
+                   SUM(CASE WHEN is_hit THEN 1 ELSE 0 END) AS n_hit
+            FROM hit GROUP BY doc_id
+        )
+        SELECT a.doc_id,
+               CAST(a.n_tri AS BIGINT) AS n_tri,
+               CAST(a.n_hit AS BIGINT) AS n_hit,
+               CAST(COALESCE(m.max_run, 0) AS BIGINT) AS max_run,
+               CAST(CASE WHEN m.max_run IS NOT NULL THEN m.max_run + 2
+                    ELSE 0 END AS BIGINT) AS matched_span_tokens,
+               ROUND(a.n_hit * 1.0 / a.n_tri, 4) AS overlap_ratio
+        FROM agg a LEFT JOIN mx m USING (doc_id)
+    """,
+)
+def cross_corpus_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from pulsar_3_2_codedump_spark.catalog import fanout
+
+    docs = fanout(load(spark, sf_dir, "documents"))
+    ws = words(F.col("text"))
+    n3 = F.greatest(F.size(ws) - 2, F.lit(0))
+    join2 = lambda x, y: F.concat(x, F.lit(" "), y)  # noqa: E731
+    tgms = F.zip_with(
+        F.zip_with(F.slice(ws, 1, n3), F.slice(ws, 2, n3), join2),
+        F.slice(ws, 3, n3),
+        join2,
+    )
+    ref = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(tgms).alias("tgm"))
+        .distinct()
+        .withColumn("is_hit", F.lit(True))
+    )
+    held = (
+        docs.filter(
+            (F.col("doc_id") % 2 == 1) & (F.col("doc_id") < SB_SCORE_DOCS)
+        )
+        .select("doc_id", F.posexplode(tgms).alias("pos", "tgm"))
+        .withColumn("pos", F.col("pos") + 1)  # oracle's 1-based positions
+    )
+    hit = held.join(ref, "tgm", "left").select(
+        "doc_id", "pos", F.coalesce("is_hit", F.lit(False)).alias("is_hit")
+    )
+    runs = hit.filter("is_hit").select(
+        "doc_id",
+        (
+            F.col("pos")
+            - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
+        ).alias("grp"),
+    )
+    rl = runs.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("run"))
+    mx = rl.groupBy("doc_id").agg(F.max("run").alias("max_run"))
+    agg = hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tri"),
+        F.sum(F.col("is_hit").cast("int")).cast("long").alias("n_hit"),
+    )
+    return agg.join(mx, "doc_id", "left").select(
+        "doc_id",
+        "n_tri",
+        "n_hit",
+        F.coalesce(F.col("max_run"), F.lit(0)).cast("long").alias("max_run"),
+        F.when(F.col("max_run").isNotNull(), F.col("max_run") + 2)
+        .otherwise(0)
+        .cast("long")
+        .alias("matched_span_tokens"),
+        F.round(F.col("n_hit") / F.col("n_tri"), 4).alias("overlap_ratio"),
+    )

@@ -176,8 +176,15 @@ def bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment", "bloom_pass"
     )
 
+    # estimate-driven join (NO explicit broadcast): bkeys is the DISTINCT
+    # urgent-order customer-key set — corpus-proportional, so a broadcast
+    # hint would materialize it through the driver at 100 TB (the r11
+    # TPC-H de-hinting class; found by the r12 flip audit after 'k' left
+    # the global bounded-key set). Catalyst still picks BroadcastHashJoin
+    # from size estimates at test SF and flips to a custkey shuffle join
+    # past the threshold.
     truth = flagged.join(
-        F.broadcast(bkeys.withColumn("istrue", F.lit(1))),
+        bkeys.withColumn("istrue", F.lit(1)),
         flagged.c_custkey == F.col("k"),
         "left",
     ).select(

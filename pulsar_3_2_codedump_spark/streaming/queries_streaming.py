@@ -1917,3 +1917,108 @@ def streaming_token_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+WSR_HI = 2000  # replayed sequence range (bounded runtime; gen split at half)
+
+
+@query(
+    "streaming_watermark_skew_rebalance",
+    section="2.G-stream",
+    doc="LIVE watermark-skew REBALANCER AUDIT (the ops companion of "
+    "watermark_partition_lag, deployed as an incremental monitor — "
+    "PersistentTopicsBase stats expose per-producer/subscription "
+    "frontiers; multi-input watermarking takes the MIN across inputs, "
+    "so one straggling producer stalls the whole stream): per producer "
+    "the monitor keeps an exact event count and max-event-time frontier "
+    "(epoch micros), maintained incrementally across two availableNow "
+    "generations with the versioned-view merge — per-batch partials "
+    "merge by SUM/MAX, state is #producers x 2 integers regardless of "
+    "stream length, no generation re-reads history. The emission is the "
+    "rebalance worksheet: each producer's lag behind the most-advanced "
+    "frontier, whether it DEFINES the global watermark (the straggler "
+    "the pipeline operator chases), its load share in basis points, and "
+    "the ceil(relative-load) split factor a rebalancer would apply — "
+    "all exact integers. Exact hash oracle over the replayed range.",
+    oracle=f"""
+        {_ENV},
+        st AS (
+            SELECT producer_name,
+                   COUNT(*) AS n,
+                   MAX(epoch_us(event_time)) AS frontier_us
+            FROM envelope WHERE sequence_id < {WSR_HI}
+            GROUP BY 1
+        ),
+        g AS (
+            SELECT MAX(frontier_us) AS gmax, MIN(frontier_us) AS gmin,
+                   SUM(n) AS total, COUNT(*) AS np
+            FROM st
+        )
+        SELECT st.producer_name,
+               CAST(st.n AS BIGINT) AS n_events,
+               CAST(st.frontier_us AS BIGINT) AS frontier_us,
+               CAST(g.gmax - st.frontier_us AS BIGINT) AS lag_us,
+               st.frontier_us = g.gmin AS defines_watermark,
+               CAST(st.n * 10000 // g.total AS BIGINT) AS load_bp,
+               CAST((st.n * g.np + g.total - 1) // g.total AS BIGINT)
+                   AS rebalance_splits
+        FROM st, g
+    """,
+)
+def streaming_watermark_skew_rebalance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pulsar_3_2_codedump_spark.sources import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="swsr_")
+    view_schema = "producer_name string, n long, frontier_us long"
+    try:
+        tp = _replay_topic(spark, sf_dir, root, 0, WSR_HI // 2)
+        src = spark.readStream.format("pulsarlike").option("path", tp).load()
+        upsert, state = _versioned_view(
+            root,
+            view_schema,
+            lambda b: b.groupBy("producer_name").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.unix_micros("event_time")).alias("frontier_us"),
+            ),
+            lambda u: u.groupBy("producer_name").agg(
+                F.sum("n").cast("long").alias("n"),
+                F.max("frontier_us").cast("long").alias("frontier_us"),
+            ),
+        )
+        _run_bounded_foreach(
+            src,
+            root + "/ck",
+            [None, lambda: _append_range(spark, sf_dir, tp, WSR_HI // 2, WSR_HI)],
+            upsert,
+        )
+        out_schema = (
+            "producer_name string, n_events long, frontier_us long, "
+            "lag_us long, defines_watermark boolean, load_bp long, "
+            "rebalance_splits long"
+        )
+        if state["path"] is None:
+            return spark.createDataFrame([], out_schema)
+        rows = spark.read.parquet(state["path"]).collect()
+        st = spark.createDataFrame(rows, view_schema)
+        g = st.agg(
+            F.max("frontier_us").alias("gmax"),
+            F.min("frontier_us").alias("gmin"),
+            F.sum("n").alias("total"),
+            F.count(F.lit(1)).alias("np"),
+        )
+        return st.crossJoin(F.broadcast(g)).select(
+            "producer_name",
+            F.col("n").alias("n_events"),
+            "frontier_us",
+            (F.col("gmax") - F.col("frontier_us")).cast("long").alias("lag_us"),
+            (F.col("frontier_us") == F.col("gmin")).alias("defines_watermark"),
+            F.expr("CAST(n * 10000 DIV total AS BIGINT)").alias("load_bp"),
+            F.expr("CAST((n * np + total - 1) DIV total AS BIGINT)").alias(
+                "rebalance_splits"
+            ),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

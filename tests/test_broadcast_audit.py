@@ -79,7 +79,10 @@ def test_flip_audit_only_allowlisted_fact_broadcasts_survive(spark):
     forms in EXPLICIT_MEASUREMENT_BROADCASTS. Catches any future explicit
     F.broadcast()/hint('BROADCAST') of a data-proportional frame at plan
     time — this test found six TPC-H shapes broadcasting ORDERS when first
-    written. Planning-only (no execution): ~2 min for the full registry."""
+    written. Plan-only by contract (ADVICE r11): queries whose fn() runs
+    Spark jobs at construction time are excluded via CONSTRUCTION_EXECUTES
+    (reasons documented there), and the sweep disables the ESD census
+    probe via SPARK_GRAFT_ESD_NO_PROBE; ~2 min for the full registry."""
     from broadcast_audit import EXPLICIT_MEASUREMENT_BROADCASTS, flip_audit
     from pulsar_3_2_codedump_spark.queries import load_all
 
@@ -94,6 +97,64 @@ def test_flip_audit_only_allowlisted_fact_broadcasts_survive(spark):
     # every allowlist entry must carry a non-empty documented reason
     for name, reason in EXPLICIT_MEASUREMENT_BROADCASTS.items():
         assert reason and len(reason) > 20, name
+
+
+# ADVICE r11 item 1: a join-rooted BUILD whose first branch is
+# Limit-bounded but whose sibling branch is a raw fact scan — the old
+# print-order classifier took the first Limit as size-determining and
+# passed the whole build; the branch-aware classifier must flag it.
+JOIN_BUILD_LIMIT_FIRST_BRANCH = """AdaptiveSparkPlan isFinalPlan=false
++- SortMergeJoin [ng#1], [ng#2], Inner
+   :- Sort [ng#1 ASC NULLS FIRST], false, 0
+   :  +- Exchange hashpartitioning(ng#1, 32)
+   :     +- FileScan parquet [doc_id#0,ng#1] ... documents.parquet
+   +- BroadcastExchange HashedRelationBroadcastMode(List(input[0, string, true]),false)
+      +- BroadcastHashJoin [w#5], [w#6], Inner, BuildLeft
+         :- GlobalLimit 100
+         :  +- Sort [cnt#7L DESC NULLS LAST], true, 0
+         :     +- HashAggregate(keys=[w#5], functions=[count(1)])
+         :        +- FileScan parquet [w#5] ... documents.parquet
+         +- Project [ng#2, w#6]
+            +- FileScan parquet [ng#2,w#6] ... documents.parquet
+"""
+
+# same shape, but the sibling branch is bounded too (a one-row agg):
+JOIN_BUILD_BOTH_BOUNDED = JOIN_BUILD_LIMIT_FIRST_BRANCH.replace(
+    """         +- Project [ng#2, w#6]
+            +- FileScan parquet [ng#2,w#6] ... documents.parquet""",
+    """         +- HashAggregate(keys=[], functions=[sum(v#9L)])
+            +- FileScan parquet [v#9L] ... documents.parquet""",
+)
+
+# ADVICE r11 item 2: a fact aggregate keyed by a GENERIC name ('bucket' —
+# e.g. an ESD substr(suffix) key that grows with the corpus) must not
+# slip through the global bounded-key set; a query that genuinely uses
+# the name for a domain-bounded key qualifies it in QUERY_BOUNDED_KEYS.
+GENERIC_KEY_BUILD = FACT_BUILD.replace(
+    "HashAggregate(keys=[ng#2]", "HashAggregate(keys=[bucket#2]"
+)
+
+
+def test_join_build_classifies_each_branch():
+    rich = audit_plan_rich(JOIN_BUILD_LIMIT_FIRST_BRANCH)
+    assert len(rich) == 1, rich
+    fact, keys, _root = rich[0]
+    assert fact == ["documents"] and "<fact-scan>" in keys
+    assert audit_plan_rich(JOIN_BUILD_BOTH_BOUNDED) == []
+
+
+def test_generic_key_names_are_not_globally_bounded():
+    rich = audit_plan_rich(GENERIC_KEY_BUILD)
+    assert len(rich) == 1 and rich[0][1] == ["bucket"]
+    # per-query qualification path: the same plan under a query that
+    # declares its 'bucket' domain-bounded passes
+    from broadcast_audit import QUERY_BOUNDED_KEYS
+
+    QUERY_BOUNDED_KEYS["__canned__"] = {"bucket"}
+    try:
+        assert audit_plan_rich(GENERIC_KEY_BUILD, query="__canned__") == []
+    finally:
+        del QUERY_BOUNDED_KEYS["__canned__"]
 
 
 def test_subtree_stops_at_sibling_depth():

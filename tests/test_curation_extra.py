@@ -391,3 +391,50 @@ def test_token_bucket_variable_costs_match_recurrence(spark):
         assert got["n_throttled"] == throttled, key
         assert got["max_delay_us"] == max_delay, key
     assert any(r["n_throttled"] > 0 for r in out.values())
+
+
+def test_cross_corpus_overlap_spans_matches_python_mirror(spark):
+    """Independent Python mirror of the overlap-span scorer: same
+    tokenization and trigram windows, but the longest explained span is
+    found by a sequential scan over each held-out doc's hit sequence —
+    passing proves the gaps-and-islands window decomposition equals the
+    automaton-style sequential walk, and that n_tri/n_hit/ratio aggregate
+    right."""
+    from pulsar_3_2_codedump_spark.functions.text import (
+        SB_SCORE_DOCS,
+        cross_corpus_overlap_spans,
+    )
+    import math
+    import re
+
+    docs = {
+        r["doc_id"]: re.split(r"\s+", r["text"].strip().lower())
+        for r in load(spark, SF_DIR, "documents").collect()
+    }
+    ref = {
+        " ".join(ws[i : i + 3])
+        for d, ws in docs.items()
+        if d % 2 == 0
+        for i in range(len(ws) - 2)
+    }
+    want = {}
+    for d, ws in docs.items():
+        if d % 2 != 1 or d >= SB_SCORE_DOCS or len(ws) < 3:
+            continue
+        hits = [" ".join(ws[i : i + 3]) in ref for i in range(len(ws) - 2)]
+        run = best = 0
+        for h in hits:  # the sequential automaton-style walk
+            run = run + 1 if h else 0
+            best = max(best, run)
+        # HALF_UP like Spark/DuckDB ROUND (Python round() is banker's)
+        ratio = math.floor(sum(hits) / len(hits) * 10000 + 0.5) / 10000
+        want[d] = (len(hits), sum(hits), best, best + 2 if best else 0, ratio)
+    got = {
+        r["doc_id"]: (
+            r["n_tri"], r["n_hit"], r["max_run"],
+            r["matched_span_tokens"], r["overlap_ratio"],
+        )
+        for r in cross_corpus_overlap_spans(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert any(v[2] > 0 for v in want.values())  # spans actually exercise

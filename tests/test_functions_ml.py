@@ -744,11 +744,13 @@ def test_exact_substring_dedup_matches_python_suffix_scan(spark):
 
     dup_starts = defaultdict(int)
     max_dup = defaultdict(int)
+    saturated = defaultdict(bool)
     for members in buckets.values():
         if len(members) > ESD_BUCKET_CAP:  # hot-bucket saturation rule
             for doc_id, pos, s in members:
                 dup_starts[doc_id] += 1
                 max_dup[doc_id] = max(max_dup[doc_id], len(s))
+                saturated[doc_id] = True
             continue
         for doc_id, pos, s in members:
             best = max(
@@ -764,12 +766,19 @@ def test_exact_substring_dedup_matches_python_suffix_scan(spark):
             max_dup[doc_id] = max(max_dup[doc_id], best)
 
     got = {
-        r["doc_id"]: (r["n_starts"], r["dup_starts"], r["max_dup_len"])
+        r["doc_id"]: (
+            r["n_starts"], r["dup_starts"], r["max_dup_len"], r["saturated"]
+        )
         for r in exact_substring_dedup(spark, SF_DIR).collect()
     }
     assert set(got) == set(docs)
     for doc_id in docs:
-        expect = (n_starts[doc_id], dup_starts[doc_id], max_dup[doc_id])
+        expect = (
+            n_starts[doc_id],
+            dup_starts[doc_id],
+            max_dup[doc_id],
+            saturated[doc_id],
+        )
         assert got[doc_id] == expect, f"doc {doc_id}: {got[doc_id]} != {expect}"
 
 
@@ -802,28 +811,102 @@ def test_exact_substring_hot_bucket_cap_boundary(spark):
 
     def result(cap):
         return {
-            r["doc_id"]: (r["n_starts"], r["dup_starts"], r["max_dup_len"])
+            r["doc_id"]: (
+                r["n_starts"], r["dup_starts"], r["max_dup_len"],
+                r["saturated"],
+            )
             for r in exact_substring_stats(docs, bucket_cap=cap).collect()
         }
 
     capped = result(3)
-    assert capped[1] == (1, 1, 25)
-    assert capped[2] == (1, 1, 25)
-    assert capped[3] == (1, 1, 20)
+    assert capped[1] == (1, 1, 25, False)
+    assert capped[2] == (1, 1, 25, False)
+    assert capped[3] == (1, 1, 20, False)
     # saturated: dup_len = length(s), dup_starts exact
-    assert capped[4] == (1, 1, 25)
-    assert capped[5] == (1, 1, 32)
-    assert capped[6] == (1, 1, 50)
-    assert capped[7] == (1, 1, 20)
-    assert capped[8] == (1, 0, 0)
+    assert capped[4] == (1, 1, 25, True)
+    assert capped[5] == (1, 1, 32, True)
+    assert capped[6] == (1, 1, 50, True)
+    assert capped[7] == (1, 1, 20, True)
+    assert capped[8] == (1, 0, 0, False)
 
     exact = result(4)  # both buckets inside the cap -> fully exact
-    assert exact[4] == (1, 1, 20)
-    assert exact[5] == (1, 1, 20)
-    assert exact[6] == (1, 1, 20)
-    assert exact[7] == (1, 1, 20)
+    assert exact[4] == (1, 1, 20, False)
+    assert exact[5] == (1, 1, 20, False)
+    assert exact[6] == (1, 1, 20, False)
+    assert exact[7] == (1, 1, 20, False)
     for d in (1, 2, 3, 8):
         assert exact[d] == capped[d]
+
+
+def test_exact_substring_escalation_boundary_is_bit_identical(spark):
+    """Pins the r12 mega-bucket escalation at its boundary (VERDICT r11
+    #2): the gate is a PLAN choice, so every (threshold, cap) routing —
+    gate off, gate on with the bucket below / at / above the escalation
+    threshold, and the sampling-noise trap (a candidate whose TRUE size
+    is inside bucket_cap, which the exact second-pass census must send
+    back to the exact LCP path) — must produce bit-identical frames."""
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import (
+        exact_substring_stats,
+    )
+
+    rows = [
+        # bucket 'a'*20 — 5 members (mega under threshold=5)
+        (1, "a" * 20 + "V" * 9),
+        (2, "a" * 20 + "W" * 8),
+        (3, "a" * 20 + "X" * 7),
+        (4, "a" * 20 + "Y" * 6),
+        (5, "a" * 20 + "Z" * 5),
+        # bucket 'b'*20 — 3 members (over cap=2, below threshold=5)
+        (6, "b" * 20 + "P" * 5),
+        (7, "b" * 20 + "Q" * 12),
+        (8, "b" * 20 + "R" * 30),
+        # singleton
+        (9, "c" * 30),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def result(**kw):
+        return sorted(
+            tuple(r) for r in exact_substring_stats(
+                docs, bucket_cap=2, probe_fraction=1.0, **kw
+            ).collect()
+        )
+
+    gate_off = result(escalate_threshold=None)
+    # both over-cap buckets saturate regardless of the route
+    by_id = {t[0]: t for t in gate_off}
+    assert by_id[1][3] == 29 and by_id[1][4] is True
+    assert by_id[6][3] == 25 and by_id[6][4] is True
+    assert by_id[9][2] == 0 and by_id[9][4] is False
+
+    # gate fires for bucket a only (5 >= 5), b stays on the cold path
+    assert result(escalate_threshold=5) == gate_off
+    # gate fires for both over-cap buckets
+    assert result(escalate_threshold=3) == gate_off
+    # gate just misses the biggest bucket (6 > 5): nothing escalates
+    assert result(escalate_threshold=6) == gate_off
+
+    # sampling-noise trap: threshold below the cap makes the SINGLETON a
+    # candidate too — the exact census (true size 1 <= cap) must reject
+    # it, or its dup_len would wrongly saturate to 30
+    assert result(escalate_threshold=1) == gate_off
+
+
+def test_exact_substring_probe_env_gate(spark, monkeypatch):
+    """SPARK_GRAFT_ESD_NO_PROBE keeps the registered query's construction
+    action-free (planning-only sweeps), with identical results."""
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import (
+        exact_substring_dedup,
+    )
+
+    with_probe = sorted(
+        tuple(r) for r in exact_substring_dedup(spark, SF_DIR).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_ESD_NO_PROBE", "1")
+    without = sorted(
+        tuple(r) for r in exact_substring_dedup(spark, SF_DIR).collect()
+    )
+    assert with_probe == without
 
 
 def test_data_proportional_joins_never_broadcast(spark):
@@ -856,3 +939,76 @@ def test_data_proportional_joins_never_broadcast(spark):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastExchange" not in plan, plan
         assert "SortMergeJoin" in plan
+
+
+def test_ivfpq_residual_invariants(spark):
+    """Pins the residual-quantizer construction (ivfpq_residual_topk):
+    (1) every assigned residual equals the exact float64 subtraction
+    embedding - centroid of the vector's NEAREST cell (verified against a
+    numpy mirror of the same op); (2) the IVF invariant — every emitted
+    neighbor shares a probed cell with its query; (3) ranks are a dense
+    1..k prefix per query. Cross-engine arithmetic parity is the driver
+    hash's job; these pin the construction itself."""
+    import numpy as np
+
+    from pulsar_3_2_codedump_spark.catalog import load
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        PQ_TOP_K,
+        PQIVF_NPROBE,
+        QUERY_STRIDE,
+        _ivf_cells,
+        ivfpq_residual_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cells = {r["cell_id"]: np.array(r["cent"], dtype=np.float64)
+             for r in _ivf_cells(emb).collect()}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+
+    def nearest_cells(x, k):
+        d = sorted(
+            (float(((x - c) ** 2).sum()), cid) for cid, c in cells.items()
+        )
+        return [cid for _, cid in d[:k]]
+
+    assign = {v: nearest_cells(x, 1)[0] for v, x in vecs.items()}
+    probes = {
+        v: set(nearest_cells(x, PQIVF_NPROBE))
+        for v, x in vecs.items()
+        if v % QUERY_STRIDE == 0
+    }
+
+    # (1) residual exactness on the assigned frame (rebuild the same frame)
+    residual = F.zip_with(
+        F.col("embedding"), F.col("cent"),
+        lambda a, b: a.cast("double") - b.cast("double"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w1 = W.partitionBy("vec_id").orderBy("sqd", "cell_id")
+    from pulsar_3_2_codedump_spark.functions.similarity import _sqdist
+
+    got_res = (
+        emb.crossJoin(F.broadcast(_ivf_cells(emb)))
+        .withColumn("sqd", _sqdist(F.col("embedding"), F.col("cent")))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id", residual.alias("r"))
+        .collect()
+    )
+    for row in got_res:
+        assert row["cell_id"] == assign[row["vec_id"]], row["vec_id"]
+        want = vecs[row["vec_id"]] - cells[row["cell_id"]]
+        assert np.array_equal(np.array(row["r"]), want), row["vec_id"]
+
+    # (2)+(3) on the emitted top-k
+    out = ivfpq_residual_topk(spark, SF_DIR).collect()
+    by_q = {}
+    for r in out:
+        assert assign[r["neighbor_id"]] in probes[r["query_id"]], r
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+        assert len(ranks) <= PQ_TOP_K

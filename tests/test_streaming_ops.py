@@ -466,3 +466,45 @@ def test_streaming_token_drift_monitor_matches_batch(spark):
         assert g["alarm"] == (
             not (1 - TDM_BAND <= ratio <= 1 + TDM_BAND)
         ), src
+
+
+def test_streaming_watermark_skew_rebalance_matches_batch(spark):
+    """The incrementally-merged per-producer frontier state equals the
+    batch computation over the replayed range, the watermark-defining
+    producer is the min-frontier one, and the load/split integers follow
+    their closed forms."""
+    from pulsar_3_2_codedump_spark.envelope import wrap_events
+    from pulsar_3_2_codedump_spark.queries import load_all
+    from pulsar_3_2_codedump_spark.streaming.queries_streaming import WSR_HI
+
+    got = {
+        r["producer_name"]: r
+        for r in load_all()["streaming_watermark_skew_rebalance"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    env = wrap_events(load(spark, SF_DIR, "events")).filter(
+        F.col("sequence_id") < WSR_HI
+    )
+    want = {
+        r["producer_name"]: (r["n"], r["f"])
+        for r in env.groupBy("producer_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.unix_micros("event_time")).alias("f"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    gmax = max(f for _, f in want.values())
+    gmin = min(f for _, f in want.values())
+    total = sum(n for n, _ in want.values())
+    np_ = len(want)
+    for p, (n, f) in want.items():
+        g = got[p]
+        assert (g["n_events"], g["frontier_us"]) == (n, f), p
+        assert g["lag_us"] == gmax - f, p
+        assert g["defines_watermark"] == (f == gmin), p
+        assert g["load_bp"] == n * 10000 // total, p
+        assert g["rebalance_splits"] == (n * np_ + total - 1) // total, p
+    assert sum(1 for g in got.values() if g["defines_watermark"]) >= 1

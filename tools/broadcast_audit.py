@@ -25,22 +25,33 @@ sys.path.insert(0, ".")
 FACTS = ("documents", "embeddings", "events", "lineitem", "orders")
 
 
+def _depth(s: str) -> int:
+    m = re.match(r"^[\s:+|-]*", s)
+    return len(m.group(0))
+
+
 def subtree(lines, i):
     """Lines of the subtree rooted at lines[i] (tree-prefix indentation)."""
-
-    def depth(s):
-        m = re.match(r"^[\s:+|-]*", s)
-        return len(m.group(0))
-
-    d = depth(lines[i])
+    d = _depth(lines[i])
     out = [lines[i]]
     for j in range(i + 1, len(lines)):
         if lines[j].strip() == "":
             break
-        if depth(lines[j]) <= d:
+        if _depth(lines[j]) <= d:
             break
         out.append(lines[j])
     return out
+
+
+def _children(lines, i, end):
+    """Indices of the IMMEDIATE children of lines[i] within lines[i+1:end]:
+    the lines at the minimum tree depth below the node (a join prints its
+    branches at one depth; deeper lines belong to those branches)."""
+    below = [j for j in range(i + 1, end) if lines[j].strip()]
+    if not below:
+        return []
+    child_d = min(_depth(lines[j]) for j in below)
+    return [j for j in below if _depth(lines[j]) == child_d]
 
 
 def audit_plan(plan: str):
@@ -97,6 +108,9 @@ EXPLICIT_MEASUREMENT_BROADCASTS: dict[str, str] = {
     "a WindowGroupLimit)",
     "ivfadc_ann_topk": "broadcasts per-query ADC lookup tables — "
     "#queries x M x 256 floats, bounded by the strided query set",
+    "ivfpq_residual_topk": "broadcasts per-(query, probed-cell) residual "
+    "ADC lookup tables — #queries x nprobe rows, bounded by the strided "
+    "query set (the residual form of ivfadc_ann_topk's LUT broadcast)",
     "knn_label_vote": _QUERY_SET,
     "lsh_ann_topk": _QUERY_SET,
     "mmr_rerank": _QUERY_SET + "; the re-ranked pool is top-"
@@ -112,6 +126,17 @@ EXPLICIT_MEASUREMENT_BROADCASTS: dict[str, str] = {
 }
 
 
+# Queries whose fn() EXECUTES Spark jobs at construction time (eager
+# localCheckpoints, a real publish/replay through the topic sink), which
+# a planning sweep must not run under an abnormal floored threshold
+# (ADVICE r11: the flip sweep is plan-only by contract — like the
+# streaming_ skip, these are excluded with the reason stated here).
+# Their fact-scale cores are covered elsewhere: mmr_rerank's pool
+# broadcast is the allowlisted query-set form its ANN siblings pin, and
+# exactly_once_replay_audit's joins are metadata-scale manifest frames.
+CONSTRUCTION_EXECUTES = {"mmr_rerank", "exactly_once_replay_audit"}
+
+
 def flip_audit(spark, registry, sf: str, only=()):
     """Plan every batch query with the broadcast threshold FLOORED (-1,
     simulating 100TB-scale size estimates) and report fact-backed
@@ -122,15 +147,23 @@ def flip_audit(spark, registry, sf: str, only=()):
     scale and not reported. What remains pins the class-(b) safety
     argument — 'rides reliable estimates, flips to shuffle as data
     grows' — for every estimate-driven site at once, and enumerates the
-    explicit unbounded measurement forms for the allowlist."""
+    explicit unbounded measurement forms for the allowlist.
+
+    Plan-only: queries in CONSTRUCTION_EXECUTES are skipped (their fn()
+    runs jobs at build time), and SPARK_GRAFT_ESD_NO_PROBE disables the
+    exact_substring mega-bucket census probe so its construction stays
+    action-free under the sweep."""
+    import os
+
     out = {}
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    os.environ["SPARK_GRAFT_ESD_NO_PROBE"] = "1"
     try:
         for name, q in sorted(registry.items()):
             if only and name not in only:
                 continue
-            if name.startswith("streaming_"):
+            if name.startswith("streaming_") or name in CONSTRUCTION_EXECUTES:
                 continue
             try:
                 df = q.fn(spark, sf)
@@ -138,11 +171,12 @@ def flip_audit(spark, registry, sf: str, only=()):
             except Exception as e:  # noqa: BLE001
                 out[name] = [("SKIP", f"{type(e).__name__}: {str(e)[:80]}")]
                 continue
-            hits = audit_plan_rich(plan)
+            hits = audit_plan_rich(plan, query=name)
             if hits:
                 out[name] = hits
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        os.environ.pop("SPARK_GRAFT_ESD_NO_PROBE", None)
     return out
 
 
@@ -174,8 +208,11 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"SKIP {name}: {type(e).__name__}: {str(e)[:80]}")
             continue
-        fn = audit_plan_rich if "--rich" in sys.argv else audit_plan
-        hits = fn(plan)
+        hits = (
+            audit_plan_rich(plan, query=name)
+            if "--rich" in sys.argv
+            else audit_plan(plan)
+        )
         if hits:
             n_flagged += 1
             for h in hits:
@@ -185,28 +222,55 @@ def main():
 
 # Key domains that stay METADATA-SCALE at any corpus size: enumerable
 # attributes (language, source, event type, partition, producer, label),
-# calendar units, fixed bucket/fold/band/shard counts. A broadcast whose
+# calendar units, fixed fold/band/shard counts. A broadcast whose
 # build's size-determining aggregate groups ONLY by these is bounded by
 # the domain, not the corpus. Everything else (words, shingles, ngrams,
-# doc/user/item ids) grows with the data.
+# doc/user/item ids) grows with the data. ADVICE r11: the generic names
+# that a corpus-proportional key could plausibly wear (bucket, grp,
+# window, rn, single letters) are REMOVED from the global set — e.g. an
+# ESD-style 'bucket' is a substr(suffix) key that grows with the corpus;
+# a query whose genuinely-bounded key happens to use such a name
+# qualifies it per-query in QUERY_BOUNDED_KEYS instead.
 BOUNDED_KEYS = {
     "lang", "source", "source_a", "source_b", "event_type", "type_a",
     "type_b", "partition", "producer_name", "producer", "label",
-    "neighbor_label", "fold", "band", "bucket", "shard", "__b", "__rb",
-    "__db", "day", "d", "h", "hour", "week", "month", "event_day",
-    "gen", "grp", "tier", "window", "w_start", "w_end", "code", "sub",
-    "m", "cell", "cid", "centroid_id", "k", "step", "rn", "rank",
-    "replicate", "__r", "i",  # fixed resample/sketch-row counts
+    "neighbor_label", "fold", "band", "shard", "__b", "__rb",
+    "__db", "day", "hour", "week", "month", "event_day",
+    "gen", "tier", "w_start", "w_end", "code", "sub",
+    "cell", "cid", "centroid_id", "step", "rank",
+    "replicate", "__r",  # fixed resample/sketch-row counts
     "l_returnflag", "l_linestatus", "l_shipmode", "o_orderpriority",
     "o_orderstatus", "n_name", "r_name", "c_mktsegment", "p_brand",
     "p_type", "p_size", "p_container", "subscription", "consumer",
     "state", "alarm", "reason", "marker_type", "schema_version",
 }
 
-_SIZE_NODE = re.compile(
+# Per-query qualification of generic key names (ADVICE r11: match on
+# (query, key) pairs rather than growing the global set). Each entry
+# states why THAT query's use of the name is domain-bounded.
+QUERY_BOUNDED_KEYS: dict[str, set[str]] = {
+    # CMS table: i = sketch depth row (CMS_DEPTH), bucket = counter index
+    # (fixed width) — the sketch is CMS_DEPTH x width cells at any corpus
+    "count_min_heavy_hitters": {"bucket", "i"},
+    # prefixops range-bucket partials: bucket = md5 % SHARD_BUCKETS /
+    # fixed range-bucket count — the partial frame is #buckets rows
+    "token_balanced_shards": {"bucket"},
+    "watermark_late_data": {"bucket"},
+    # cached PQ codebook lineage: m = subspace (PQ_M=16), code_id =
+    # codeword (PQ_K=16) — the trained codebook is PQ_M x PQ_K rows
+    "ivfadc_ann_topk": {"m", "code_id"},
+    "ivfpq_residual_topk": {"m", "code_id"},
+    # per-replicate prefix partials: bucket = range_bucket(32) — the
+    # partials frame is B x 32 rows ('replicate' is globally bounded)
+    "bootstrap_median_replicates": {"bucket"},
+}
+
+_LIMIT_NODE = re.compile(
     r"\b(GlobalLimit|LocalLimit|CollectLimit|TakeOrderedAndProject"
     r"|WindowGroupLimit)\b"
-    r"|(HashAggregate|ObjectHashAggregate|SortAggregate)\(keys=\[(?P<keys>[^\]]*)\]"
+)
+_AGG_NODE = re.compile(
+    r"(HashAggregate|ObjectHashAggregate|SortAggregate)\(keys=\[(?P<keys>[^\]]*)\]"
 )
 
 
@@ -216,23 +280,66 @@ def _key_names(keys: str):
     )
 
 
-def audit_plan_rich(plan: str):
-    """Like audit_plan but classifies each fact-backed broadcast by its
-    SIZE-DETERMINING root node — the first Limit-class or aggregate
-    operator under the exchange (line order is root-to-leaf):
+def _classify(lines, i, end, bounded_keys):
+    """(bounded, unbounded_keys) of the build subtree rooted at lines[i],
+    judged RECURSIVELY per branch (ADVICE r11: a Limit in one child of a
+    join must not mark a fact-proportional sibling bounded — each branch
+    classifies on its own spine and a multi-child node takes the worst
+    case):
 
-    - Limit / TakeOrderedAndProject / WindowGroupLimit → bounded by
-      construction (the inner partials below it no longer matter);
-    - root aggregate with keys=[] → one-row build (distinct-expansion
-      plans put keyed PARTIALS below a global agg — the build is still
-      one row, so judge the root only);
-    - root aggregate whose key names are all in BOUNDED_KEYS → the build
-      is metadata-scale at any corpus size;
-    - anything else → a genuine class-(b) flag: a corpus-derived build
-      riding size estimates that flip past the broadcast threshold as
-      the data grows.
+    - Limit / TakeOrderedAndProject / WindowGroupLimit → bounded; stop.
+    - aggregate with keys=[] → one-row build (distinct-expansion plans
+      put keyed PARTIALS below a global agg — judging the rootmost node
+      of the spine keeps them from false-flagging); stop.
+    - aggregate whose key names are all domain-bounded → metadata-scale
+      at any corpus size; stop. With corpus-capable keys the aggregate
+      is still bounded when its INPUT is (output rows <= input rows, so
+      an agg keyed by doc_id over a WindowGroupLimit-bounded pool stays
+      bounded) — recurse, and flag the agg's keys only if a branch
+      below is itself unbounded.
+    - leaf → unbounded iff it scans a fact relation.
+    - any other node → bounded iff ALL its children are bounded."""
+    ln = lines[i]
+    if _LIMIT_NODE.search(ln):
+        return True, set()
+    m = _AGG_NODE.search(ln)
+    if m:
+        keys = _key_names(m.group("keys"))
+        unb = {k for k in keys if k not in bounded_keys}
+        if not unb:
+            return True, set()
+        kids = _children(lines, i, end)
+        if kids:
+            sub_end = kids[1:] + [end]
+            if all(
+                _classify(lines, j, e, bounded_keys)[0]
+                for j, e in zip(kids, sub_end)
+            ):
+                return True, set()
+        return False, unb
+    kids = _children(lines, i, end)
+    if not kids:
+        fact = [t for t in FACTS if re.search(rf"\b{t}\b", ln)]
+        return (not fact), ({"<fact-scan>"} if fact else set())
+    sub_end = kids[1:] + [end]
+    results = [
+        _classify(lines, j, e, bounded_keys) for j, e in zip(kids, sub_end)
+    ]
+    unb = set().union(*(u for _, u in results))
+    return all(b for b, _ in results), unb
+
+
+def audit_plan_rich(plan: str, query: str | None = None):
+    """Like audit_plan but classifies each fact-backed broadcast by the
+    SIZE-DETERMINING nodes of its build tree via _classify (branch-aware:
+    see its doc — a Limit only bounds the branch it sits on). A bounded
+    build (limit-class spine, one-row aggregate, or aggregates over
+    domain-bounded keys on every branch) is excluded; anything else is a
+    genuine class-(b) flag: a corpus-derived build riding size estimates
+    that flip past the broadcast threshold as the data grows.
     Returns (fact_tables, sorted_unbounded_keys, root_line) per flag."""
     lines = plan.splitlines()
+    bounded_keys = BOUNDED_KEYS | QUERY_BOUNDED_KEYS.get(query or "", set())
     hits = []
     for i, ln in enumerate(lines):
         if "BroadcastExchange" not in ln:
@@ -242,26 +349,21 @@ def audit_plan_rich(plan: str):
         fact = [t for t in FACTS if re.search(rf"\b{t}\b", text)]
         if not fact:
             continue
-        root_keys = None
-        for s in sub[1:]:  # top-down: first size-determining node is rootmost
-            m = _SIZE_NODE.search(s)
-            if not m:
-                continue
-            if m.group(1):  # Limit-class node
-                root_keys = set()
-                break
-            root_keys = _key_names(m.group("keys"))
-            break
-        if root_keys is None:
-            # no limit and no aggregate under the exchange: a raw
-            # fact-proportional frame — always a flag
-            hits.append((fact, ["<no-aggregate>"], sub[1].strip()[:90] if len(sub) > 1 else ""))
+        end = i + len(sub)
+        kids = _children(lines, i, end)
+        if not kids:
+            hits.append((fact, ["<no-aggregate>"], ""))
             continue
-        unbounded = sorted(k for k in root_keys if k not in BOUNDED_KEYS)
-        if not unbounded:
+        sub_end = kids[1:] + [end]
+        results = [
+            _classify(lines, j, e, bounded_keys)
+            for j, e in zip(kids, sub_end)
+        ]
+        if all(b for b, _ in results):
             continue
+        unbounded = sorted(set().union(*(u for _, u in results)))
         root = sub[1].strip() if len(sub) > 1 else ""
-        hits.append((fact, unbounded, root[:90]))
+        hits.append((fact, unbounded or ["<no-aggregate>"], root[:90]))
     return hits
 
 
