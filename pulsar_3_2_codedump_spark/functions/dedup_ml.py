@@ -1405,7 +1405,11 @@ ESD_ESCALATE = 5_000_000  # colliding suffixes in ONE bucket before the
 #                 mega-bucket escalation re-routes it around the window
 #                 sort (r12; measured crossover SCALE.md r11: 8M sorts in
 #                 the 12 s total, 40M spills 542 s on one task)
-ESD_PROBE_FRAC = 0.05  # doc-sample fraction for the escalation probe
+ESD_PROBE_FRAC = 0.02  # doc-sample fraction for the escalation probe: a
+#                 threshold-sized bucket samples ~ESD_ESCALATE*frac = 100k
+#                 suffixes (binomial CV ~0.3% — detection is not the
+#                 constraint); measured probe cost ~0.7-1.6 s at 300k docs
+#                 at frac=0.05, halved here (r12 A/B, SCALE.md)
 ESD_MAX_HOT = 1024  # bound on escalated buckets per run (driver literals)
 
 

@@ -64,15 +64,65 @@ def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""
 #      than ~4 rounds stale against fixture regenerations.
 # The window is ALWAYS the first 50 entries of this list; the boundary
 # comment below marks it. Never leave a changed query below the boundary.
-# r11 window (tools/rotate_window.py --changed <12 names>): the 12
-# code-changed queries (exact_substring_dedup hot-bucket cap + ESD_WORDS
-# 26; opq oracle HUGEINT ranking; ten TPC-H shapes de-hinted from
-# explicit fact broadcasts to estimate-driven joins), the 3 NEW r11
-# registrations (MMR re-rank, trigram stupid-backoff perplexity,
-# exactly-once replay audit), then 35 freshness re-hashes
-# oldest-green-first (the r5 cohort).
+# r12 window (tools/rotate_window.py --changed <3 names>): the 3
+# code-changed queries (exact_substring_dedup mega-bucket escalation +
+# saturated column; token_budget_selection checkpointed projection;
+# bloom_filter_semi_join de-hinted distinct-custkey broadcast), the 3
+# NEW r12 registrations (cross-corpus overlap spans, IVF-PQ residual
+# quantizer, streaming watermark-skew rebalance audit), then 44
+# freshness re-hashes oldest-green-first (the r6 cohort).
 PRIORITY_ORDER = [
     "exact_substring_dedup",
+    "token_budget_selection",
+    "bloom_filter_semi_join",
+    "cross_corpus_overlap_spans",
+    "ivfpq_residual_topk",
+    "streaming_watermark_skew_rebalance",
+    "outer_join_order_counts",
+    "theta_join_acctbal",
+    "range_join_price_bands",
+    "setops_nations",
+    "distinct_counts",
+    "cube_quantity",
+    "rollup_revenue",
+    "grouping_sets_priority",
+    "monthly_rollup",
+    "conditional_pivot",
+    "window_rank_parts",
+    "window_lag_lead_orders",
+    "window_running_revenue",
+    "first_last_window",
+    "rank_distributions",
+    "topk_orders",
+    "correlated_subquery_avg",
+    "exists_in_subqueries",
+    "forecast_revenue_change",
+    "order_priority_check",
+    "schema_decode_value",
+    "protobuf_decode_value",
+    "streaming_session_windows",
+    "dedup_clusters",
+    "contamination_overlap",
+    "gopher_quality_rules",
+    "char_entropy",
+    "perplexity_proxy",
+    "ann_recall_at_k",
+    "streaming_dedup",
+    "streaming_stream_stream_join",
+    "winnowing_fingerprints",
+    "cross_corpus_dedup",
+    "pricing_summary",
+    "pq_adc_ann_topk",
+    "ivfadc_ann_topk",
+    "semdedup_prune",
+    "quality_classifier_score",
+    "streaming_late_side_topic",
+    "streaming_left_outer_join",
+    "streaming_full_outer_join",
+    "chunked_messages_roundtrip",
+    "streaming_chunk_reassembly",
+    "token_balanced_shards",
+    # ---- rotation window boundary (50) ----
     "opq_rotated_adc_topk",
     "shipping_priority",
     "local_supplier_volume",
@@ -122,7 +172,6 @@ PRIORITY_ORDER = [
     "salted_hot_key_agg",
     "anti_join_customers_without_orders",
     "semi_join_customers_with_orders",
-    # ---- rotation window boundary (50) ----
     "segment_compaction_plan",
     "ppm_decode_pixel_stats",
     "duplicated_ngram_coverage",
@@ -241,7 +290,6 @@ PRIORITY_ORDER = [
     "topic_gc_candidates",
     "subscription_expiry_scan",
     "source_cap_sample",
-    "token_budget_selection",
     "expire_messages_by_time",
     "tiered_shadow_roundtrip",
     "bpe_train_merges",
@@ -260,18 +308,7 @@ PRIORITY_ORDER = [
     "subscribe_rate_limit",
     "dispatch_rate_limit",
     "connected_components_star",
-    "bloom_filter_semi_join",
     "ks_two_sample",
-    "pq_adc_ann_topk",
-    "ivfadc_ann_topk",
-    "semdedup_prune",
-    "quality_classifier_score",
-    "streaming_late_side_topic",
-    "streaming_left_outer_join",
-    "streaming_full_outer_join",
-    "chunked_messages_roundtrip",
-    "streaming_chunk_reassembly",
-    "token_balanced_shards",
     "count_min_heavy_hitters",
     "peek_skip_messages",
     "cdc_chunk_dedup",
@@ -304,40 +341,6 @@ PRIORITY_ORDER = [
     "zipf_slope",
     "topic_storage_stats",
     "shingle_containment_pairs",
-    "outer_join_order_counts",
-    "theta_join_acctbal",
-    "range_join_price_bands",
-    "setops_nations",
-    "distinct_counts",
-    "cube_quantity",
-    "rollup_revenue",
-    "grouping_sets_priority",
-    "monthly_rollup",
-    "conditional_pivot",
-    "window_rank_parts",
-    "window_lag_lead_orders",
-    "window_running_revenue",
-    "first_last_window",
-    "rank_distributions",
-    "topk_orders",
-    "correlated_subquery_avg",
-    "exists_in_subqueries",
-    "forecast_revenue_change",
-    "order_priority_check",
-    "schema_decode_value",
-    "protobuf_decode_value",
-    "streaming_session_windows",
-    "dedup_clusters",
-    "contamination_overlap",
-    "gopher_quality_rules",
-    "char_entropy",
-    "perplexity_proxy",
-    "ann_recall_at_k",
-    "streaming_dedup",
-    "streaming_stream_stream_join",
-    "winnowing_fingerprints",
-    "cross_corpus_dedup",
-    "pricing_summary",
 ]
 
 

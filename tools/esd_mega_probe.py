@@ -30,13 +30,14 @@ def main() -> None:
         F.lit(" ".join(["aaaa"] * 40)).alias("text"),
     )
     kw = {} if mode == "gate" else {"escalate_threshold": None}
+    t0 = time.time()  # construction inside the window: the census probe
+    #                   and exact candidate census are real gate work
     agg = exact_substring_stats(docs, **kw).agg(
         F.sum("n_starts").alias("starts"),
         F.sum("dup_starts").alias("dups"),
         F.max("max_dup_len").alias("max_len"),
         F.sum(F.col("saturated").cast("long")).alias("n_saturated"),
     )
-    t0 = time.time()
     r = agg.collect()[0]
     dt = round(time.time() - t0, 1)
     print(

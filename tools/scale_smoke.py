@@ -723,13 +723,17 @@ def main() -> None:
     # (SCALE.md r11).
     def esd_run(name, frame, nd):
         # time a COLLECT of the 1-row aggregate: count() of a global agg is
-        # constant-folded by Catalyst (it never runs the suffix plan)
+        # constant-folded by Catalyst (it never runs the suffix plan).
+        # Construction sits INSIDE the timed region (r12): the mega-bucket
+        # census probe runs at construction time and is real work — timing
+        # only the collect would hide it (the scale_smoke honest-measurement
+        # convention).
+        t0 = time.time()
         agg = exact_substring_stats(frame).agg(
             F.sum("n_starts").alias("starts"),
             F.sum("dup_starts").alias("dups"),
             F.max("max_dup_len").alias("max_len"),
         )
-        t0 = time.time()
         r = agg.collect()[0]
         dt = time.time() - t0
         results[name] = {
