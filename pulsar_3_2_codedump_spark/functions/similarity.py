@@ -1337,14 +1337,31 @@ _D_CELLS = f"""
 def _ivf_cells(emb: DataFrame) -> DataFrame:
     """PQIVF_CELLS deterministic coarse centroids (md5-ranked sample under a
     'cell:'-salted hash so the cell sample is independent of the PQ seed
-    sample)."""
+    sample), MATERIALIZED to a driver-local frame: the derivation is a
+    full-corpus TakeOrdered, and both IVF queries reference the cells
+    frame from several plan branches (assign, probes, residuals) — left
+    lazy, Catalyst re-plans the corpus scan per reference (~6 redundant
+    scans in the ivfpq plan; TakeOrdered has no Exchange for ReuseExchange
+    to dedupe). Collecting the <= PQIVF_CELLS rows (control-plane: 16
+    rows x one embedding each) makes centroid derivation exactly ONE
+    corpus pass and every downstream broadcast a LocalTableScan with an
+    exact size — the same materialize-once discipline as pq_codebook's
+    cached/collected codebook."""
+    import os
+
     order = (F.md5(F.concat(F.lit("cell:"), F.col("vec_id").cast("string"))), F.col("vec_id"))
-    return (
+    cells = (
         emb.orderBy(*order)
         .limit(PQIVF_CELLS)
         .withColumn("cell_id", F.row_number().over(W.orderBy(*order)))
         .select("cell_id", F.col("embedding").alias("cent"))
     )
+    if os.environ.get("SPARK_GRAFT_PLAN_ONLY"):
+        # planning-only sweeps (the flip audit) must not run actions at
+        # construction; the lazy Limit-bounded subtree is the right frame
+        # for them to judge (identical rows, un-materialized).
+        return cells
+    return cells.sparkSession.createDataFrame(cells.collect(), cells.schema)
 
 
 def _argmin_cell(df: DataFrame, cells: DataFrame, id_col: str, keep_rank: int) -> DataFrame:
@@ -1540,6 +1557,17 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell_id", residual.alias("embedding"))
     )
+    import os
+
+    if not os.environ.get("SPARK_GRAFT_PLAN_ONLY"):
+        # materialize the residual assignment ONCE: it feeds the codebook
+        # seed ranking, the Lloyd partials pass, the encode pass AND the
+        # candidate join — left lazy, each consumer re-runs the corpus x
+        # cells argmin (the token_budget_selection persist-before-reuse
+        # discipline). At 100 TB the faiss-style alternative is to train
+        # the codebook on a bounded sample and encode in one pass; the
+        # oracle-matched form trains on the full corpus, so it persists.
+        assigned = assigned.localCheckpoint()
     res = assigned.select("vec_id", "embedding")
     cb = pq_codebook(res, kernel="arrow")
     codes = pq_encode(fanout(res), cb, kernel="arrow")

@@ -64,19 +64,22 @@ def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""
 #      than ~4 rounds stale against fixture regenerations.
 # The window is ALWAYS the first 50 entries of this list; the boundary
 # comment below marks it. Never leave a changed query below the boundary.
-# r12 window (tools/rotate_window.py --changed <3 names>): the 3
+# r12 window (tools/rotate_window.py --changed <5 names>): the 5
 # code-changed queries (exact_substring_dedup mega-bucket escalation +
 # saturated column; token_budget_selection checkpointed projection;
-# bloom_filter_semi_join de-hinted distinct-custkey broadcast), the 3
-# NEW r12 registrations (cross-corpus overlap spans, IVF-PQ residual
-# quantizer, streaming watermark-skew rebalance audit), then 44
-# freshness re-hashes oldest-green-first (the r6 cohort).
+# bloom_filter_semi_join de-hinted distinct-custkey broadcast;
+# ivfadc_ann_topk + ivfpq_residual_topk materialize-once IVF centroid
+# frame), the 3 NEW r12 registrations (cross-corpus overlap spans,
+# IVF-PQ residual quantizer [also in the changed set], streaming
+# watermark-skew rebalance audit), then 43 freshness re-hashes
+# oldest-green-first (the r6 cohort).
 PRIORITY_ORDER = [
     "exact_substring_dedup",
     "token_budget_selection",
     "bloom_filter_semi_join",
-    "cross_corpus_overlap_spans",
+    "ivfadc_ann_topk",
     "ivfpq_residual_topk",
+    "cross_corpus_overlap_spans",
     "streaming_watermark_skew_rebalance",
     "outer_join_order_counts",
     "theta_join_acctbal",
@@ -113,7 +116,6 @@ PRIORITY_ORDER = [
     "cross_corpus_dedup",
     "pricing_summary",
     "pq_adc_ann_topk",
-    "ivfadc_ann_topk",
     "semdedup_prune",
     "quality_classifier_score",
     "streaming_late_side_topic",

@@ -150,15 +150,19 @@ def flip_audit(spark, registry, sf: str, only=()):
     explicit unbounded measurement forms for the allowlist.
 
     Plan-only: queries in CONSTRUCTION_EXECUTES are skipped (their fn()
-    runs jobs at build time), and SPARK_GRAFT_ESD_NO_PROBE disables the
-    exact_substring mega-bucket census probe so its construction stays
-    action-free under the sweep."""
+    runs jobs at build time); SPARK_GRAFT_ESD_NO_PROBE disables the
+    exact_substring mega-bucket census probe; and SPARK_GRAFT_PLAN_ONLY
+    keeps control-plane materializations lazy (the IVF centroid frame
+    collects 16 rows at construction in the product form — under the
+    sweep it stays the lazy Limit-bounded subtree, which is exactly the
+    plan shape the boundedness classifier should judge)."""
     import os
 
     out = {}
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     os.environ["SPARK_GRAFT_ESD_NO_PROBE"] = "1"
+    os.environ["SPARK_GRAFT_PLAN_ONLY"] = "1"
     try:
         for name, q in sorted(registry.items()):
             if only and name not in only:
@@ -177,6 +181,7 @@ def flip_audit(spark, registry, sf: str, only=()):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         os.environ.pop("SPARK_GRAFT_ESD_NO_PROBE", None)
+        os.environ.pop("SPARK_GRAFT_PLAN_ONLY", None)
     return out
 
 
