@@ -1012,3 +1012,34 @@ def test_ivfpq_residual_invariants(spark):
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
         assert len(ranks) <= PQ_TOP_K
+
+
+def test_ivf_cells_materializes_once_and_plan_only_stays_lazy(spark, monkeypatch):
+    """Pins the r12 materialize-once contract of _ivf_cells: in product
+    mode the centroid frame is a driver-local scan (ExistingRDD from the
+    collected 16 rows — centroid derivation = exactly ONE corpus pass;
+    downstream broadcasts carry an exact size), while under
+    SPARK_GRAFT_PLAN_ONLY (the flip-audit sweep) construction stays
+    action-free and the plan keeps the Limit-bounded lineage the
+    boundedness classifier judges. Rows must be identical in both modes —
+    materialization is a plan choice, never an answer."""
+    from pulsar_3_2_codedump_spark.catalog import load
+    from pulsar_3_2_codedump_spark.functions.similarity import _ivf_cells
+
+    emb = load(spark, SF_DIR, "embeddings")
+
+    monkeypatch.delenv("SPARK_GRAFT_PLAN_ONLY", raising=False)
+    mat = _ivf_cells(emb)
+    mat_plan = mat._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in mat_plan or "LocalTableScan" in mat_plan, mat_plan
+    assert "FileScan" not in mat_plan, mat_plan
+
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_ONLY", "1")
+    lazy = _ivf_cells(emb)
+    lazy_plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" in lazy_plan, lazy_plan
+    assert "TakeOrderedAndProject" in lazy_plan or "GlobalLimit" in lazy_plan, lazy_plan
+
+    key = lambda r: r["cell_id"]  # noqa: E731
+    assert sorted(mat.collect(), key=key) == sorted(lazy.collect(), key=key)
+    assert mat.schema == lazy.schema
