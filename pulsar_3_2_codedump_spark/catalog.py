@@ -80,3 +80,22 @@ def fanout(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n)
+
+
+def ckpt_unless_plan_only(df: DataFrame) -> DataFrame:
+    """localCheckpoint in product runs; identity under SPARK_GRAFT_PLAN_ONLY.
+
+    The persist-before-reuse discipline (rfm_scores' shared base,
+    token_budget_selection's tokenized projection, ivfpq's residual
+    assignment): a frame consumed by several downstream branches is
+    materialized once instead of re-executed per reference. localCheckpoint
+    is EAGER — it runs a job at DataFrame construction — so planning-only
+    sweeps (the flip audit, tools/broadcast_audit.py) set
+    SPARK_GRAFT_PLAN_ONLY and get the lazy frame back unchanged: identical
+    rows, un-materialized, plan shape preserved for the boundedness
+    classifier."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_PLAN_ONLY"):
+        return df
+    return df.localCheckpoint()

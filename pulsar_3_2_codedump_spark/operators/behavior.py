@@ -710,15 +710,26 @@ FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # conversion window per step: 24h
     """,
 )
 def funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.catalog import ckpt_unless_plan_only
+
     events = load(spark, sf_dir, "events")
     steps = ["view", "click", "purchase"]
 
+    # Persist-before-reuse (r12): each per-user stage frame feeds BOTH its
+    # own count and every later stage, and the step-1 frame is shared by
+    # the windowed AND unbounded chains — left lazy, chained lineage
+    # re-executed earlier stages per reference (12 events scans in the
+    # emitted plan). Checkpointing each bounded per-user stage (<= #users
+    # rows, the CC per-round discipline) makes it 1 events scan per
+    # (step, chain) leg — 5 total, each with its event_type filter pushed.
+    prev0 = ckpt_unless_plan_only(
+        events.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+
     def chain(windowed: bool):
-        prev = (
-            events.filter(F.col("event_type") == steps[0])
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t"))
-        )
+        prev = prev0
         counts = [prev.agg(F.count(F.lit(1)).alias("users"))]
         for step in steps[1:]:
             nxt = events.filter(F.col("event_type") == step).join(prev, "user_id")
@@ -728,7 +739,7 @@ def funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.unix_micros(F.col("ts"))
                     <= F.unix_micros(F.col("t")) + FUNNEL_WINDOW_US
                 )
-            prev = (
+            prev = ckpt_unless_plan_only(
                 nxt.filter(cond).groupBy("user_id").agg(F.min("ts").alias("t"))
             )
             counts.append(prev.agg(F.count(F.lit(1)).alias("users")))

@@ -64,21 +64,22 @@ def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""
 #      than ~4 rounds stale against fixture regenerations.
 # The window is ALWAYS the first 50 entries of this list; the boundary
 # comment below marks it. Never leave a changed query below the boundary.
-# r12 window (tools/rotate_window.py --changed <5 names>): the 5
+# r12 window (tools/rotate_window.py --changed <6 names>): the 6
 # code-changed queries (exact_substring_dedup mega-bucket escalation +
 # saturated column; token_budget_selection checkpointed projection;
 # bloom_filter_semi_join de-hinted distinct-custkey broadcast;
 # ivfadc_ann_topk + ivfpq_residual_topk materialize-once IVF centroid
-# frame), the 3 NEW r12 registrations (cross-corpus overlap spans,
-# IVF-PQ residual quantizer [also in the changed set], streaming
-# watermark-skew rebalance audit), then 43 freshness re-hashes
-# oldest-green-first (the r6 cohort).
+# frame; funnel_within_window per-stage checkpoints), the 3 NEW r12
+# registrations (cross-corpus overlap spans, IVF-PQ residual quantizer
+# [also in the changed set], streaming watermark-skew rebalance audit),
+# then 42 freshness re-hashes oldest-green-first (the r6 cohort).
 PRIORITY_ORDER = [
     "exact_substring_dedup",
     "token_budget_selection",
     "bloom_filter_semi_join",
     "ivfadc_ann_topk",
     "ivfpq_residual_topk",
+    "funnel_within_window",
     "cross_corpus_overlap_spans",
     "streaming_watermark_skew_rebalance",
     "outer_join_order_counts",
@@ -123,8 +124,8 @@ PRIORITY_ORDER = [
     "streaming_full_outer_join",
     "chunked_messages_roundtrip",
     "streaming_chunk_reassembly",
-    "token_balanced_shards",
     # ---- rotation window boundary (50) ----
+    "token_balanced_shards",
     "opq_rotated_adc_topk",
     "shipping_priority",
     "local_supplier_volume",
@@ -227,7 +228,6 @@ PRIORITY_ORDER = [
     "zorder_data_skipping",
     "hll_explicit_distinct",
     "streaming_psi_monitor",
-    "funnel_within_window",
     "cusum_changepoint",
     "phrase_search_postings",
     "cms_join_size_estimate",
