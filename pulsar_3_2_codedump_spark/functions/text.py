@@ -1026,10 +1026,29 @@ def trigram_backoff_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         join2,
     )
     bgms = F.zip_with(F.slice(ws, 1, n2), F.slice(ws, 2, n2), join2)
-    train = docs.filter(F.col("doc_id") % 2 == 0)
-    tg_t = train.select(F.explode(tgms).alias("tgm"))
-    bg_t = train.select(F.explode(bgms).alias("bgm"))
-    ug_t = train.select(F.explode(ws).alias("w"))
+    # Persist-before-reuse (r12): the tokenized TRAIN projection feeds all
+    # three n-gram extractions (tri/bi/uni), and the uni table is consumed
+    # twice (vocab join + the corpus-total row) — left lazy, each branch
+    # re-scanned and re-tokenized the even-doc corpus (7 documents scans
+    # in the emitted plan). Checkpoint the token arrays once: the whole
+    # model now trains off ONE train scan (+ one held-out scan to score).
+    from pulsar_3_2_codedump_spark.catalog import ckpt_unless_plan_only
+
+    wc = F.col("ws")
+    n2w = F.greatest(F.size(wc) - 1, F.lit(0))
+    n3w = F.greatest(F.size(wc) - 2, F.lit(0))
+    tgms_w = F.zip_with(
+        F.zip_with(F.slice(wc, 1, n3w), F.slice(wc, 2, n3w), join2),
+        F.slice(wc, 3, n3w),
+        join2,
+    )
+    bgms_w = F.zip_with(F.slice(wc, 1, n2w), F.slice(wc, 2, n2w), join2)
+    train_t = ckpt_unless_plan_only(
+        docs.filter(F.col("doc_id") % 2 == 0).select(ws.alias("ws"))
+    )
+    tg_t = train_t.select(F.explode(tgms_w).alias("tgm"))
+    bg_t = train_t.select(F.explode(bgms_w).alias("bgm"))
+    ug_t = train_t.select(F.explode(wc).alias("w"))
     cnt3 = tg_t.groupBy("tgm").agg(F.count(F.lit(1)).alias("c3"))
     ctx2 = cnt3.groupBy(
         F.substring_index("tgm", " ", 2).alias("ctx")

@@ -1111,25 +1111,36 @@ _PROFILE_COLS = [
     ),
 )
 def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE scan for the whole profile (r12): the union-of-aggregates form
+    # scanned orders once PER COLUMN (6 full scans — the exact shape
+    # ANALYZE avoids). All per-column statistics now ride a single
+    # aggregate over one scan (the multi-countDistinct rewrites into
+    # Catalyst's Expand — one pass, the distinct shuffles it needs either
+    # way), then stack() pivots the wide row into the per-column output.
     orders = load(spark, sf_dir, "orders")
-    out = None
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for name, tmpl in _PROFILE_COLS:
         spark_tmpl = tmpl.replace("printf(", "format_string(").replace(
             "strftime({fn}(" + name + "), '%Y-%m-%d')",
             "date_format({fn}(" + name + "), 'yyyy-MM-dd')",
         )
-        row = orders.agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            (F.count(F.lit(1)) - F.count(name)).cast("long").alias("n_null"),
-            F.countDistinct(name).cast("long").alias("n_distinct"),
-            F.expr(spark_tmpl.format(fn="MIN")).alias("min_repr"),
-            F.expr(spark_tmpl.format(fn="MAX")).alias("max_repr"),
-        ).select(
-            F.lit(name).alias("column_name"),
-            "n_rows", "n_null", "n_distinct", "min_repr", "max_repr",
-        )
-        out = row if out is None else out.unionAll(row)
-    return out
+        aggs += [
+            (F.count(F.lit(1)) - F.count(name)).cast("long").alias(f"null_{name}"),
+            F.countDistinct(name).cast("long").alias(f"nd_{name}"),
+            F.expr(spark_tmpl.format(fn="MIN")).alias(f"min_{name}"),
+            F.expr(spark_tmpl.format(fn="MAX")).alias(f"max_{name}"),
+        ]
+    wide = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{n}', null_{n}, nd_{n}, min_{n}, max_{n}" for n, _ in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_null, n_distinct, min_repr, max_repr)",
+        "n_rows",
+    ).select(
+        "column_name", "n_rows", "n_null", "n_distinct", "min_repr", "max_repr"
+    )
 
 
 @query(

@@ -64,15 +64,17 @@ def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""
 #      than ~4 rounds stale against fixture regenerations.
 # The window is ALWAYS the first 50 entries of this list; the boundary
 # comment below marks it. Never leave a changed query below the boundary.
-# r12 window (tools/rotate_window.py --changed <6 names>): the 6
+# r12 window (tools/rotate_window.py --changed <8 names>): the 8
 # code-changed queries (exact_substring_dedup mega-bucket escalation +
 # saturated column; token_budget_selection checkpointed projection;
 # bloom_filter_semi_join de-hinted distinct-custkey broadcast;
 # ivfadc_ann_topk + ivfpq_residual_topk materialize-once IVF centroid
-# frame; funnel_within_window per-stage checkpoints), the 3 NEW r12
-# registrations (cross-corpus overlap spans, IVF-PQ residual quantizer
-# [also in the changed set], streaming watermark-skew rebalance audit),
-# then 42 freshness re-hashes oldest-green-first (the r6 cohort).
+# frame; funnel_within_window per-stage checkpoints; column_profile
+# one-scan stack rewrite; trigram_backoff_perplexity checkpointed train
+# tokenization), the 3 NEW r12 registrations (cross-corpus overlap
+# spans, IVF-PQ residual quantizer [also in the changed set], streaming
+# watermark-skew rebalance audit), then 40 freshness re-hashes
+# oldest-green-first (the r6 cohort).
 PRIORITY_ORDER = [
     "exact_substring_dedup",
     "token_budget_selection",
@@ -80,6 +82,8 @@ PRIORITY_ORDER = [
     "ivfadc_ann_topk",
     "ivfpq_residual_topk",
     "funnel_within_window",
+    "column_profile",
+    "trigram_backoff_perplexity",
     "cross_corpus_overlap_spans",
     "streaming_watermark_skew_rebalance",
     "outer_join_order_counts",
@@ -122,9 +126,9 @@ PRIORITY_ORDER = [
     "streaming_late_side_topic",
     "streaming_left_outer_join",
     "streaming_full_outer_join",
+    # ---- rotation window boundary (50) ----
     "chunked_messages_roundtrip",
     "streaming_chunk_reassembly",
-    # ---- rotation window boundary (50) ----
     "token_balanced_shards",
     "opq_rotated_adc_topk",
     "shipping_priority",
@@ -138,7 +142,6 @@ PRIORITY_ORDER = [
     "sole_return_suppliers",
     "small_quantity_revenue",
     "mmr_rerank",
-    "trigram_backoff_perplexity",
     "exactly_once_replay_audit",
     "streaming_delayed_delivery",
     "streaming_count_windows",
@@ -236,7 +239,6 @@ PRIORITY_ORDER = [
     "conversion_paths",
     "skew_diagnosis",
     "decayed_engagement_scores",
-    "column_profile",
     "ann_ndcg_at_k",
     "bootstrap_median_replicates",
     "revenue_trend_ols",
