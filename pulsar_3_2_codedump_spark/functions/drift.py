@@ -421,7 +421,16 @@ def bootstrap_median_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(CAST(conv(substr(md5(concat(CAST(o_orderkey AS STRING), '#', "
         "CAST(replicate AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296.0)"
     )
-    pv = (
+    from pulsar_3_2_codedump_spark.catalog import ckpt_unless_plan_only
+
+    # persist-before-reuse (r12 scan audit): pv is the (replicate x
+    # distinct-value) weighted frame — every downstream pass (range-bucket
+    # bounds, bucket partials, the triangular carry's two partials refs,
+    # the in-bucket resolution) re-ran the corpus explode + Poisson weight
+    # when left lazy (7 orders scans in the emitted plan). Checkpoint the
+    # post-aggregation frame once: one corpus scan, and everything after
+    # operates on the B x NDV(v) reduction.
+    pv = ckpt_unless_plan_only(
         orders.select(
             "o_orderkey",
             F.col("o_totalprice").alias("v"),

@@ -862,8 +862,15 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         range_bucket,
     )
 
-    orders = load(spark, sf_dir, "orders").select(
-        F.col("o_totalprice").alias("v"), "o_orderkey"
+    from pulsar_3_2_codedump_spark.catalog import ckpt_unless_plan_only
+
+    # persist-before-reuse (r12 scan audit): the 2-column projection feeds
+    # the range-bucket bounds pass, the distributed-rank partials + ranked
+    # pass, and the row-count row — 7 orders scans when left lazy
+    orders = ckpt_unless_plan_only(
+        load(spark, sf_dir, "orders").select(
+            F.col("o_totalprice").alias("v"), "o_orderkey"
+        )
     )
     b = range_bucket(orders, "v", HIST_RANGE_BUCKETS, out="rb")
     ranked = distributed_rank(

@@ -64,17 +64,18 @@ def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""
 #      than ~4 rounds stale against fixture regenerations.
 # The window is ALWAYS the first 50 entries of this list; the boundary
 # comment below marks it. Never leave a changed query below the boundary.
-# r12 window (tools/rotate_window.py --changed <8 names>): the 8
+# r12 window (tools/rotate_window.py --changed <10 names>): the 10
 # code-changed queries (exact_substring_dedup mega-bucket escalation +
 # saturated column; token_budget_selection checkpointed projection;
 # bloom_filter_semi_join de-hinted distinct-custkey broadcast;
 # ivfadc_ann_topk + ivfpq_residual_topk materialize-once IVF centroid
 # frame; funnel_within_window per-stage checkpoints; column_profile
 # one-scan stack rewrite; trigram_backoff_perplexity checkpointed train
-# tokenization), the 3 NEW r12 registrations (cross-corpus overlap
-# spans, IVF-PQ residual quantizer [also in the changed set], streaming
-# watermark-skew rebalance audit), then 40 freshness re-hashes
-# oldest-green-first (the r6 cohort).
+# tokenization; histogram_equi_depth + bootstrap_median_replicates
+# checkpointed shared projections), the 3 NEW r12 registrations
+# (cross-corpus overlap spans, IVF-PQ residual quantizer [also in the
+# changed set], streaming watermark-skew rebalance audit), then 38
+# freshness re-hashes oldest-green-first (the r6 cohort).
 PRIORITY_ORDER = [
     "exact_substring_dedup",
     "token_budget_selection",
@@ -84,6 +85,8 @@ PRIORITY_ORDER = [
     "funnel_within_window",
     "column_profile",
     "trigram_backoff_perplexity",
+    "histogram_equi_depth",
+    "bootstrap_median_replicates",
     "cross_corpus_overlap_spans",
     "streaming_watermark_skew_rebalance",
     "outer_join_order_counts",
@@ -124,9 +127,9 @@ PRIORITY_ORDER = [
     "semdedup_prune",
     "quality_classifier_score",
     "streaming_late_side_topic",
+    # ---- rotation window boundary (50) ----
     "streaming_left_outer_join",
     "streaming_full_outer_join",
-    # ---- rotation window boundary (50) ----
     "chunked_messages_roundtrip",
     "streaming_chunk_reassembly",
     "token_balanced_shards",
@@ -225,7 +228,6 @@ PRIORITY_ORDER = [
     "skyline_pareto",
     "attribution_last_touch",
     "priority_sample_topk",
-    "histogram_equi_depth",
     "association_rules",
     "poisson_bootstrap_means",
     "zorder_data_skipping",
@@ -240,7 +242,6 @@ PRIORITY_ORDER = [
     "skew_diagnosis",
     "decayed_engagement_scores",
     "ann_ndcg_at_k",
-    "bootstrap_median_replicates",
     "revenue_trend_ols",
     "hard_negative_mining",
     "time_weighted_avg",
