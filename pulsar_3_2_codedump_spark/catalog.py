@@ -82,20 +82,69 @@ def fanout(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
-def ckpt_unless_plan_only(df: DataFrame) -> DataFrame:
-    """localCheckpoint in product runs; identity under SPARK_GRAFT_PLAN_ONLY.
+# Count of checkpoints suppressed under SPARK_GRAFT_PLAN_ONLY since process
+# start. Planning-only sweeps (tools/scan_audit.py) snapshot this around each
+# query's construction: a positive delta means the query carries the
+# persist-before-reuse discipline even though the PLAN they inspect shows the
+# raw (identity) lineage — without it the audit permanently false-positives
+# the very queries the discipline fixed (ADVICE r12).
+PLAN_ONLY_SUPPRESSED_CKPTS = 0
+
+
+def ckpt_unless_plan_only(df: DataFrame, cut_plan_only: bool = False) -> DataFrame:
+    """localCheckpoint in product runs; lazy under SPARK_GRAFT_PLAN_ONLY.
 
     The persist-before-reuse discipline (rfm_scores' shared base,
     token_budget_selection's tokenized projection, ivfpq's residual
     assignment): a frame consumed by several downstream branches is
     materialized once instead of re-executed per reference. localCheckpoint
     is EAGER — it runs a job at DataFrame construction — so planning-only
-    sweeps (the flip audit, tools/broadcast_audit.py) set
-    SPARK_GRAFT_PLAN_ONLY and get the lazy frame back unchanged: identical
-    rows, un-materialized, plan shape preserved for the boundedness
-    classifier."""
+    sweeps (the flip/scan audits) set SPARK_GRAFT_PLAN_ONLY and get back:
+
+    - default: the lazy frame unchanged — identical rows, un-materialized,
+      plan shape preserved so the flip audit's boundedness classifier sees
+      THROUGH the checkpoint into the build subtree;
+    - ``cut_plan_only=True``: an empty-RDD frame with the same schema
+      (LogicalRDD — zero jobs, statically non-empty so Catalyst's
+      PropagateEmptyRelation cannot collapse the downstream plan). Use for
+      LOOP-CARRIED frames (connected-components labels, greedy-selection
+      accumulators, power-iteration vectors) where the identity form would
+      nest the plan exponentially per unrolled round. This reproduces
+      exactly the plan shape the sweeps saw when the site was a raw eager
+      localCheckpoint (truncated at Scan ExistingRDD) — minus the jobs.
+
+    Either way the suppressed-checkpoint counter ticks so scan_audit can see
+    the discipline. Production behavior is identical in both modes.
+
+    For CORPUS-SIZED shared frames prefer ``persist_shared_corpus_frame``
+    (lazy DISK_ONLY persist, lineage kept): localCheckpoint stores
+    non-replicated executor-local blocks and truncates lineage, so at 100 TB
+    an executor loss makes the job unrecoverable (ADVICE r12). Reserve this
+    helper for bounded / control-plane / loop-carried frames."""
     import os
 
     if os.environ.get("SPARK_GRAFT_PLAN_ONLY"):
+        global PLAN_ONLY_SUPPRESSED_CKPTS
+        PLAN_ONLY_SUPPRESSED_CKPTS += 1
+        if cut_plan_only:
+            spark = df.sparkSession
+            return spark.createDataFrame(spark.sparkContext.emptyRDD(), df.schema)
         return df
     return df.localCheckpoint()
+
+
+def persist_shared_corpus_frame(df: DataFrame) -> DataFrame:
+    """Lazy DISK_ONLY persist for a corpus-sized frame shared by branches.
+
+    The same materialize-once discipline as ``ckpt_unless_plan_only`` but for
+    frames proportional to the corpus (a tokenized projection, a basket
+    table): persist keeps LINEAGE, so on executor loss the partition is
+    recomputed from the parquet scan instead of killing the job the way a
+    lost localCheckpoint block would, and DISK_ONLY keeps a 100 TB-scale
+    frame out of executor memory entirely (ADVICE r12). Persist is lazy —
+    zero jobs at construction — so planning-only sweeps need no gating; the
+    plan shows InMemoryRelation/InMemoryTableScan immediately, which
+    scan_audit already recognizes as the discipline marker."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.DISK_ONLY)

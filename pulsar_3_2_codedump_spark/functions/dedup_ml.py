@@ -366,20 +366,32 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     # Driver-side loop with a per-round convergence scalar — the canonical
     # Spark shape for iterative graph algorithms (each round is ONE shuffle
     # join + ONE min-agg; localCheckpoint cuts the growing lineage).
-    for _ in range(32):
+    # Under SPARK_GRAFT_PLAN_ONLY the convergence count() is an action the
+    # planning sweeps must not run: build exactly ONE round (every round
+    # has the identical join+agg topology, so one round IS the plan under
+    # audit) with the label frame cut to a schema-preserving leaf.
+    import os
+
+    plan_only = bool(os.environ.get("SPARK_GRAFT_PLAN_ONLY"))
+    from pulsar_3_2_codedump_spark.catalog import ckpt_unless_plan_only
+
+    for _ in range(1 if plan_only else 32):
         nbr = (
             sym.join(lab.withColumnRenamed("doc_id", "src"), "src")
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_lab = (
+        new_lab = ckpt_unless_plan_only(
             lab.join(nbr, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
-            )
-            .localCheckpoint()
+            ),
+            cut_plan_only=True,
         )
+        if plan_only:
+            lab = new_lab
+            break
         changed = (
             new_lab.alias("n")
             .join(lab.alias("o"), "doc_id")

@@ -175,9 +175,12 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = range_bucket(pv, "v", KS_BUCKETS)
     # one triangular carry join for BOTH running sums over the
     # metadata-scale (KS_BUCKETS-row, lineage-cut) partials frame
-    parts = b.groupBy("bucket").agg(
-        F.sum("na").alias("pa"), F.sum("nb").alias("pb")
-    ).localCheckpoint()
+    from pulsar_3_2_codedump_spark.catalog import ckpt_unless_plan_only
+
+    parts = ckpt_unless_plan_only(
+        b.groupBy("bucket").agg(F.sum("na").alias("pa"), F.sum("nb").alias("pb")),
+        cut_plan_only=True,
+    )
     carry = (
         parts.select(F.col("bucket").alias("__b"))
         .join(
@@ -429,7 +432,8 @@ def bootstrap_median_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the in-bucket resolution) re-ran the corpus explode + Poisson weight
     # when left lazy (7 orders scans in the emitted plan). Checkpoint the
     # post-aggregation frame once: one corpus scan, and everything after
-    # operates on the B x NDV(v) reduction.
+    # operates on the B x NDV(v) reduction (cut_plan_only: the audited
+    # plan shows the product's one-scan topology).
     pv = ckpt_unless_plan_only(
         orders.select(
             "o_orderkey",
@@ -439,7 +443,8 @@ def bootstrap_median_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("wt", F.expr(_pois_case_sql(u_sql)))
         .filter(F.col("wt") > 0)
         .groupBy("replicate", "v")
-        .agg(F.sum("wt").alias("na"))
+        .agg(F.sum("wt").alias("na")),
+        cut_plan_only=True,
     )
     b = range_bucket(pv, "v", 32)
     partials = b.groupBy("replicate", "bucket").agg(F.sum("na").alias("pn"))

@@ -27,7 +27,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from pulsar_3_2_codedump_spark.catalog import fanout, load
+from pulsar_3_2_codedump_spark.catalog import (
+    ckpt_unless_plan_only,
+    fanout,
+    load,
+    persist_shared_corpus_frame,
+)
 from pulsar_3_2_codedump_spark.functions.dedup_ml import _D_WORDS, shingles
 from pulsar_3_2_codedump_spark.queries import query
 
@@ -314,10 +319,12 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("__k"), F.col("doc_id")], "rn"
     )
     # the ranked+shingled frame is referenced 4x (self + 3 rank shifts) —
-    # checkpoint so the rank machinery and shingle build run once, not 4x
-    r = ranked.select(
-        "doc_id", shingles(F.col("text")).alias("sh"), "rn"
-    ).localCheckpoint(eager=True)
+    # persist so the rank machinery and shingle build run once, not 4x;
+    # CORPUS-sized (one shingle array per doc) → lazy DISK_ONLY persist
+    # (lineage kept, recomputable on executor loss — ADVICE r12)
+    r = persist_shared_corpus_frame(
+        ranked.select("doc_id", shingles(F.col("text")).alias("sh"), "rn")
+    )
     a = r.select(
         F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("rn").alias("a_rn")
     )
@@ -518,14 +525,16 @@ def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = toks.select("doc_id", F.col("p").alias("pos"), F.col("w").alias("w1"))
     b = toks.select("doc_id", (F.col("p") - 1).alias("pos"), F.col("w").alias("w2"))
     c = toks.select("doc_id", (F.col("p") - 2).alias("pos"), F.col("w").alias("w3"))
-    inst = (
+    # instance frame feeds both the argmax and the postings; corpus-sized
+    # (one row per trigram position) → lazy DISK_ONLY persist
+    inst = persist_shared_corpus_frame(
         a.join(b, ["doc_id", "pos"]).join(c, ["doc_id", "pos"])
         .select(
             "doc_id",
             "pos",
             F.concat_ws(" ", "w1", "w2", "w3").alias("phrase"),
         )
-    ).localCheckpoint()  # instance frame feeds both the argmax and the postings
+    )
     top1 = (
         inst.groupBy("phrase")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -833,14 +842,14 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
     )
     wp = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
-    pool = (
+    pool = ckpt_unless_plan_only(
         F.broadcast(q)
         .join(c, F.col("cand_id") != F.col("query_id"))
         .withColumn("rel", cosine(F.col("q_emb"), F.col("c_emb")))
         .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= MMR_POOL)
-        .select("query_id", "cand_id", "rel", "c_emb")
-        .localCheckpoint()
+        .select("query_id", "cand_id", "rel", "c_emb"),
+        cut_plan_only=True,  # |queries| x MMR_POOL bounded
     )
     a = pool.select(
         "query_id", F.col("cand_id").alias("ca"), F.col("c_emb").alias("ea")
@@ -855,14 +864,14 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "ca", "cb",
             cosine(F.col("ea"), F.col("eb")).alias("sim"),
         )
-        .localCheckpoint()
     )
+    sims = ckpt_unless_plan_only(sims, cut_plan_only=True)
     cand = pool.select("query_id", "cand_id", "rel")
-    best = (
+    best = ckpt_unless_plan_only(
         cand.withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") == 1)
-        .select("query_id", "cand_id", F.col("rel").alias("score"))
-        .localCheckpoint()
+        .select("query_id", "cand_id", F.col("rel").alias("score")),
+        cut_plan_only=True,
     )
     outs = [best.select("query_id", F.lit(1).alias("step"), "cand_id", "score")]
     selected = best.select("query_id", "cand_id")
@@ -886,8 +895,8 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(ws))
             .filter(F.col("rn") == 1)
             .select("query_id", "cand_id", "score")
-            .localCheckpoint()
         )
+        pick = ckpt_unless_plan_only(pick, cut_plan_only=True)  # loop-carried
         outs.append(
             pick.select("query_id", F.lit(step).alias("step"), "cand_id", "score")
         )

@@ -25,7 +25,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.catalog import (
+    ckpt_unless_plan_only,
+    load,
+    persist_shared_corpus_frame,
+)
 from pulsar_3_2_codedump_spark.functions.dedup_ml import _D_SHINGLES, _D_WORDS
 from pulsar_3_2_codedump_spark.queries import query
 
@@ -541,17 +545,17 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_3_2_codedump_spark.operators.prefixops import exclusive_prefix
 
     NB = 32
-    # localCheckpoint: the 4-column tokenized projection feeds THREE
+    # persist-before-reuse: the 4-column tokenized projection feeds THREE
     # consumers (the stats row, the bucket partials, the ranked pass) —
     # materialize it once instead of re-tokenizing the corpus per consumer
     # (ReuseExchange happened to dedupe two of them at sf0.1; at 100 TB
-    # you persist the projection, not the luck — VERDICT r11 item 6).
-    docs = (
-        load(spark, sf_dir, "documents")
-        .select(
+    # you persist the projection, not the luck — VERDICT r11 item 6). The
+    # projection is CORPUS-sized → lazy DISK_ONLY persist (lineage kept,
+    # recomputable on executor loss — ADVICE r12), not localCheckpoint.
+    docs = persist_shared_corpus_frame(
+        load(spark, sf_dir, "documents").select(
             "doc_id", "lang", "n_chars", token_count(F.col("text")).alias("tok")
         )
-        .localCheckpoint()
     )
     # ONE stats pass feeds both the bucket bounds and the budget (a single
     # broadcast row — at 100 TB this saves a full corpus scan vs separate
@@ -694,10 +698,11 @@ def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_3_2_codedump_spark.functions.dedup_ml import shingles
 
     docs = fanout(load(spark, sf_dir, "documents"))
-    tok = (
+    # incidence table (corpus x shingles — corpus-sized) built once; the
+    # greedy steps never re-scan text. DISK_ONLY persist keeps lineage.
+    tok = persist_shared_corpus_frame(
         docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("tok"))
         .distinct()
-        .localCheckpoint()  # incidence table built once; steps never re-scan text
     )
     covered = None
     selected = None
@@ -708,18 +713,21 @@ def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand = cand.join(covered, "tok", "left_anti")
         if selected is not None:
             cand = cand.join(selected, "doc_id", "left_anti")
-        best = (
+        best = ckpt_unless_plan_only(
             cand.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("marginal_gain"))
             .orderBy(F.desc("marginal_gain"), F.asc("doc_id"))
-            .limit(1)
-            .localCheckpoint()
+            .limit(1),
+            cut_plan_only=True,  # loop-carried 1-row frame
         )
         outs.append(best.select(F.lit(step).alias("step"), "doc_id", "marginal_gain"))
         picked_toks = tok.join(F.broadcast(best.select("doc_id")), "doc_id").select("tok")
-        covered = (
-            picked_toks if covered is None else covered.unionByName(picked_toks)
-        ).distinct().localCheckpoint()
+        covered = ckpt_unless_plan_only(
+            (
+                picked_toks if covered is None else covered.unionByName(picked_toks)
+            ).distinct(),
+            cut_plan_only=True,  # loop-carried accumulator
+        )
         sel = best.select("doc_id")
         selected = sel if selected is None else selected.unionByName(sel)
     out = outs[0]

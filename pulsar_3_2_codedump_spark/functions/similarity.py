@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
-from pulsar_3_2_codedump_spark.catalog import fanout, load
+from pulsar_3_2_codedump_spark.catalog import ckpt_unless_plan_only, fanout, load
 from pulsar_3_2_codedump_spark.queries import query
 
 TOP_K = 5
@@ -1557,17 +1557,17 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell_id", residual.alias("embedding"))
     )
-    import os
-
-    if not os.environ.get("SPARK_GRAFT_PLAN_ONLY"):
-        # materialize the residual assignment ONCE: it feeds the codebook
-        # seed ranking, the Lloyd partials pass, the encode pass AND the
-        # candidate join — left lazy, each consumer re-runs the corpus x
-        # cells argmin (the token_budget_selection persist-before-reuse
-        # discipline). At 100 TB the faiss-style alternative is to train
-        # the codebook on a bounded sample and encode in one pass; the
-        # oracle-matched form trains on the full corpus, so it persists.
-        assigned = assigned.localCheckpoint()
+    # materialize the residual assignment ONCE: it feeds the codebook
+    # seed ranking, the Lloyd partials pass, the encode pass AND the
+    # candidate join — left lazy, each consumer re-runs the corpus x
+    # cells argmin (the token_budget_selection persist-before-reuse
+    # discipline). At 100 TB the faiss-style alternative is to train
+    # the codebook on a bounded sample and encode in one pass; the
+    # oracle-matched form trains on the full corpus, so it persists.
+    # Identity under PLAN_ONLY (default): the flip audit judges the full
+    # assignment lineage, as pinned by
+    # test_ivf_cells_materializes_once_and_plan_only_stays_lazy.
+    assigned = ckpt_unless_plan_only(assigned)
     res = assigned.select("vec_id", "embedding")
     cb = pq_codebook(res, kernel="arrow")
     codes = pq_encode(fanout(res), cb, kernel="arrow")
@@ -1733,7 +1733,8 @@ def kmeans_lloyd_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["val"],
             ).alias("c")
         )
-    ).localCheckpoint()
+    )
+    cent1 = ckpt_unless_plan_only(cent1, cut_plan_only=True)  # k-bounded centroids
     a2 = assign(cent1)
     cs = cent1.select(
         "cluster_id",
@@ -1789,7 +1790,7 @@ def _pi_step(qdf: DataFrame, vdf: DataFrame) -> DataFrame:
     m = n.orderBy(F.desc(F.abs("n")), F.asc("pos")).limit(1).select(
         F.col("n").alias("m")
     )
-    return (
+    return ckpt_unless_plan_only(
         n.crossJoin(F.broadcast(m))
         .withColumn(
             "val",
@@ -1805,8 +1806,9 @@ def _pi_step(qdf: DataFrame, vdf: DataFrame) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("pos", "val"))),
                 lambda st: st["val"],
             ).alias("v")
-        )
-    ).localCheckpoint()
+        ),
+        cut_plan_only=True,  # loop-carried 1-row vector frame
+    )
 
 
 def _pi_oracle_iteration(k: int) -> str:
@@ -1876,9 +1878,12 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # v0 = all-ones at fixed-point scale; 1-row array frame (constant value,
     # so the limit(1) row choice is immaterial)
-    v = qdf.limit(1).select(
-        F.transform("q", lambda _: F.lit(PI_SCALE).cast("long")).alias("v")
-    ).localCheckpoint()
+    v = ckpt_unless_plan_only(
+        qdf.limit(1).select(
+            F.transform("q", lambda _: F.lit(PI_SCALE).cast("long")).alias("v")
+        ),
+        cut_plan_only=True,
+    )
     vs = []
     for _ in range(PI_ITERS):
         v = _pi_step(qdf, v)

@@ -1030,9 +1030,11 @@ def trigram_backoff_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three n-gram extractions (tri/bi/uni), and the uni table is consumed
     # twice (vocab join + the corpus-total row) — left lazy, each branch
     # re-scanned and re-tokenized the even-doc corpus (7 documents scans
-    # in the emitted plan). Checkpoint the token arrays once: the whole
+    # in the emitted plan). Persist the token arrays once: the whole
     # model now trains off ONE train scan (+ one held-out scan to score).
-    from pulsar_3_2_codedump_spark.catalog import ckpt_unless_plan_only
+    # The tokenized train corpus is CORPUS-sized → lazy DISK_ONLY persist
+    # (lineage kept, recomputable on executor loss — ADVICE r12).
+    from pulsar_3_2_codedump_spark.catalog import persist_shared_corpus_frame
 
     wc = F.col("ws")
     n2w = F.greatest(F.size(wc) - 1, F.lit(0))
@@ -1043,7 +1045,7 @@ def trigram_backoff_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         join2,
     )
     bgms_w = F.zip_with(F.slice(wc, 1, n2w), F.slice(wc, 2, n2w), join2)
-    train_t = ckpt_unless_plan_only(
+    train_t = persist_shared_corpus_frame(
         docs.filter(F.col("doc_id") % 2 == 0).select(ws.alias("ws"))
     )
     tg_t = train_t.select(F.explode(tgms_w).alias("tgm"))

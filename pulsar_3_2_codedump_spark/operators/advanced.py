@@ -862,12 +862,16 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         range_bucket,
     )
 
-    from pulsar_3_2_codedump_spark.catalog import ckpt_unless_plan_only
+    from pulsar_3_2_codedump_spark.catalog import persist_shared_corpus_frame
 
     # persist-before-reuse (r12 scan audit): the 2-column projection feeds
     # the range-bucket bounds pass, the distributed-rank partials + ranked
-    # pass, and the row-count row — 7 orders scans when left lazy
-    orders = ckpt_unless_plan_only(
+    # pass, and the row-count row — 7 orders scans when left lazy. The
+    # frame is CORPUS-sized, so it takes the DISK_ONLY-persist form of the
+    # discipline rather than localCheckpoint: lineage kept (recomputable on
+    # executor loss), nothing pinned in executor memory, lazy so planning
+    # sweeps need no gate (ADVICE r12).
+    orders = persist_shared_corpus_frame(
         load(spark, sf_dir, "orders").select(
             F.col("o_totalprice").alias("v"), "o_orderkey"
         )
@@ -1097,8 +1101,10 @@ _PROFILE_COLS = [
     "null count, exact NDV, and canonical min/max representations "
     "(printf-formatted numerics and strftime dates, so both engines emit "
     "byte-identical strings — raw double-to-string formatting diverges "
-    "between JVM and C). One aggregate per column over the same scan; "
-    "NDV is exact here, with the registered HLL/theta sketches as the "
+    "between JVM and C). ONE wide aggregate over ONE scan — every "
+    "column's stats (multi-countDistinct planned via Expand) computed in "
+    "a single pass, then pivoted to per-column rows with stack(); NDV is "
+    "exact here, with the registered HLL/theta sketches as the "
     "declared 100 TB swap. Complements histogram_equi_depth (the "
     "distribution) with the per-column summary the optimizer consults "
     "first.",

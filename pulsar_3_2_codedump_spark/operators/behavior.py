@@ -21,7 +21,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from pulsar_3_2_codedump_spark.catalog import load
+from pulsar_3_2_codedump_spark.catalog import (
+    ckpt_unless_plan_only,
+    load,
+    persist_shared_corpus_frame,
+)
 from pulsar_3_2_codedump_spark.queries import query
 
 FUNNEL_STEPS = ["view", "click", "purchase"]
@@ -252,7 +256,7 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chaining nests each stage's bound/count aggregates inside the next
     # stage's lineage and the plan grows ~4^depth (measured: ~560 exchanges
     # chained vs 24 in this shape — PLANS.md distinct-node convention)
-    per = per.localCheckpoint(eager=True)
+    per = ckpt_unless_plan_only(per, cut_plan_only=True)
     # DESC orderings rank by the negated value (ties keep the user_id ASC
     # tiebreak, matching NTILE ... ORDER BY x DESC, user_id exactly)
     def dim(key, out):
@@ -447,12 +451,15 @@ def event_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unrolled iterations reference them repeatedly, and without the cut
     # every iteration's lineage re-scans the corpus (rfm_scores precedent —
     # flatten lineage once the frame is metadata-scale)
-    edges = (
+    edges = ckpt_unless_plan_only(
         seq.filter(F.col("dst").isNotNull())
         .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-    ).localCheckpoint()
-    nodes = events.select(F.col("event_type").alias("node")).distinct().localCheckpoint()
+        .agg(F.count(F.lit(1)).alias("w")),
+        cut_plan_only=True,
+    )
+    nodes = ckpt_unless_plan_only(
+        events.select(F.col("event_type").alias("node")).distinct(), cut_plan_only=True
+    )
     outd = edges.groupBy("src").agg(F.sum("w").alias("outw"))
     n = nodes.agg(F.count(F.lit(1)).alias("n"))
 
@@ -597,18 +604,20 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     # materialize the basket table once: four consumers (totals, item
     # supports, the pruned copy, both pair sides) would otherwise each
-    # re-derive the join+distinct build lineage (1 shuffle, executed once
-    # here; the emitted plan then holds 26 exchanges — PLANS.md counting
-    # convention: distinct nodes, checkpoint-truncated lineage excluded).
-    # At 100 TB this is the "persist the projection first" step.
-    baskets = (
+    # re-derive the join+distinct build lineage. The basket table is
+    # CORPUS-sized (distinct order x brand), so it takes the lazy
+    # DISK_ONLY-persist form of the discipline — lineage kept, partitions
+    # recomputable on executor loss, nothing pinned in executor memory
+    # (ADVICE r12). At 100 TB this is the "persist the projection first"
+    # step.
+    baskets = persist_shared_corpus_frame(
         lineitem.join(
             F.broadcast(part.select("p_partkey", "p_brand")),
             lineitem.l_partkey == F.col("p_partkey"),
         )
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("item"))
         .distinct()
-    ).localCheckpoint()
+    )
     n = baskets.agg(F.countDistinct("o").alias("n_baskets"))
     ic = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
     freq = (
@@ -725,7 +734,8 @@ def funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev0 = ckpt_unless_plan_only(
         events.filter(F.col("event_type") == steps[0])
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t"))
+        .agg(F.min("ts").alias("t")),
+        cut_plan_only=True,
     )
 
     def chain(windowed: bool):
@@ -740,7 +750,8 @@ def funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     <= F.unix_micros(F.col("t")) + FUNNEL_WINDOW_US
                 )
             prev = ckpt_unless_plan_only(
-                nxt.filter(cond).groupBy("user_id").agg(F.min("ts").alias("t"))
+                nxt.filter(cond).groupBy("user_id").agg(F.min("ts").alias("t")),
+                cut_plan_only=True,
             )
             counts.append(prev.agg(F.count(F.lit(1)).alias("users")))
         return counts

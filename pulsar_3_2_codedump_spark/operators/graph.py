@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from pulsar_3_2_codedump_spark.catalog import fanout, load
+from pulsar_3_2_codedump_spark.catalog import ckpt_unless_plan_only, fanout, load
 from pulsar_3_2_codedump_spark.queries import query
 
 CC_PROBE_LEN = 60   # chars compared per candidate pair (fuzzy_blocking_pairs)
@@ -146,17 +146,18 @@ def _cc_oracle() -> str:
     oracle=_cc_oracle(),
 )
 def connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _linkage_edges(spark, sf_dir).localCheckpoint()
+    e = ckpt_unless_plan_only(_linkage_edges(spark, sf_dir), cut_plan_only=True)
     nodes = (
         e.select(F.col("va").alias("node"))
         .union(e.select("vb"))
         .distinct()
     )
-    adj = (
+    adj = ckpt_unless_plan_only(
         e.select(F.col("va").alias("v"), F.col("vb").alias("u"))
         .unionAll(e.select(F.col("vb").alias("v"), F.col("va").alias("u")))
-        .unionAll(nodes.select(F.col("node").alias("v"), F.col("node").alias("u")))
-    ).localCheckpoint()
+        .unionAll(nodes.select(F.col("node").alias("v"), F.col("node").alias("u"))),
+        cut_plan_only=True,
+    )
     lbl = nodes.select("node", F.col("node").alias("lbl"))
     for _ in range(CC_ROUNDS):
         # cut lineage per round: the pointer-jump self-join references nm
@@ -164,11 +165,12 @@ def connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exchanges — the rfm_scores precedent); the label frame is one row
         # per linkage-graph node, the standard iterative-algorithm
         # materialization point
-        nm = (
+        nm = ckpt_unless_plan_only(
             adj.join(lbl.withColumnRenamed("node", "u"), "u")
             .groupBy(F.col("v").alias("node"))
-            .agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint()
+            .agg(F.min("lbl").alias("lbl")),
+            cut_plan_only=True,
+        )
         # pointer jump: lbl <- lbl(lbl)
         lbl = (
             nm.join(
@@ -262,7 +264,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b")
         )
         .distinct()
-    ).localCheckpoint()  # |types|²-bounded frame; cut lineage off the corpus
+    )
+    und = ckpt_unless_plan_only(  # |types|²-bounded frame; cut lineage off the corpus
+        und, cut_plan_only=True
+    )
     e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))

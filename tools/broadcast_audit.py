@@ -134,7 +134,13 @@ EXPLICIT_MEASUREMENT_BROADCASTS: dict[str, str] = {
 # Their fact-scale cores are covered elsewhere: mmr_rerank's pool
 # broadcast is the allowlisted query-set form its ANN siblings pin, and
 # exactly_once_replay_audit's joins are metadata-scale manifest frames.
-CONSTRUCTION_EXECUTES = {"mmr_rerank", "exactly_once_replay_audit"}
+# Queries whose fn() unavoidably runs Spark jobs at DataFrame construction.
+# r13: mmr_rerank left the set — its greedy-step checkpoints now route
+# through catalog.ckpt_unless_plan_only(cut_plan_only=True), so under
+# SPARK_GRAFT_PLAN_ONLY construction is action-free. exactly_once_replay_audit
+# stays: it drives the REAL topic sink (append/replay/commit) at build time —
+# the execution IS the operator under test.
+CONSTRUCTION_EXECUTES = {"exactly_once_replay_audit"}
 
 
 def flip_audit(spark, registry, sf: str, only=()):
