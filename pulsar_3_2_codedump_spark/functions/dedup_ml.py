@@ -18,6 +18,8 @@ operators/routing.md5_hash32 note on murmur3/xxhash64 substitution).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from pulsar_3_2_codedump_spark.catalog import fanout, load
@@ -202,7 +204,8 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _LAST_SIG is not None:
         _LAST_SIG.unpersist(blocking=True)
     sig = sig.persist()
-    sig.count()
+    if not os.environ.get("SPARK_GRAFT_PLAN_ONLY"):
+        sig.count()  # eager fill; persist itself is lazy, so plan-only sweeps skip
     _LAST_SIG = sig
     # bands via ONE explode pass over the cached signature (a 4-way union
     # would scan it 4×; at scale the band table is 4n tiny rows either way)
@@ -1030,7 +1033,8 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = sh.withColumn("hs", base_hashes(F.col("sh"))).select(
         "doc_id", "sh", *minhash_signature(F.col("hs"))
     ).persist()
-    sig.count()
+    if not os.environ.get("SPARK_GRAFT_PLAN_ONLY"):
+        sig.count()  # eager fill; persist itself is lazy, so plan-only sweeps skip
     _LAST_SIG = sig
     bands = sig.select(
         "doc_id",

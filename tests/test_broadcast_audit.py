@@ -83,10 +83,25 @@ def test_flip_audit_only_allowlisted_fact_broadcasts_survive(spark):
     Spark jobs at construction time are excluded via CONSTRUCTION_EXECUTES
     (reasons documented there), and the sweep disables the ESD census
     probe via SPARK_GRAFT_ESD_NO_PROBE; ~2 min for the full registry."""
-    from broadcast_audit import EXPLICIT_MEASUREMENT_BROADCASTS, flip_audit
+    from broadcast_audit import (
+        CONSTRUCTION_JOBS_OK,
+        EXPLICIT_MEASUREMENT_BROADCASTS,
+        flip_audit,
+    )
     from pulsar_3_2_codedump_spark.queries import load_all
 
-    flagged = flip_audit(spark, load_all(), SF_DIR)
+    jobs: dict = {}
+    flagged = flip_audit(spark, load_all(), SF_DIR, jobs_out=jobs)
+    # VERDICT r12 item 2: the sweep is action-free — constructing and
+    # planning every batch query launches ZERO execution jobs, except the
+    # enumerated control-plane collects / fixture builds in
+    # CONSTRUCTION_JOBS_OK (parquet footer-schema metadata reads are
+    # excluded by exec_jobs_after — they fire even for a bare load()).
+    offenders = {n: js for n, js in jobs.items() if n not in CONSTRUCTION_JOBS_OK}
+    assert not offenders, (
+        f"plan-only flip sweep ran execution jobs outside "
+        f"CONSTRUCTION_JOBS_OK: {offenders}"
+    )
     skips = {n: h for n, h in flagged.items() if h and h[0][0] == "SKIP"}
     assert not skips, f"flip audit could not plan: {skips}"
     rogue = set(flagged) - set(EXPLICIT_MEASUREMENT_BROADCASTS)
