@@ -2022,3 +2022,106 @@ def streaming_watermark_skew_rebalance(
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Streaming exactly-once sink-commit audit (K1/K2 streaming twin of
+# operators/delivery.exactly_once_replay_audit — VERDICT r12 item 4a)
+# --------------------------------------------------------------------------
+EOS_GEN1_HI = 250   # generation 1: sequence_id [0, 250)
+EOS_TOTAL = 400     # generation 2 appends [250, 400)
+
+
+@query(
+    "streaming_exactly_once_sink_commit",
+    section="2.K1-stream",
+    doc="LIVE exactly-once SINK-COMMIT audit — the streaming twin of the "
+    "batch exactly_once_replay_audit, proving the end-to-end recipe a "
+    "transactional producer relies on (TopicTransactionBuffer.java:258 "
+    "commits buffered sends atomically at txn commit; "
+    "MessageDeduplication.java:325 drops replayed sequence ids at the "
+    "publish path): a checkpointed Structured Streaming query reads the "
+    f"input topic (seq < {EOS_GEN1_HI}) and its foreachBatch sink "
+    "appends each micro-batch to a REAL output topic with producer "
+    "dedup on. The sink is then KILLED mid-stream — an injected crash "
+    "AFTER the topic append commits but BEFORE Spark commits the batch "
+    "to the checkpoint (exactly the at-least-once window foreachBatch "
+    "documents). The RESTARTED query replays the uncommitted batch "
+    "VERBATIM from the checkpoint WAL; the output topic's per-producer "
+    "sequence high-water marks drop every replayed row. A second "
+    f"generation ([{EOS_GEN1_HI}, {EOS_TOTAL})) then streams through "
+    "cleanly. The committed output log must equal ONE clean publish: "
+    "per-partition count, max sequence and payload md5 checksum, which "
+    "the oracle computes directly from events. Scale: at-least-once "
+    "sink + idempotent producer = exactly-once with NO driver-side "
+    "state — dedup rides the manifest hwm metadata, and the audit "
+    "aggregate is one partial-agg scan of the output topic.",
+    oracle=f"""
+        SELECT CAST(user_id % 8 AS BIGINT) AS partition,
+               COUNT(*) AS n_committed,
+               MAX(event_id) AS max_seq,
+               CAST(SUM(CAST(('0x' || substr(md5(props), 1, 8)) AS BIGINT))
+                    AS BIGINT) AS payload_md5_sum
+        FROM events WHERE event_id < {EOS_TOTAL}
+        GROUP BY 1
+    """,
+)
+def streaming_exactly_once_sink_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.sources import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="eos_")
+    try:
+        in_tp = _replay_topic(spark, sf_dir, root + "/in", 0, EOS_GEN1_HI)
+        out_tp = T.create_topic(root + "/out", "sink", n_partitions=8)
+        src = spark.readStream.format("pulsarlike").option("path", in_tp).load()
+        state = {"crashed": False}
+
+        def sink(batch, bid: int) -> None:
+            # the real producer path: append the envelope (offsets assigned
+            # by the topic) with per-producer sequence dedup ON. The output
+            # topic re-routes on the message key (user_id % 8, the
+            # wrap_events router) — the input replay topic's 2-partition
+            # layout is an ingest detail, not the sink's routing.
+            env = batch.drop("offset").withColumn(
+                "partition", (F.col("key").cast("long") % 8).cast("int")
+            )
+            T.append(batch.sparkSession, env, out_tp, dedup=True)
+            if not state["crashed"]:
+                state["crashed"] = True
+                raise RuntimeError(
+                    "injected sink crash: append committed, checkpoint not"
+                )
+
+        def run_once() -> None:
+            q = (
+                src.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", root + "/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        try:
+            run_once()  # run 1: crashes mid-stream after the sink append
+        except Exception:
+            pass  # the injected crash surfaces as a StreamingQueryException
+        run_once()  # restart: WAL replays the batch, hwm dedup drops it all
+        _append_range(spark, sf_dir, in_tp, EOS_GEN1_HI, EOS_TOTAL)
+        run_once()  # generation 2 streams through cleanly
+        out = (
+            T.read_topic(spark, out_tp)
+            .groupBy(F.col("partition").cast("long").alias("partition"))
+            .agg(
+                F.count(F.lit(1)).alias("n_committed"),
+                F.max("sequence_id").alias("max_seq"),
+                F.sum(
+                    F.conv(F.substring(F.md5("value"), 1, 8), 16, 10).cast("long")
+                ).cast("long").alias("payload_md5_sum"),
+            )
+        )
+        rows = out.collect()  # 8 rows — materialize before cleanup
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

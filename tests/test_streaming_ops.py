@@ -508,3 +508,47 @@ def test_streaming_watermark_skew_rebalance_matches_batch(spark):
         assert g["load_bp"] == n * 10000 // total, p
         assert g["rebalance_splits"] == (n * np_ + total - 1) // total, p
     assert sum(1 for g in got.values() if g["defines_watermark"]) >= 1
+
+
+def test_streaming_eos_sink_commit_replays_batch_and_dedups(spark, monkeypatch):
+    """Pins the r13 streaming exactly-once sink-commit audit (§2.K1): the
+    injected sink crash must actually fire (run 1 appends, dies before the
+    checkpoint commit) and the restarted query must REPLAY that batch
+    through the sink — observed as extra T.append invocations — while the
+    committed output still equals a single clean publish (batch
+    equivalence against wrap_events). Without the crash+replay the append
+    count would be 4 (2 fixture appends + 2 clean sink runs); the replay
+    makes it >= 5."""
+    import pulsar_3_2_codedump_spark.streaming.queries_streaming as S
+
+    calls = {"n": 0}
+    real_append = T.append
+
+    def counting_append(sp, df, tp, *a, **kw):
+        calls["n"] += 1
+        return real_append(sp, df, tp, *a, **kw)
+
+    monkeypatch.setattr(S.T, "append", counting_append)
+    got = {
+        r["partition"]: (r["n_committed"], r["max_seq"], r["payload_md5_sum"])
+        for r in S.streaming_exactly_once_sink_commit(spark, SF_DIR).collect()
+    }
+    assert calls["n"] >= 5, calls
+
+    exp_df = (
+        wrap_events(load(spark, SF_DIR, "events"))
+        .filter(F.col("sequence_id") < S.EOS_TOTAL)
+        .groupBy(F.col("partition").cast("long").alias("partition"))
+        .agg(
+            F.count(F.lit(1)).alias("n_committed"),
+            F.max("sequence_id").alias("max_seq"),
+            F.sum(
+                F.conv(F.substring(F.md5("value"), 1, 8), 16, 10).cast("long")
+            ).cast("long").alias("payload_md5_sum"),
+        )
+    )
+    exp = {
+        r["partition"]: (r["n_committed"], r["max_seq"], r["payload_md5_sum"])
+        for r in exp_df.collect()
+    }
+    assert got == exp
