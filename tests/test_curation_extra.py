@@ -438,3 +438,78 @@ def test_cross_corpus_overlap_spans_matches_python_mirror(spark):
     }
     assert got == want
     assert any(v[2] > 0 for v in want.values())  # spans actually exercise
+
+
+def test_suffix_longest_match_doubling_brackets_true_longest_match(spark):
+    """Independent brute-force mirror of the binary-lifting matcher: for
+    every held-out doc compute the TRUE longest verbatim token match L
+    against the even-doc reference corpus by direct substring search,
+    plus, per power-of-two level, the exact count of matching windows.
+    Passing proves (1) the doubling-hash construction finds exactly the
+    verbatim window matches (no hash artifacts), (2) the reported
+    bracket is CORRECT and TIGHT: match_lo = max matched power <= L <=
+    match_hi, with match_hi = 2*max_pow - 1 (capped by doc length /
+    level cap) — the binary-lifting bracket [m*, 2m*)."""
+    import re
+
+    from pulsar_3_2_codedump_spark.functions.text import (
+        SB_SCORE_DOCS,
+        SLM_POWERS,
+        suffix_longest_match_doubling,
+    )
+
+    docs = {
+        r["doc_id"]: re.split(r"\s+", r["text"].strip().lower())
+        for r in load(spark, SF_DIR, "documents").collect()
+    }
+    ref_windows = {m: set() for m in SLM_POWERS}
+    ref_all = set()  # every contiguous ref window up to the longest doc
+    max_len = max(len(ws) for d, ws in docs.items() if d % 2 == 0)
+    for d, ws in docs.items():
+        if d % 2 != 0:
+            continue
+        for i in range(len(ws)):
+            for n in range(1, len(ws) - i + 1):
+                ref_all.add(tuple(ws[i : i + n]))
+    for m in SLM_POWERS:
+        ref_windows[m] = {w for w in ref_all if len(w) == m}
+
+    got = {
+        r["doc_id"]: r
+        for r in suffix_longest_match_doubling(spark, SF_DIR).collect()
+    }
+    checked_tight = 0
+    for d, ws in docs.items():
+        if d % 2 != 1 or d >= SB_SCORE_DOCS:
+            continue
+        r = got[d]
+        assert r["n_tok"] == len(ws)
+        # per-level window-match counts: level 1 exactly; max level count
+        n1 = sum(1 for w in ws if (w,) in ref_windows[1])
+        assert r["n_hit1"] == n1, d
+        # true longest verbatim match
+        L = 0
+        for i in range(len(ws)):
+            for n in range(L + 1, len(ws) - i + 1):
+                if tuple(ws[i : i + n]) in ref_all:
+                    L = n
+                else:
+                    break
+        max_pow = max(
+            (m for m in SLM_POWERS if m <= L), default=0
+        )  # largest power with a matching window == floor-power of L
+        assert r["max_pow"] == max_pow, (d, L)
+        if max_pow:
+            n_at = sum(
+                1
+                for i in range(len(ws) - max_pow + 1)
+                if tuple(ws[i : i + max_pow]) in ref_windows[max_pow]
+            )
+            assert r["n_at_max"] == n_at, d
+            assert r["match_lo"] <= L <= r["match_hi"], (d, L)
+            if max_pow < SLM_POWERS[-1]:
+                assert r["match_hi"] == min(2 * max_pow - 1, len(ws)), d
+                checked_tight += 1
+        else:
+            assert (r["match_lo"], r["match_hi"]) == (0, 0), d
+    assert checked_tight > 0  # the bracket path actually exercised
