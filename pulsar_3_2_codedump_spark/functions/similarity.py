@@ -2508,3 +2508,245 @@ def opq_rotated_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# HNSW-style beam search over the IVF graph (VERDICT r12 item 4c)
+# --------------------------------------------------------------------------
+HNSW_M = 4      # graph degree: exact kNN edges per vector within its cell
+HNSW_EF = 8     # beam width per hop
+HNSW_HOPS = 3   # unrolled greedy-expansion hops
+HNSW_K = 3      # recall@K against brute-force truth
+
+_D_COS_FC = f"{_D_DOT} / ({_D_NORM_Q} * {_D_NORM_C})"
+
+
+def _hnsw_oracle() -> str:
+    """DuckDB mirror: same md5-sampled IVF cells, same within-cell exact
+    kNN graph, same per-cell medoid entry points, and the SAME unrolled
+    beam recurrence (frontier = beam u neighbors(beam), minus the query
+    itself, re-ranked by cosine with vec_id tiebreak, kept to EF)."""
+    sq = _D_SQ.format(n=PQ_M * PQ_SUB, a="{a}", b="{b}")
+    hops = []
+    for h in range(1, HNSW_HOPS + 1):
+        hops.append(f"""
+        beam{h} AS (
+            SELECT query_id, vec_id FROM (
+                SELECT f.query_id, f.vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY f.query_id
+                                          ORDER BY {_D_COS_FC} DESC,
+                                                   f.vec_id) AS rn
+                FROM (SELECT DISTINCT u.query_id, u.vec_id FROM (
+                          SELECT query_id, vec_id FROM beam{h - 1}
+                          UNION ALL
+                          SELECT b.query_id, e2.dst
+                          FROM beam{h - 1} b JOIN edges e2 ON e2.src = b.vec_id
+                      ) u WHERE u.vec_id <> u.query_id) f
+                JOIN embeddings c ON c.vec_id = f.vec_id
+                JOIN qset q ON q.query_id = f.query_id)
+            WHERE rn <= {HNSW_EF})""")
+    return f"""
+        WITH {_D_CELLS.strip()},
+        av AS (SELECT e.vec_id, ca.cell_id, e.embedding
+               FROM embeddings e JOIN cellassign ca USING (vec_id)),
+        edges AS (
+            SELECT src, dst FROM (
+                SELECT a.vec_id AS src, b.vec_id AS dst,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                           ORDER BY {sq.format(a="a.embedding", b="b.embedding")},
+                                    b.vec_id) AS rn
+                FROM av a JOIN av b ON b.cell_id = a.cell_id
+                                   AND b.vec_id <> a.vec_id)
+            WHERE rn <= {HNSW_M}),
+        medoid AS (
+            SELECT cell_id, vec_id AS entry_id FROM (
+                SELECT v.cell_id, v.vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.cell_id
+                           ORDER BY {sq.format(a="v.embedding", b="c.cent")},
+                                    v.vec_id) AS rn
+                FROM av v JOIN cells c ON c.cell_id = v.cell_id)
+            WHERE rn = 1),
+        qset AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                 WHERE vec_id % {QUERY_STRIDE} = 0),
+        probe1 AS (
+            SELECT query_id, cell_id FROM (
+                SELECT q.vec_id AS query_id, c.cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY {sq.format(a="q.embedding", b="c.cent")},
+                                    c.cell_id) AS rn
+                FROM embeddings q JOIN cells c ON TRUE
+                WHERE q.vec_id % {QUERY_STRIDE} = 0)
+            WHERE rn = 1),
+        beam0 AS (SELECT p.query_id, m.entry_id AS vec_id
+                  FROM probe1 p JOIN medoid m USING (cell_id)),{",".join(hops)},
+        approx_top AS (
+            SELECT query_id, vec_id AS neighbor_id FROM (
+                SELECT f.query_id, f.vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY f.query_id
+                                          ORDER BY {_D_COS_FC} DESC,
+                                                   f.vec_id) AS rn
+                FROM beam{HNSW_HOPS} f
+                JOIN embeddings c ON c.vec_id = f.vec_id
+                JOIN qset q ON q.query_id = f.query_id)
+            WHERE rn <= {HNSW_K}),
+        exact_top AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                          ORDER BY {_D_COS_FC} DESC,
+                                                   c.vec_id) AS rn
+                FROM qset q JOIN embeddings c ON c.vec_id <> q.query_id)
+            WHERE rn <= {HNSW_K})
+        SELECT e.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) * 1.0 / {HNSW_K}, 4)
+                   AS recall_at_k
+        FROM exact_top e LEFT JOIN approx_top a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """
+
+
+@query(
+    "hnsw_beam_search_recall",
+    section="2.N-sim",
+    doc="HNSW-STYLE BEAM SEARCH over the IVF graph, measured by recall — "
+    "the navigable-small-world search loop of Malkov & Yashunin's HNSW "
+    f"(layer-0 form): the graph is the exact {HNSW_M}-NN digraph within "
+    "each md5-sampled IVF cell (the faiss IVF+graph hybrid — cell-"
+    "bounded all-pairs keeps the build an n^2/#cells partition-local "
+    "job; at 100 TB the named build path is NN-descent or incremental "
+    "insertion, this form exists so the SEARCH is hash-verifiable), "
+    "entered at the probed top-1 cell's MEDOID (the vector nearest its "
+    f"centroid) and expanded for {HNSW_HOPS} unrolled hops: frontier = "
+    "beam u out-neighbors(beam) minus the query, re-ranked by exact "
+    f"cosine with vec_id tiebreak, kept to EF={HNSW_EF}. Both the "
+    "deterministic graph and the fixed unroll run IDENTICALLY on both "
+    "engines, so the driver hash verifies the actual beam trajectory, "
+    f"not just the final recall@{HNSW_K} against brute-force truth "
+    "(the ann_recall_at_k harness). Scale: every hop is a bounded "
+    "(#queries x EF) frame joined against the M-degree edge list — "
+    "per-hop state never exceeds #queries x EF x (M+1) rows, the HNSW "
+    "memory argument, and the only corpus-sized frames are the edge "
+    "build and the truth side.",
+    oracle=_hnsw_oracle(),
+)
+def hnsw_beam_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.catalog import ckpt_unless_plan_only
+
+    emb = load(spark, sf_dir, "embeddings")
+    cells = _ivf_cells(emb)
+    assign = _argmin_cell(emb, cells, "vec_id", 1)
+    av = emb.join(assign, "vec_id")
+    # exact kNN digraph within each cell; edge list carries the dst
+    # embedding so hops never re-join the corpus for scoring
+    a = av.select(
+        "cell_id", F.col("vec_id").alias("src"), F.col("embedding").alias("se")
+    )
+    b = av.select(
+        "cell_id", F.col("vec_id").alias("dst"), F.col("embedding").alias("de")
+    )
+    we = W.partitionBy("src").orderBy("d", "dst")
+    edges = ckpt_unless_plan_only(
+        a.join(b, "cell_id")
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn("d", _sqdist(F.col("se"), F.col("de")))
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= HNSW_M)
+        .select("src", "dst", "de"),
+        cut_plan_only=True,  # n x M frame referenced once per hop
+    )
+    wm = W.partitionBy("cell_id").orderBy("d", "vec_id")
+    medoid = (
+        av.join(F.broadcast(cells), "cell_id")
+        .withColumn("d", _sqdist(F.col("embedding"), F.col("cent")))
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("cell_id", F.col("vec_id").alias("entry_id"))
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe1 = _argmin_cell(
+        q.select(F.col("query_id").alias("vec_id"), F.col("q_emb").alias("embedding")),
+        cells,
+        "vec_id",
+        1,
+    ).select(F.col("vec_id").alias("query_id"), "cell_id")
+    beam = probe1.join(medoid, "cell_id").select(
+        "query_id", F.col("entry_id").alias("vec_id")
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+
+    def rescore(frontier: DataFrame, keep: int) -> DataFrame:
+        scored = (
+            frontier.join(
+                emb.select(F.col("vec_id"), F.col("embedding").alias("c_emb")),
+                "vec_id",
+            )
+            .join(F.broadcast(q), "query_id")
+            .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= keep)
+            .select("query_id", "vec_id")
+        )
+
+    for _ in range(HNSW_HOPS):
+        nb = beam.join(edges, beam.vec_id == edges.src).select(
+            "query_id", F.col("dst").alias("vec_id")
+        )
+        frontier = (
+            beam.select("query_id", "vec_id")
+            .unionByName(nb)
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .distinct()
+        )
+        beam = ckpt_unless_plan_only(
+            rescore(frontier, HNSW_EF),
+            cut_plan_only=True,  # loop-carried #queries x EF frame
+        )
+    approx_top = rescore(beam, HNSW_K).select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+    exact_top = (
+        F.broadcast(q)
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"),
+            ),
+            F.col("neighbor_id") != F.col("query_id"),
+        )
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+            ),
+        )
+        .filter(F.col("rn") <= HNSW_K)
+        .select("query_id", "neighbor_id")
+    )
+    hit = F.when(F.col("a_neighbor").isNotNull(), 1).otherwise(0)
+    approx_renamed = approx_top.select(
+        F.col("query_id").alias("a_query"), F.col("neighbor_id").alias("a_neighbor")
+    )
+    return (
+        exact_top.join(
+            F.broadcast(approx_renamed),
+            (F.col("a_neighbor") == F.col("neighbor_id"))
+            & (F.col("a_query") == F.col("query_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(hit).cast("long").alias("n_hit"),
+            F.round(F.sum(hit) / HNSW_K, 4).alias("recall_at_k"),
+        )
+    )

@@ -1043,3 +1043,92 @@ def test_ivf_cells_materializes_once_and_plan_only_stays_lazy(spark, monkeypatch
     key = lambda r: r["cell_id"]  # noqa: E731
     assert sorted(mat.collect(), key=key) == sorted(lazy.collect(), key=key)
     assert mat.schema == lazy.schema
+
+
+def test_hnsw_beam_search_matches_python_walk(spark):
+    """Independent third implementation of the r13 HNSW beam search: the
+    md5-sampled cells, within-cell kNN digraph, medoid entry and the
+    EF-bounded hop recurrence are all recomputed in plain Python with the
+    same sequential-fold float arithmetic and (score, vec_id) tiebreaks,
+    then recall@K against a brute-force Python truth is compared row-for-
+    row with the registered query — proving the Spark windows/joins
+    implement the WALK, not just a statistic that happens to agree."""
+    import hashlib
+
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        HNSW_EF,
+        HNSW_HOPS,
+        HNSW_K,
+        HNSW_M,
+        PQIVF_CELLS,
+        QUERY_STRIDE,
+        hnsw_beam_search_recall,
+    )
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    def cos(a, b):
+        import math
+
+        d = n1 = n2 = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        for x in a:
+            n1 += x * x
+        for y in b:
+            n2 += y * y
+        return d / (math.sqrt(n1) * math.sqrt(n2))
+
+    order = sorted(
+        vecs, key=lambda v: (hashlib.md5(f"cell:{v}".encode()).hexdigest(), v)
+    )
+    cents = {i + 1: vecs[v] for i, v in enumerate(order[:PQIVF_CELLS])}
+    assign = {
+        v: min(cents, key=lambda c: (sq(vecs[v], cents[c]), c)) for v in vecs
+    }
+    by_cell: dict = {}
+    for v, c in assign.items():
+        by_cell.setdefault(c, []).append(v)
+    edges = {
+        v: sorted(
+            (u for u in by_cell[assign[v]] if u != v),
+            key=lambda u: (sq(vecs[v], vecs[u]), u),
+        )[:HNSW_M]
+        for v in vecs
+    }
+    medoid = {
+        c: min(members, key=lambda v: (sq(vecs[v], cents[c]), v))
+        for c, members in by_cell.items()
+    }
+    want = {}
+    for qid in sorted(v for v in vecs if v % QUERY_STRIDE == 0):
+        qv = vecs[qid]
+        c1 = min(cents, key=lambda c: (sq(qv, cents[c]), c))
+        beam = [medoid[c1]]
+        for _ in range(HNSW_HOPS):
+            frontier = {u for v in beam for u in edges[v]} | set(beam)
+            frontier.discard(qid)
+            beam = sorted(frontier, key=lambda v: (-cos(qv, vecs[v]), v))[:HNSW_EF]
+        approx = set(
+            sorted(beam, key=lambda v: (-cos(qv, vecs[v]), v))[:HNSW_K]
+        )
+        exact = sorted(
+            (v for v in vecs if v != qid), key=lambda v: (-cos(qv, vecs[v]), v)
+        )[:HNSW_K]
+        n_hit = sum(1 for v in exact if v in approx)
+        want[qid] = (HNSW_K, n_hit)
+    got = {
+        r["query_id"]: (r["n_exact"], r["n_hit"])
+        for r in hnsw_beam_search_recall(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert any(h for _, h in want.values())  # the search actually finds truth
