@@ -1421,11 +1421,16 @@ ESD_ESCALATE = 5_000_000  # colliding suffixes in ONE bucket before the
 #                 mega-bucket escalation re-routes it around the window
 #                 sort (r12; measured crossover SCALE.md r11: 8M sorts in
 #                 the 12 s total, 40M spills 542 s on one task)
-ESD_PROBE_FRAC = 0.02  # doc-sample fraction for the escalation probe: a
+ESD_PROBE_FRAC = 0.02  # POSITION-sample fraction for the escalation probe
+#                 (r13: suffix starts hash-sampled inside each doc's
+#                 position array — closes the r12 giant-doc evasion): a
 #                 threshold-sized bucket samples ~ESD_ESCALATE*frac = 100k
 #                 suffixes (binomial CV ~0.3% — detection is not the
-#                 constraint); measured probe cost ~0.7-1.6 s at 300k docs
-#                 at frac=0.05, halved here (r12 A/B, SCALE.md)
+#                 constraint); r13 A/B at 300k docs: 1.4-1.6 s vs the old
+#                 doc-sample's 1.7-1.9 s (~6% of the 24 s full census),
+#                 and the one-giant-doc pathology is detected
+#                 deterministically where the doc sample missed 50/50
+#                 seeds (SCALE.md r13)
 ESD_MAX_HOT = 1024  # bound on escalated buckets per run (driver literals)
 
 
@@ -1455,15 +1460,22 @@ def _lcp_in_bucket(a: Column, b: Column) -> Column:
     return F.when(b.isNull(), 0).otherwise(F.lit(ESD_MIN) + tail)
 
 
-def _esd_eligible(t: DataFrame) -> DataFrame:
-    """(doc_id, pos, s, bucket) word-start suffix frame over a
-    (doc_id, ws) tokenized frame — the shared input of the census probe
-    and both scoring branches of exact_substring_stats."""
-    sfx = t.select(
+def _esd_positions(t: DataFrame) -> DataFrame:
+    """(doc_id, pos, ws): every word-start position of a (doc_id, ws)
+    tokenized frame — integers only, no string building, so a census
+    probe can hash-sample POSITIONS before paying for the suffix
+    strings (the expensive part of the expansion)."""
+    return t.select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.size("ws"))).alias("pos"),
         "ws",
-    ).select(
+    )
+
+
+def _esd_strings(pos_frame: DataFrame) -> DataFrame:
+    """(doc_id, pos, s, bucket): build the truncated suffix string and
+    its ESD_MIN-char bucket for a positions frame."""
+    sfx = pos_frame.select(
         "doc_id",
         "pos",
         F.substring(
@@ -1475,6 +1487,13 @@ def _esd_eligible(t: DataFrame) -> DataFrame:
     return sfx.filter(F.length("s") >= ESD_MIN).withColumn(
         "bucket", F.substring("s", 1, ESD_MIN)
     )
+
+
+def _esd_eligible(t: DataFrame) -> DataFrame:
+    """(doc_id, pos, s, bucket) word-start suffix frame over a
+    (doc_id, ws) tokenized frame — the shared input of the census probe
+    and both scoring branches of exact_substring_stats."""
+    return _esd_strings(_esd_positions(t))
 
 
 def _esd_mega_buckets(
@@ -1496,27 +1515,47 @@ def _esd_mega_buckets(
 
     Two stages keep the common profile at ~probe_fraction overhead and
     make mis-routing impossible:
-      1. sampled census: expand only a doc-sample, count per bucket
-         (skew-free — map-side partial aggregation collapses a colliding
-         bucket to one row per task), keep candidates whose scaled
-         estimate reaches escalate_threshold, bounded by max_hot
-         (control-plane collect of <= max_hot 20-char strings);
+      1. sampled census: expand only a position-sample (hash-filtered
+         inside each doc's position array), count per bucket (skew-free —
+         map-side partial aggregation collapses a colliding bucket to one
+         row per task), keep candidates whose scaled estimate reaches
+         escalate_threshold, bounded by max_hot (control-plane collect of
+         <= max_hot 20-char strings);
       2. exact census of the candidates only (one full corpus pass, paid
          only when stage 1 fired — i.e. on pathological corpora): a
          candidate is escalated iff its TRUE size exceeds bucket_cap, the
          exact condition under which saturation is already the semantics.
-    Known limit (documented): stage 1 samples DOCS, so a single
-    unsampled giant document can evade the gate — output stays correct,
-    it just sorts on one task like the r11 form; the measured pathology
-    (boilerplate repeated across millions of docs) is caught
-    proportionally."""
-    probe_t = (
-        t.sample(fraction=probe_fraction, seed=42)
-        if probe_fraction < 1.0
-        else t
-    )
+    r13 (VERDICT r12 item 6): stage 1 samples POSITIONS, not docs — the
+    positions frame is exploded as integers (cheap) and hash-filtered
+    BEFORE the suffix strings are built (the expensive part of the
+    expansion), so the probe still costs ~probe_fraction of one
+    expansion pass while closing the documented giant-doc evasion: a
+    single doc holding a mega-bucket's worth of colliding suffixes now
+    contributes ~probe_fraction of its positions to the census instead
+    of being in-or-out with probability probe_fraction (A/B in SCALE.md
+    r13: equal common-profile cost, deterministic detection of the
+    one-giant-doc pathology the doc sample missed ~98% of the time).
+    xxhash64(doc_id, pos) sampling is deterministic — no RNG, identical
+    across retries."""
+    if probe_fraction < 1.0:
+        mod = 1_000_000
+        keep = max(1, int(mod * probe_fraction))
+        # sample INSIDE the per-doc position array (scan-local lambda) so
+        # only surviving positions ever explode — the exploded rows carry
+        # the ws array, so sampling after a full explode would pay the
+        # whole O(doc_len) row fan-out it exists to avoid
+        sampled_pos = F.filter(
+            F.sequence(F.lit(1), F.size("ws")),
+            lambda p: F.pmod(F.xxhash64(F.col("doc_id"), p, F.lit(42)), F.lit(mod))
+            < F.lit(keep),
+        )
+        probe_frame = _esd_strings(
+            t.select("doc_id", F.explode(sampled_pos).alias("pos"), "ws")
+        )
+    else:
+        probe_frame = _esd_eligible(t)
     cand = (
-        _esd_eligible(probe_t)
+        probe_frame
         .groupBy("bucket")
         .count()
         .filter(F.col("count") >= max(1, int(escalate_threshold * probe_fraction)))

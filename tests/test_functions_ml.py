@@ -1132,3 +1132,49 @@ def test_hnsw_beam_search_matches_python_walk(spark):
     }
     assert got == want
     assert any(h for _, h in want.values())  # the search actually finds truth
+
+
+def test_esd_position_probe_detects_single_giant_doc(spark):
+    """Pins the r13 position-sampled escalation census (VERDICT r12 item
+    6): a mega-bucket concentrated in ONE document must be named by the
+    gate. The r12 doc-sampled probe saw such a bucket only when the one
+    giant doc happened to be sampled (~probe_fraction of the time — the
+    documented evasion); sampling suffix START positions makes every
+    bucket contribute ~probe_fraction of its true size regardless of doc
+    boundaries, so detection is deterministic."""
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import _esd_mega_buckets
+
+    giant = spark.range(0, 1).select(
+        F.lit(9_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(F.sequence(F.lit(1), F.lit(30_000)), lambda _: F.lit("zzz")),
+        ).alias("text"),
+    )
+    small = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(20)),
+                lambda i: F.concat(
+                    F.lit("w"), F.pmod(F.xxhash64(F.col("id"), i), F.lit(5000))
+                ),
+            ),
+        ).alias("text"),
+    )
+    t = (
+        small.unionByName(giant)
+        .select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("ws"))
+    )
+    hot = _esd_mega_buckets(
+        t, bucket_cap=256, escalate_threshold=20_000, probe_fraction=0.02,
+        max_hot=16,
+    )
+    assert hot == ["zzz zzz zzz zzz zzz "], hot
+    # and a corpus with no mega-bucket stays un-escalated
+    assert _esd_mega_buckets(
+        small.select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("ws")),
+        bucket_cap=256, escalate_threshold=20_000, probe_fraction=0.02,
+        max_hot=16,
+    ) == []
