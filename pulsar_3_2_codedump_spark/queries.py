@@ -64,29 +64,70 @@ def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""
 #      than ~4 rounds stale against fixture regenerations.
 # The window is ALWAYS the first 50 entries of this list; the boundary
 # comment below marks it. Never leave a changed query below the boundary.
-# r12 window (tools/rotate_window.py --changed <10 names>): the 10
-# code-changed queries (exact_substring_dedup mega-bucket escalation +
-# saturated column; token_budget_selection checkpointed projection;
-# bloom_filter_semi_join de-hinted distinct-custkey broadcast;
-# ivfadc_ann_topk + ivfpq_residual_topk materialize-once IVF centroid
-# frame; funnel_within_window per-stage checkpoints; column_profile
-# one-scan stack rewrite; trigram_backoff_perplexity checkpointed train
-# tokenization; histogram_equi_depth + bootstrap_median_replicates
-# checkpointed shared projections), the 3 NEW r12 registrations
-# (cross-corpus overlap spans, IVF-PQ residual quantizer [also in the
-# changed set], streaming watermark-skew rebalance audit), then 38
-# freshness re-hashes oldest-green-first (the r6 cohort).
+# r13 window (tools/rotate_window.py --changed <28 names>): the 28
+# code-changed queries (the checkpoint-discipline migration — every raw
+# eager localCheckpoint routed through ckpt_unless_plan_only or switched
+# to a DISK_ONLY persist_shared_corpus_frame — plus the minhash eager-
+# count plan-only gate, the ESD position-sampled escalation census and
+# the column_profile doc fix), the 3 NEW r13 registrations (streaming
+# exactly-once sink-commit audit, suffix longest-match binary lifting,
+# HNSW beam-search recall), then 19 freshness re-hashes
+# oldest-green-first (the r7 cohort enters first: rfm_scores r7; the
+# remaining r7 stragglers rotate in r14 — the 31 changed+new slots
+# squeezed this round's freshness budget).
 PRIORITY_ORDER = [
-    "exact_substring_dedup",
-    "token_budget_selection",
-    "bloom_filter_semi_join",
-    "ivfadc_ann_topk",
-    "ivfpq_residual_topk",
+    "rfm_scores",
+    "event_graph_pagerank",
+    "association_rules",
     "funnel_within_window",
-    "column_profile",
-    "trigram_backoff_perplexity",
-    "histogram_equi_depth",
+    "connected_components_star",
+    "triangle_count",
+    "bloom_filter_semi_join",
+    "token_budget_selection",
+    "greedy_coverage_selection",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "ks_two_sample",
     "bootstrap_median_replicates",
+    "bpe_train_merges",
+    "bpe_apply_encode",
+    "kmeans_lloyd_iterations",
+    "pca_power_iteration",
+    "ivfpq_residual_topk",
+    "sorted_neighborhood_pairs",
+    "phrase_search_postings",
+    "mmr_rerank",
+    "histogram_equi_depth",
+    "trigram_backoff_perplexity",
+    "column_profile",
+    "minhash_lsh_dedup",
+    "lsh_dedup_recall",
+    "minhash_estimate_error",
+    "exact_substring_dedup",
+    "hnsw_beam_search_recall",
+    "suffix_longest_match_doubling",
+    "streaming_exactly_once_sink_commit",
+    "streaming_left_outer_join",
+    "streaming_full_outer_join",
+    "chunked_messages_roundtrip",
+    "streaming_chunk_reassembly",
+    "token_balanced_shards",
+    "count_min_heavy_hitters",
+    "peek_skip_messages",
+    "cdc_chunk_dedup",
+    "watermark_late_data",
+    "json_properties",
+    "string_library",
+    "date_extraction",
+    "regexp_functions",
+    "array_functions",
+    "offset_pagination",
+    "temperature_mixture",
+    "backlog_quota_eviction",
+    "priority_dispatch",
+    "streaming_multi_topic_union",
+    # ---- rotation window boundary (50) ----
+    "ivfadc_ann_topk",
     "cross_corpus_overlap_spans",
     "streaming_watermark_skew_rebalance",
     "outer_join_order_counts",
@@ -112,7 +153,6 @@ PRIORITY_ORDER = [
     "schema_decode_value",
     "protobuf_decode_value",
     "streaming_session_windows",
-    "dedup_clusters",
     "contamination_overlap",
     "gopher_quality_rules",
     "char_entropy",
@@ -127,12 +167,6 @@ PRIORITY_ORDER = [
     "semdedup_prune",
     "quality_classifier_score",
     "streaming_late_side_topic",
-    # ---- rotation window boundary (50) ----
-    "streaming_left_outer_join",
-    "streaming_full_outer_join",
-    "chunked_messages_roundtrip",
-    "streaming_chunk_reassembly",
-    "token_balanced_shards",
     "opq_rotated_adc_topk",
     "shipping_priority",
     "local_supplier_volume",
@@ -144,7 +178,6 @@ PRIORITY_ORDER = [
     "large_volume_customers",
     "sole_return_suppliers",
     "small_quantity_revenue",
-    "mmr_rerank",
     "exactly_once_replay_audit",
     "streaming_delayed_delivery",
     "streaming_count_windows",
@@ -199,7 +232,6 @@ PRIORITY_ORDER = [
     "disjunctive_predicate_revenue",
     "excess_volume_suppliers",
     "idle_wealthy_customers",
-    "minhash_lsh_dedup",
     "tableview_latest",
     "txn_visibility",
     "compaction_tombstones",
@@ -224,17 +256,14 @@ PRIORITY_ORDER = [
     "jdbc_roundtrip",
     "psi_drift",
     "score_calibration_bins",
-    "triangle_count",
     "skyline_pareto",
     "attribution_last_touch",
     "priority_sample_topk",
-    "association_rules",
     "poisson_bootstrap_means",
     "zorder_data_skipping",
     "hll_explicit_distinct",
     "streaming_psi_monitor",
     "cusum_changepoint",
-    "phrase_search_postings",
     "cms_join_size_estimate",
     "k_anonymity_audit",
     "dp_laplace_counts",
@@ -297,14 +326,8 @@ PRIORITY_ORDER = [
     "source_cap_sample",
     "expire_messages_by_time",
     "tiered_shadow_roundtrip",
-    "bpe_train_merges",
-    "event_graph_pagerank",
-    "kmeans_lloyd_iterations",
-    "bpe_apply_encode",
-    "pca_power_iteration",
     "constraint_audit",
     "kfold_assignment",
-    "greedy_coverage_selection",
     "fuzzy_blocking_pairs",
     "theta_kll_sketch_battery",
     "encrypted_roundtrip",
@@ -312,30 +335,9 @@ PRIORITY_ORDER = [
     "publish_rate_limit",
     "subscribe_rate_limit",
     "dispatch_rate_limit",
-    "connected_components_star",
-    "ks_two_sample",
-    "count_min_heavy_hitters",
-    "peek_skip_messages",
-    "cdc_chunk_dedup",
-    "rfm_scores",
-    "watermark_late_data",
-    "sorted_neighborhood_pairs",
-    "minhash_estimate_error",
-    "json_properties",
-    "string_library",
-    "date_extraction",
-    "regexp_functions",
-    "array_functions",
-    "offset_pagination",
-    "temperature_mixture",
-    "backlog_quota_eviction",
-    "priority_dispatch",
-    "streaming_multi_topic_union",
     "ohlc_resample",
     "streaming_sequence_gap_monitor",
     "pivot_revenue_matrix",
-    "lsh_dedup_recall",
-    "dedup_keep_best",
     "quantized_ann_recall",
     "event_trigram_paths",
     "knn_label_vote",

@@ -65,11 +65,16 @@ def main() -> None:
         sys.exit(f"--changed names not registered: {unknown}")
     greens = last_green_round(REPO)
     pos = {n: i for i, n in enumerate(PRIORITY_ORDER)}
+    # candidates come from the REGISTRY, not PRIORITY_ORDER (r13 fix: a
+    # new registration not yet pasted into queries.py was invisible to
+    # the 'never driver-hashed' bucket — exactly the queries the window
+    # must include); names only in PRIORITY_ORDER (deregistered) drop out
+    names = sorted(registry, key=lambda n: pos.get(n, len(pos)))
 
-    never = [n for n in PRIORITY_ORDER if n not in greens and n not in changed]
+    never = [n for n in names if n not in greens and n not in changed]
     fresh = sorted(
-        (n for n in PRIORITY_ORDER if n in greens and n not in changed),
-        key=lambda n: (greens[n], pos[n]),
+        (n for n in names if n in greens and n not in changed),
+        key=lambda n: (greens[n], pos.get(n, len(pos))),
     )
     if len(changed) + len(never) > args.window:
         sys.exit(
