@@ -111,6 +111,8 @@ EXPLICIT_MEASUREMENT_BROADCASTS: dict[str, str] = {
     "ivfpq_residual_topk": "broadcasts per-(query, probed-cell) residual "
     "ADC lookup tables — #queries x nprobe rows, bounded by the strided "
     "query set (the residual form of ivfadc_ann_topk's LUT broadcast)",
+    "hnsw_beam_search_recall": _QUERY_SET + "; beam re-scoring joins the "
+    "bounded (#queries x EF x (M+1)) frontier against the query set",
     "knn_label_vote": _QUERY_SET,
     "lsh_ann_topk": _QUERY_SET,
     "mmr_rerank": _QUERY_SET + "; the re-ranked pool is top-"
