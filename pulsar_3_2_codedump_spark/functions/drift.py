@@ -261,15 +261,22 @@ CAL_BINS = 10
     """,
 )
 def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.catalog import persist_shared_corpus_frame
+
     docs = fanout(load(spark, sf_dir, "documents")).filter(F.length("text") > 0)
-    scored = docs.select(
-        "doc_id",
-        F.floor(
-            F.lit(100)
-            * F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
-            / F.length("text")
-        ).cast("long").alias("score"),
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    # the scored projection feeds the rank machinery (bounds, partials,
+    # ranked pass) and the count row — persist once (corpus-sized 3-col
+    # frame → DISK_ONLY; r13 scan audit: 4 documents scans -> 1)
+    scored = persist_shared_corpus_frame(
+        docs.select(
+            "doc_id",
+            F.floor(
+                F.lit(100)
+                * F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+                / F.length("text")
+            ).cast("long").alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
     )
     # exact global rank without a single-partition window; score is already
     # 0..100 so it is its own monotone range bucket
@@ -538,7 +545,15 @@ MAD_K = 3.0  # outlier threshold: |v - median| > MAD_K * MAD
     """,
 )
 def robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load(spark, sf_dir, "events").select("event_type", "value")
+    from pulsar_3_2_codedump_spark.catalog import persist_shared_corpus_frame
+
+    # the 2-col projection feeds both median passes AND the final agg —
+    # the Hampel identifier is inherently two-pass, but every pass should
+    # read the persisted projection, not re-scan parquet (r13 scan audit:
+    # 4 events scans -> 1)
+    events = persist_shared_corpus_frame(
+        load(spark, sf_dir, "events").select("event_type", "value")
+    )
     med = events.groupBy("event_type").agg(F.median("value").alias("med"))
     a = events.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))

@@ -1268,8 +1268,14 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SEMDEDUP_K)
         .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cent"))
     )
+    from pulsar_3_2_codedump_spark.catalog import persist_shared_corpus_frame
+
     aw = W.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cluster_id"))
-    assigned = (
+    # persist-before-reuse (r13 scan audit): the assignment feeds BOTH
+    # self-join sides and the final verdict join — left lazy each re-ran
+    # the centroid argmax over the corpus (6 embeddings scans); the frame
+    # is corpus-sized → lazy DISK_ONLY persist (lineage kept)
+    assigned = persist_shared_corpus_frame(
         fanout(emb)
         .crossJoin(F.broadcast(cents))
         .withColumn("cc", cosine(F.col("embedding"), F.col("cent")))

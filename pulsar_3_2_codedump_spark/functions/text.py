@@ -758,8 +758,14 @@ CHI2_TOPK = 3
 def chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from pulsar_3_2_codedump_spark.catalog import persist_shared_corpus_frame
+
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select("lang", F.explode(words(F.col("text"))).alias("term"))
+    # the token stream feeds FOUR aggregates (cell, both margins, total) —
+    # persist once (corpus-sized → DISK_ONLY; r13 scan audit: 4 -> 1)
+    tok = persist_shared_corpus_frame(
+        docs.select("lang", F.explode(words(F.col("text"))).alias("term"))
+    )
     a = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("a"))
     lt = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("l"))
     tt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("t"))
@@ -894,15 +900,22 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = docs.select(F.split(F.lower(F.trim("text")), r"\s+").alias("w")).filter(
         F.size("w") >= 2  # sequence(1, 0) would DESCEND in Spark; DuckDB's
     )  # range(1, 1) is empty — make both sides skip one-word docs explicitly
-    big = w.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(w) - 1),"
-                " i -> struct(element_at(w, i) AS w1,"
-                "             element_at(w, i + 1) AS w2))"
-            )
-        ).alias("b")
-    ).select("b.w1", "b.w2")
+    from pulsar_3_2_codedump_spark.catalog import persist_shared_corpus_frame
+
+    # the bigram stream feeds FOUR aggregates (pair counts, both margins,
+    # the total) — persist once (corpus-sized → DISK_ONLY, lineage kept;
+    # r13 scan audit: 4 documents scans -> 1)
+    big = persist_shared_corpus_frame(
+        w.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) AS w1,"
+                    "             element_at(w, i + 1) AS w2))"
+                )
+            ).alias("b")
+        ).select("b.w1", "b.w2")
+    )
     xy = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt_xy"))
     m1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     m2 = big.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))

@@ -536,7 +536,15 @@ def peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t", "delta", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    sweep = pts.select("event_type", "t", F.sum("delta").over(w).alias("running"))
+    # the swept running-sum frame feeds the peak agg AND the first-instant
+    # filter — persist once so the boundary-point window runs once and the
+    # union's two parquet legs aren't re-read per consumer (r13 scan
+    # audit: 4 events scans -> the union's 2, then cache)
+    from pulsar_3_2_codedump_spark.catalog import persist_shared_corpus_frame
+
+    sweep = persist_shared_corpus_frame(
+        pts.select("event_type", "t", F.sum("delta").over(w).alias("running"))
+    )
     mx = sweep.groupBy("event_type").agg(F.max("running").alias("peak"))
     return (
         sweep.join(F.broadcast(mx), "event_type")

@@ -169,7 +169,12 @@ def watermark_tracked(ev: DataFrame) -> DataFrame:
         range_bucket,
     )
 
-    t = range_bucket(ev, "event_id", WM_BUCKETS)
+    from pulsar_3_2_codedump_spark.catalog import persist_shared_corpus_frame
+
+    # the bucketed frame feeds the per-bucket partials AND the final
+    # carry join — persist once (corpus-sized → DISK_ONLY; r13 scan
+    # audit: 6 events scans -> the bounds agg + one cached assignment)
+    t = persist_shared_corpus_frame(range_bucket(ev, "event_id", WM_BUCKETS))
     btot = t.groupBy("bucket").agg(F.max("ts").alias("bmax"))
     carry = exclusive_prefix(btot, "bucket", "bmax", "max", "carry_max")
     in_w = W.partitionBy("bucket").orderBy("event_id").rowsBetween(W.unboundedPreceding, -1)

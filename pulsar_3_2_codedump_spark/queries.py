@@ -64,17 +64,19 @@ def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""
 #      than ~4 rounds stale against fixture regenerations.
 # The window is ALWAYS the first 50 entries of this list; the boundary
 # comment below marks it. Never leave a changed query below the boundary.
-# r13 window (tools/rotate_window.py --changed <28 names>): the 28
+# r13 window (tools/rotate_window.py --changed <39 names>): the 39
 # code-changed queries (the checkpoint-discipline migration — every raw
 # eager localCheckpoint routed through ckpt_unless_plan_only or switched
-# to a DISK_ONLY persist_shared_corpus_frame — plus the minhash eager-
-# count plan-only gate, the ESD position-sampled escalation census and
-# the column_profile doc fix), the 3 NEW r13 registrations (streaming
+# to a DISK_ONLY persist_shared_corpus_frame, INCLUDING the 11 former
+# scan-audit accepted-real plans now persisted (semdedup, setsim, the
+# shingle-pair family, pmi/chi2 token streams, calibration/MAD/sweep/
+# watermark shared frames) — plus the minhash eager-count plan-only
+# gate, the ESD position-sampled escalation census and the
+# column_profile doc fix), the 3 NEW r13 registrations (streaming
 # exactly-once sink-commit audit, suffix longest-match binary lifting,
-# HNSW beam-search recall), then 19 freshness re-hashes
-# oldest-green-first (the r7 cohort enters first: rfm_scores r7; the
-# remaining r7 stragglers rotate in r14 — the 31 changed+new slots
-# squeezed this round's freshness budget).
+# HNSW beam-search recall), then 8 freshness re-hashes
+# oldest-green-first (the r7 cohort's stragglers rotate r14 — the 42
+# changed+new slots consumed this round's freshness budget).
 PRIORITY_ORDER = [
     "rfm_scores",
     "event_graph_pagerank",
@@ -104,6 +106,17 @@ PRIORITY_ORDER = [
     "lsh_dedup_recall",
     "minhash_estimate_error",
     "exact_substring_dedup",
+    "semdedup_prune",
+    "setsim_prefix_join",
+    "source_overlap_matrix",
+    "pmi_collocations",
+    "chi2_terms",
+    "score_calibration_bins",
+    "robust_mad_outliers",
+    "peak_concurrency_sweep",
+    "watermark_late_data",
+    "ngram_jaccard_pairs",
+    "shingle_containment_pairs",
     "hnsw_beam_search_recall",
     "suffix_longest_match_doubling",
     "streaming_exactly_once_sink_commit",
@@ -115,7 +128,7 @@ PRIORITY_ORDER = [
     "count_min_heavy_hitters",
     "peek_skip_messages",
     "cdc_chunk_dedup",
-    "watermark_late_data",
+    # ---- rotation window boundary (50) ----
     "json_properties",
     "string_library",
     "date_extraction",
@@ -126,7 +139,6 @@ PRIORITY_ORDER = [
     "backlog_quota_eviction",
     "priority_dispatch",
     "streaming_multi_topic_union",
-    # ---- rotation window boundary (50) ----
     "ivfadc_ann_topk",
     "cross_corpus_overlap_spans",
     "streaming_watermark_skew_rebalance",
@@ -164,7 +176,6 @@ PRIORITY_ORDER = [
     "cross_corpus_dedup",
     "pricing_summary",
     "pq_adc_ann_topk",
-    "semdedup_prune",
     "quality_classifier_score",
     "streaming_late_side_topic",
     "opq_rotated_adc_topk",
@@ -202,7 +213,6 @@ PRIORITY_ORDER = [
     "lsh_ann_topk",
     "ivf_ann_topk",
     "lsh_bucket_stats",
-    "ngram_jaccard_pairs",
     "simhash_fingerprint",
     "embedding_cosine_neardup",
     "language_id",
@@ -255,7 +265,6 @@ PRIORITY_ORDER = [
     "marker_filtered_scan",
     "jdbc_roundtrip",
     "psi_drift",
-    "score_calibration_bins",
     "skyline_pareto",
     "attribution_last_touch",
     "priority_sample_topk",
@@ -274,9 +283,6 @@ PRIORITY_ORDER = [
     "revenue_trend_ols",
     "hard_negative_mining",
     "time_weighted_avg",
-    "robust_mad_outliers",
-    "pmi_collocations",
-    "source_overlap_matrix",
     "truncated_embedding_recall",
     "hll_union_windows",
     "passjoin_edit_pairs",
@@ -285,7 +291,6 @@ PRIORITY_ORDER = [
     "filtered_vector_search",
     "streaming_hll_distinct",
     "attribution_position_based",
-    "peak_concurrency_sweep",
     "missing_hours_audit",
     "ab_test_z_scores",
     "phash_banded_neardup",
@@ -295,12 +300,10 @@ PRIORITY_ORDER = [
     "watermark_partition_lag",
     "streaming_cusum_alarm",
     "scalar_functions",
-    "chi2_terms",
     "vocab_oov_rate",
     "length_bucketing",
     "embedding_centroids",
     "bm25_topk",
-    "setsim_prefix_join",
     "repeated_passages",
     "funnel_conversion",
     "cohort_retention",
@@ -347,7 +350,6 @@ PRIORITY_ORDER = [
     "tfidf_top_terms",
     "zipf_slope",
     "topic_storage_stats",
-    "shingle_containment_pairs",
 ]
 
 

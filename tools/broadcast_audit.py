@@ -128,15 +128,14 @@ EXPLICIT_MEASUREMENT_BROADCASTS: dict[str, str] = {
 }
 
 
-# Queries whose fn() EXECUTES Spark jobs at construction time (eager
-# localCheckpoints, a real publish/replay through the topic sink), which
-# a planning sweep must not run under an abnormal floored threshold
-# (ADVICE r11: the flip sweep is plan-only by contract — like the
-# streaming_ skip, these are excluded with the reason stated here).
-# Their fact-scale cores are covered elsewhere: mmr_rerank's pool
-# broadcast is the allowlisted query-set form its ANN siblings pin, and
-# exactly_once_replay_audit's joins are metadata-scale manifest frames.
-# Queries whose fn() unavoidably runs Spark jobs at DataFrame construction.
+# Queries whose fn() unavoidably runs Spark jobs at DataFrame construction
+# (a real publish/replay through the topic sink — the execution IS the
+# operator under test), which a planning sweep must not run under an
+# abnormal floored threshold (ADVICE r11: the flip sweep is plan-only by
+# contract — like the streaming_ skip, these are excluded with the reason
+# stated here). exactly_once_replay_audit's own joins are metadata-scale
+# manifest frames; the audited query-shape core is the batch aggregate its
+# oracle hashes.
 # r13: mmr_rerank left the set — its greedy-step checkpoints now route
 # through catalog.ckpt_unless_plan_only(cut_plan_only=True), so under
 # SPARK_GRAFT_PLAN_ONLY construction is action-free. exactly_once_replay_audit
@@ -200,6 +199,14 @@ def flip_audit(spark, registry, sf: str, only=(), jobs_out: dict | None = None):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     os.environ["SPARK_GRAFT_ESD_NO_PROBE"] = "1"
     os.environ["SPARK_GRAFT_PLAN_ONLY"] = "1"
+    # Plans cached by EARLIER constructions in this session were compiled
+    # under the NORMAL threshold — their estimate-driven BroadcastExchanges
+    # would be spliced verbatim into the flipped plans and read as
+    # "surviving the floor" (r13: phrase_search_postings false-flagged
+    # whenever the scan sweep had registered its persisted frame first).
+    # Clearing the cache makes every build re-plan under the floored
+    # threshold, which is the condition the audit exists to test.
+    spark.catalog.clearCache()
     try:
         for name, q in sorted(registry.items()):
             if only and name not in only:

@@ -90,35 +90,10 @@ BENIGN_MULTISCAN: dict[str, str] = {
     "held-out parity legs x (count, span) passes",
     "attribution_position_based": "disjoint-ish: purchase leg vs touch-"
     "journey legs under different pushed event filters and roles",
-    "peak_concurrency_sweep": "accepted-real: open/close boundary-point "
-    "legs + carry partials over a pushed 2-column read",
-    "score_calibration_bins": "accepted-real: distributed-rank partials/"
-    "carry legs over a pushed 2-column projection; persist candidate",
-    "robust_mad_outliers": "accepted-real: two-pass median-then-MAD by "
-    "construction; each pass a pushed 2-column read",
-    "source_overlap_matrix": "accepted-real: self-join sides + per-source "
-    "vocab totals of the inverted-index form; persist candidate",
-    "shingle_containment_pairs": "accepted-real: self-join sides + per-doc "
-    "shingle-count legs of the inverted-index form; persist candidate",
-    "ngram_jaccard_pairs": "accepted-real: self-join sides + per-doc "
-    "shingle-count legs of the inverted-index form; persist candidate",
-    "pmi_collocations": "accepted-real: unigram/bigram extraction legs + "
-    "margins — re-extraction cheaper than materializing tokens at toy "
-    "scale; persist candidate",
-    "chi2_terms": "accepted-real: term/margin contingency legs — same "
-    "re-extraction trade as pmi_collocations",
     "constraint_audit": "measurement: nine independent declarative "
     "constraint checks, each a partial-agg scan with its own pushed "
     "filter — the per-check legs ARE the audit; a one-pass multi-check "
     "rewrite is the named fix if the suite cost regresses",
-    "watermark_late_data": "accepted-real: running-max watermark + "
-    "per-type kept/late legs over a pushed 3-column read of events",
-    "setsim_prefix_join": "accepted-real: PPJoin self-join sides + global "
-    "token-frequency order + brute-force verify legs of the inverted-"
-    "index family; persist candidate",
-    "semdedup_prune": "accepted-real: centroid derivation, assignment and "
-    "within-cluster pair sides each re-read the embedding projection; "
-    "persist candidate",
 }
 
 
@@ -148,6 +123,13 @@ def audit(spark, registry, sf: str, threshold: int = 4, jobs_out: dict | None = 
 
     os.environ["SPARK_GRAFT_PLAN_ONLY"] = "1"
     os.environ["SPARK_GRAFT_ESD_NO_PROBE"] = "1"
+    # Drop CacheManager registrations from earlier constructions in this
+    # session: a persisted frame's CACHED physical plan (compiled under
+    # whatever conf was active when it was first built) would otherwise be
+    # spliced verbatim into the plans this sweep inspects, making counts
+    # depend on session history (r13: the source of cross-session
+    # scan-count drift).
+    spark.catalog.clearCache()
     hits = []
     try:
         for name, q in sorted(registry.items()):
