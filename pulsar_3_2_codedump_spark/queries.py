@@ -64,19 +64,21 @@ def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""
 #      than ~4 rounds stale against fixture regenerations.
 # The window is ALWAYS the first 50 entries of this list; the boundary
 # comment below marks it. Never leave a changed query below the boundary.
-# r13 window (tools/rotate_window.py --changed <39 names>): the 39
+# r13 window (tools/rotate_window.py --changed <40 names>): the 40
 # code-changed queries (the checkpoint-discipline migration — every raw
 # eager localCheckpoint routed through ckpt_unless_plan_only or switched
 # to a DISK_ONLY persist_shared_corpus_frame, INCLUDING the 11 former
 # scan-audit accepted-real plans now persisted (semdedup, setsim, the
 # shingle-pair family, pmi/chi2 token streams, calibration/MAD/sweep/
-# watermark shared frames) — plus the minhash eager-count plan-only
+# watermark shared frames, constraint_audit's per-fact projections) —
+# plus the minhash eager-count plan-only
 # gate, the ESD position-sampled escalation census and the
 # column_profile doc fix), the 3 NEW r13 registrations (streaming
 # exactly-once sink-commit audit, suffix longest-match binary lifting,
-# HNSW beam-search recall), then 8 freshness re-hashes
-# oldest-green-first (the r7 cohort's stragglers rotate r14 — the 42
-# changed+new slots consumed this round's freshness budget).
+# HNSW beam-search recall), then 7 freshness re-hashes
+# oldest-green-first (the r7 cohort's stragglers rotate r14 — the 43
+# changed+new slots consumed this round's freshness budget;
+# correctness-first rule: a changed query never sits below the boundary).
 PRIORITY_ORDER = [
     "rfm_scores",
     "event_graph_pagerank",
@@ -117,6 +119,7 @@ PRIORITY_ORDER = [
     "watermark_late_data",
     "ngram_jaccard_pairs",
     "shingle_containment_pairs",
+    "constraint_audit",
     "hnsw_beam_search_recall",
     "suffix_longest_match_doubling",
     "streaming_exactly_once_sink_commit",
@@ -127,8 +130,8 @@ PRIORITY_ORDER = [
     "token_balanced_shards",
     "count_min_heavy_hitters",
     "peek_skip_messages",
-    "cdc_chunk_dedup",
     # ---- rotation window boundary (50) ----
+    "cdc_chunk_dedup",
     "json_properties",
     "string_library",
     "date_extraction",
@@ -329,7 +332,6 @@ PRIORITY_ORDER = [
     "source_cap_sample",
     "expire_messages_by_time",
     "tiered_shadow_roundtrip",
-    "constraint_audit",
     "kfold_assignment",
     "fuzzy_blocking_pairs",
     "theta_kll_sketch_battery",

@@ -90,10 +90,6 @@ BENIGN_MULTISCAN: dict[str, str] = {
     "held-out parity legs x (count, span) passes",
     "attribution_position_based": "disjoint-ish: purchase leg vs touch-"
     "journey legs under different pushed event filters and roles",
-    "constraint_audit": "measurement: nine independent declarative "
-    "constraint checks, each a partial-agg scan with its own pushed "
-    "filter — the per-check legs ARE the audit; a one-pass multi-check "
-    "rewrite is the named fix if the suite cost regresses",
 }
 
 
