@@ -660,6 +660,14 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_3_2_codedump_spark.functions.similarity import cosine
 
     docs = fanout(load(spark, sf_dir, "documents"))
+    # the doc-word set feeds the size agg, the query-side extraction AND
+    # the inverted-index probe — deliberately NOT persisted: the distinct
+    # is Exchange-rooted, so ReuseExchange serves all three consumers from
+    # ONE shuffle at runtime (the static plan prints 3 scans; the executed
+    # plan runs one), and a DISK_ONLY persist measurably REGRESSED the
+    # query (6.1-10.0 s vs the 3.4-3.9 s band at sf0.1 — it replaces the
+    # free exchange reuse with a serialize-to-disk round trip). The r13
+    # scan-audit allowlist entry documents this trade.
     tok = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),

@@ -1217,8 +1217,17 @@ def cross_corpus_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode(tgms).alias("pos", "tgm"))
         .withColumn("pos", F.col("pos") + 1)  # oracle's 1-based positions
     )
-    hit = held.join(ref, "tgm", "left").select(
-        "doc_id", "pos", F.coalesce("is_hit", F.lit(False)).alias("is_hit")
+    from pulsar_3_2_codedump_spark.catalog import ckpt_unless_plan_only
+
+    # the hit frame feeds the runs decomposition AND the per-doc counts —
+    # left lazy both re-ran the trigram join (4 documents scans, and the
+    # doc-parity filters are arithmetic so they cannot push into the
+    # parquet scan). Bounded: <= SB_SCORE_DOCS held docs x positions.
+    hit = ckpt_unless_plan_only(
+        held.join(ref, "tgm", "left").select(
+            "doc_id", "pos", F.coalesce("is_hit", F.lit(False)).alias("is_hit")
+        ),
+        cut_plan_only=True,
     )
     runs = hit.filter("is_hit").select(
         "doc_id",

@@ -64,7 +64,7 @@ def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""
 #      than ~4 rounds stale against fixture regenerations.
 # The window is ALWAYS the first 50 entries of this list; the boundary
 # comment below marks it. Never leave a changed query below the boundary.
-# r13 window (tools/rotate_window.py --changed <40 names>): the 40
+# r13 window (tools/rotate_window.py --changed <41 names>): the 41
 # code-changed queries (the checkpoint-discipline migration — every raw
 # eager localCheckpoint routed through ckpt_unless_plan_only or switched
 # to a DISK_ONLY persist_shared_corpus_frame, INCLUDING the 11 former
@@ -75,8 +75,8 @@ def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""
 # gate, the ESD position-sampled escalation census and the
 # column_profile doc fix), the 3 NEW r13 registrations (streaming
 # exactly-once sink-commit audit, suffix longest-match binary lifting,
-# HNSW beam-search recall), then 7 freshness re-hashes
-# oldest-green-first (the r7 cohort's stragglers rotate r14 — the 43
+# HNSW beam-search recall), then 6 freshness re-hashes
+# oldest-green-first (the r7 cohort's stragglers rotate r14 — the 44
 # changed+new slots consumed this round's freshness budget;
 # correctness-first rule: a changed query never sits below the boundary).
 PRIORITY_ORDER = [
@@ -120,6 +120,7 @@ PRIORITY_ORDER = [
     "ngram_jaccard_pairs",
     "shingle_containment_pairs",
     "constraint_audit",
+    "cross_corpus_overlap_spans",
     "hnsw_beam_search_recall",
     "suffix_longest_match_doubling",
     "streaming_exactly_once_sink_commit",
@@ -129,8 +130,8 @@ PRIORITY_ORDER = [
     "streaming_chunk_reassembly",
     "token_balanced_shards",
     "count_min_heavy_hitters",
-    "peek_skip_messages",
     # ---- rotation window boundary (50) ----
+    "peek_skip_messages",
     "cdc_chunk_dedup",
     "json_properties",
     "string_library",
@@ -143,7 +144,6 @@ PRIORITY_ORDER = [
     "priority_dispatch",
     "streaming_multi_topic_union",
     "ivfadc_ann_topk",
-    "cross_corpus_overlap_spans",
     "streaming_watermark_skew_rebalance",
     "outer_join_order_counts",
     "theta_join_acctbal",

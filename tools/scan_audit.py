@@ -79,15 +79,17 @@ BENIGN_MULTISCAN: dict[str, str] = {
     "filtered_vector_search": "measurement: unfiltered truth, filtered leg, "
     "and per-query candidate counts each re-derive from the corpus by design",
     "hybrid_rrf_fusion": "measurement/multi-modal: lexical pool, vector pool "
-    "and fused truth each scan their modality by design",
+    "and fused truth each scan their modality by design; ALSO measured "
+    "(r13): the shared doc-word set is Exchange-rooted (distinct), so "
+    "ReuseExchange serves all three consumers from one shuffle at runtime "
+    "— a DISK_ONLY persist REGRESSED the query 6.1-10.0 s vs its "
+    "3.4-3.9 s band by replacing that free reuse with a disk round trip",
     "count_min_heavy_hitters": "measurement: sketch estimate leg vs exact "
     "truth leg — the comparison is the query",
     "zorder_data_skipping": "measurement: lexicographic vs Z-order layout "
     "legs each laid out + footer-audited — the A/B is the query",
     "funnel_conversion": "disjoint: per-step event_type pushed-filter legs",
     "psi_drift": "disjoint: first/second epoch-half pushed ts-range legs",
-    "cross_corpus_overlap_spans": "disjoint: even-doc reference vs odd-doc "
-    "held-out parity legs x (count, span) passes",
     "attribution_position_based": "disjoint-ish: purchase leg vs touch-"
     "journey legs under different pushed event filters and roles",
 }
