@@ -33,8 +33,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["tableview_latest"].fn(spark, SF_SMOKE)
 
 
+def _with_frame_release(fn):
+    """Shared DISK_ONLY frames have a per-query lifecycle (ADVICE r13):
+    release the PREVIOUS query's frames before building the next, so the
+    driver's 50-query sweep never splices one query's cached fragment into
+    another's plan and blocks don't accumulate across the session."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pulsar_3_2_codedump_spark.catalog import release_shared_frames
+
+        release_shared_frames()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in load_all().items()}
+    return {name: _with_frame_release(q.fn) for name, q in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -14,13 +14,28 @@ two rounds running (r11 14.5 s / r12 62.35 s vs an 11.2 s true floor the
 judge reproduced independently) — this hypervisor intermittently grants
 ~1.5 effective cores with load ~0 and %st = 0, inflating parallel-heavy
 queries 10-40x while sub-second queries stay ~2x. Mitigation, fully
-disclosed in the JSON: every timed set runs TWICE in the same session and
-the HEADLINE value is the sum of per-query MINIMA (standard best-of-N
-practice; a per-query minimum can only be achieved by actually executing
-the full plan that fast, so it cannot overstate the engine). Both raw
-passes, both load samples, and a mid-run effective-cores re-probe are
-recorded so a reader can reconstruct either pass and see whether the host
+disclosed in the JSON: every timed set runs at least TWICE in the same
+session and the HEADLINE value is the sum of per-query MINIMA (standard
+best-of-N practice; a per-query minimum can only be achieved by actually
+executing the full plan that fast, so it cannot overstate the engine). All
+raw passes, the load samples, and per-pass effective-cores probes are
+recorded so a reader can reconstruct any pass and see whether the host
 degraded mid-run.
+
+r14 refinements:
+- (ADVICE r13) each query's shared DISK_ONLY frames are RELEASED right
+  after it is timed (catalog.release_shared_frames), so a later pass — or a
+  later query building a byte-identical fragment — re-executes the full
+  plan instead of reading the previous pass's persisted blocks out of
+  Spark's CacheManager. The per-query minimum now genuinely requires a full
+  cold-plan execution; only the envelope ingest cache (documented above the
+  cached_envelope(...) call) survives across passes, by design.
+- (VERDICT r13 item 2) the artifact SELF-HEALS: if after the two baseline
+  passes the run still looks degraded (best-two pass-total ratio > 2x, or
+  no effective-cores probe ever reached 14), up to two EXTRA passes run,
+  each with its own cores probe; every attempt is recorded under "passes".
+  "clean" reports whether the final artifact met both criteria — a reader
+  (and the judge) can see at a glance whether the headline is trustworthy.
 """
 
 from __future__ import annotations
@@ -136,32 +151,62 @@ def main() -> None:
 
     cached_envelope(spark, sf_dir).count()
 
+    from pulsar_3_2_codedump_spark.catalog import release_shared_frames
+
     def run_timed(names: list[str], tag: str) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
             t0 = time.time()
             n = len(registry[name].fn(spark, sf_dir).collect())
             out[name] = round(time.time() - t0, 3)
+            # drop this query's shared DISK_ONLY frames NOW: the next pass
+            # (and any later query with an identical fragment) must pay the
+            # full plan, or the per-query minimum overstates the engine
+            release_shared_frames()
             print(f"# [{tag}] {name}: {out[name]:.3f}s ({n} rows)", file=sys.stderr)
         return out
 
-    def minima(a: dict[str, float], b: dict[str, float]) -> dict[str, float]:
-        return {k: min(a[k], b[k]) for k in a}
+    CORES_OK = 14.0   # below this the host is delivering < half its cores
+    RATIO_OK = 2.0    # best two pass totals further apart than this = noise
+    MAX_PASSES = 4    # 2 baseline + up to 2 self-heal retries
 
-    # Two full passes (see module docstring): pass 1, a mid-run host
-    # re-probe, pass 2. Headline value = sum of per-query minima.
-    timings1 = run_timed(HEADLINE, "pass1")
-    secondary1 = run_timed(SECONDARY, "pass1")
-    try:
-        load_1m_mid = round(os.getloadavg()[0], 2)
-    except OSError:
-        load_1m_mid = -1.0
-    effective_cores_mid = _effective_cores()
-    timings2 = run_timed(HEADLINE, "pass2")
-    secondary2 = run_timed(SECONDARY, "pass2")
+    passes: list[dict] = []
 
-    timings = minima(timings1, timings2)
-    secondary = minima(secondary1, secondary2)
+    def one_pass() -> None:
+        tag = f"pass{len(passes) + 1}"
+        try:
+            load_before = round(os.getloadavg()[0], 2)
+        except OSError:
+            load_before = -1.0
+        # the first pass reuses the startup probe; later passes re-probe so
+        # each attempt carries its own host-health evidence
+        cores = effective_cores_start if not passes else _effective_cores()
+        q = run_timed(HEADLINE, tag)
+        s = run_timed(SECONDARY, tag)
+        passes.append(
+            {
+                "queries": q,
+                "secondary": s,
+                "total": round(sum(q.values()), 3),
+                "load_1m_before": load_before,
+                "effective_cores_before": cores,
+            }
+        )
+
+    def healthy() -> bool:
+        totals = sorted(p["total"] for p in passes)
+        ratio_ok = len(totals) >= 2 and totals[1] <= RATIO_OK * totals[0]
+        cores_ok = any(p["effective_cores_before"] >= CORES_OK for p in passes)
+        return ratio_ok and cores_ok
+
+    one_pass()
+    one_pass()
+    while not healthy() and len(passes) < MAX_PASSES:
+        print(f"# degraded after {len(passes)} passes — retrying", file=sys.stderr)
+        one_pass()
+
+    timings = {k: min(p["queries"][k] for p in passes) for k in HEADLINE}
+    secondary = {k: min(p["secondary"][k] for p in passes) for k in SECONDARY}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -173,15 +218,12 @@ def main() -> None:
                 "queries": timings,
                 "secondary": secondary,
                 "sf": sf,
-                "aggregation": "per-query min of 2 same-session passes",
-                "pass1": {"queries": timings1, "secondary": secondary1,
-                          "total": round(sum(timings1.values()), 3)},
-                "pass2": {"queries": timings2, "secondary": secondary2,
-                          "total": round(sum(timings2.values()), 3)},
+                "aggregation": f"per-query min of {len(passes)} same-session "
+                "passes (shared frames released per query)",
+                "clean": healthy(),
+                "passes": passes,
                 "load_1m_start": load_1m_start,
-                "load_1m_mid": load_1m_mid,
                 "effective_cores_start": effective_cores_start,
-                "effective_cores_mid": effective_cores_mid,
             }
         )
     )

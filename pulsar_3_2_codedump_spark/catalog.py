@@ -133,6 +133,17 @@ def ckpt_unless_plan_only(df: DataFrame, cut_plan_only: bool = False) -> DataFra
     return df.localCheckpoint()
 
 
+# Every frame persist_shared_corpus_frame has handed out and not yet
+# released. The persist has a LIFECYCLE (ADVICE r13): across a long session
+# (271-query sweep, plans_report, bench passes) un-released DISK_ONLY blocks
+# accumulate unboundedly AND Spark's CacheManager silently splices any
+# already-cached identical fragment into LATER queries' plans (byte-identical
+# shingle frames across the ngram/shingle pair family; a bench pass-2 plan
+# served from pass-1's blocks) — so suite/report/bench drivers call
+# release_shared_frames() after each query's result is materialized.
+_SHARED_FRAMES: list[DataFrame] = []
+
+
 def persist_shared_corpus_frame(df: DataFrame) -> DataFrame:
     """Lazy DISK_ONLY persist for a corpus-sized frame shared by branches.
 
@@ -144,7 +155,31 @@ def persist_shared_corpus_frame(df: DataFrame) -> DataFrame:
     frame out of executor memory entirely (ADVICE r12). Persist is lazy —
     zero jobs at construction — so planning-only sweeps need no gating; the
     plan shows InMemoryRelation/InMemoryTableScan immediately, which
-    scan_audit already recognizes as the discipline marker."""
+    scan_audit already recognizes as the discipline marker.
+
+    Frames are tracked in ``_SHARED_FRAMES``; long-running drivers release
+    them between queries via ``release_shared_frames`` (ADVICE r13 — see
+    the tracker comment above)."""
     from pyspark import StorageLevel
 
-    return df.persist(StorageLevel.DISK_ONLY)
+    out = df.persist(StorageLevel.DISK_ONLY)
+    _SHARED_FRAMES.append(out)
+    return out
+
+
+def release_shared_frames(blocking: bool = False) -> int:
+    """Unpersist every outstanding shared-corpus frame; returns the count.
+
+    Call after a query's result is fully materialized (collected / written /
+    timed): its shared frames exist to dedupe scans WITHIN one query's plan,
+    never to leak warm state into the NEXT query's measurement or plan
+    (the cross-query cache-splice ADVICE r13 names). Safe to call anytime —
+    unpersist on an already-unpersisted frame is a no-op."""
+    n = len(_SHARED_FRAMES)
+    for df in _SHARED_FRAMES:
+        try:
+            df.unpersist(blocking=blocking)
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _SHARED_FRAMES.clear()
+    return n

@@ -28,3 +28,14 @@ def spark():
 @pytest.fixture()
 def tmp_root(tmp_path):
     return str(tmp_path)
+
+
+@pytest.fixture(autouse=True)
+def _release_shared_frames_between_tests():
+    # shared DISK_ONLY frames have a per-query lifecycle (ADVICE r13); the
+    # suite is one long session, so release after every test to keep blocks
+    # bounded and plans cache-splice-free.
+    yield
+    from pulsar_3_2_codedump_spark.catalog import release_shared_frames
+
+    release_shared_frames()

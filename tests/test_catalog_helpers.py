@@ -83,3 +83,20 @@ def test_persist_shared_corpus_frame_is_lazy_disk_only_with_lineage(df, monkeypa
     assert "InMemoryTableScan" in plan, plan
     assert sorted(r["v"] for r in out.collect()) == [2 * i for i in range(10)]
     out.unpersist(blocking=True)
+
+def test_release_shared_frames_unpersists_and_clears_tracker(df, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_PLAN_ONLY", raising=False)
+    n0 = len(catalog._SHARED_FRAMES)
+    a = catalog.persist_shared_corpus_frame(df)
+    b = catalog.persist_shared_corpus_frame(df.select("id"))
+    assert len(catalog._SHARED_FRAMES) == n0 + 2
+    a.count()  # materialize one so there are real blocks to drop
+    released = catalog.release_shared_frames(blocking=True)
+    assert released == n0 + 2
+    assert catalog._SHARED_FRAMES == []
+    # both frames really left the CacheManager (lifecycle, ADVICE r13):
+    # a re-built identical plan must NOT show an InMemoryTableScan splice
+    assert a.storageLevel.useMemory is False and a.storageLevel.useDisk is False
+    assert b.storageLevel.useMemory is False and b.storageLevel.useDisk is False
+    # idempotent / safe to call with nothing outstanding
+    assert catalog.release_shared_frames() == 0

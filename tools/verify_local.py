@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-from pulsar_3_2_codedump_spark.catalog import TABLES
+from pulsar_3_2_codedump_spark.catalog import TABLES, release_shared_frames
 from pulsar_3_2_codedump_spark.queries import load_all
 from pulsar_3_2_codedump_spark.session import get_spark
 
@@ -93,6 +93,11 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        # shared DISK_ONLY frames have a per-query lifecycle (ADVICE r13):
+        # release the previous query's before building this one, so a
+        # byte-identical cached fragment never hides a plan/scan regression
+        # in a 271-query sweep and blocks don't accumulate unboundedly.
+        release_shared_frames()
         try:
             sdf = q.fn(spark, sf_dir)
             s_cols = sdf.columns
