@@ -1128,6 +1128,65 @@ def trigram_backoff_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_trigrams(text: Column) -> Column:
+    """Whitespace-token trigram strings of a document, in position order."""
+    ws = words(text)
+    n3 = F.greatest(F.size(ws) - 2, F.lit(0))
+    join2 = lambda x, y: F.concat(x, F.lit(" "), y)  # noqa: E731
+    return F.zip_with(
+        F.zip_with(F.slice(ws, 1, n3), F.slice(ws, 2, n3), join2),
+        F.slice(ws, 3, n3),
+        join2,
+    )
+
+
+def overlap_span_stats(held: DataFrame, ref: DataFrame) -> DataFrame:
+    """Per-doc contamination statistic over (doc_id, pos, tgm) held-out
+    positions vs a (tgm, is_hit=True) reference set: hit counts plus the
+    longest consecutive explained run via the gaps-and-islands
+    decomposition. Factored so the streaming monitor scores each arriving
+    micro-batch with EXACTLY the batch query's plan (r14)."""
+    from pyspark.sql.window import Window as W
+
+    from pulsar_3_2_codedump_spark.catalog import ckpt_unless_plan_only
+
+    # the hit frame feeds the runs decomposition AND the per-doc counts —
+    # left lazy both re-ran the trigram join (4 documents scans, and the
+    # doc-parity filters are arithmetic so they cannot push into the
+    # parquet scan). Bounded: <= SB_SCORE_DOCS held docs x positions.
+    hit = ckpt_unless_plan_only(
+        held.join(ref, "tgm", "left").select(
+            "doc_id", "pos", F.coalesce("is_hit", F.lit(False)).alias("is_hit")
+        ),
+        cut_plan_only=True,
+    )
+    runs = hit.filter("is_hit").select(
+        "doc_id",
+        (
+            F.col("pos")
+            - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
+        ).alias("grp"),
+    )
+    rl = runs.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("run"))
+    mx = rl.groupBy("doc_id").agg(F.max("run").alias("max_run"))
+    agg = hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tri"),
+        F.sum(F.col("is_hit").cast("int")).cast("long").alias("n_hit"),
+    )
+    return agg.join(mx, "doc_id", "left").select(
+        "doc_id",
+        "n_tri",
+        "n_hit",
+        F.coalesce(F.col("max_run"), F.lit(0)).cast("long").alias("max_run"),
+        F.when(F.col("max_run").isNotNull(), F.col("max_run") + 2)
+        .otherwise(0)
+        .cast("long")
+        .alias("matched_span_tokens"),
+        F.round(F.col("n_hit") / F.col("n_tri"), 4).alias("overlap_ratio"),
+    )
+
+
+
 @query(
     "cross_corpus_overlap_spans",
     section="2.N-text",
@@ -1191,19 +1250,10 @@ def trigram_backoff_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cross_corpus_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     from pulsar_3_2_codedump_spark.catalog import fanout
 
     docs = fanout(load(spark, sf_dir, "documents"))
-    ws = words(F.col("text"))
-    n3 = F.greatest(F.size(ws) - 2, F.lit(0))
-    join2 = lambda x, y: F.concat(x, F.lit(" "), y)  # noqa: E731
-    tgms = F.zip_with(
-        F.zip_with(F.slice(ws, 1, n3), F.slice(ws, 2, n3), join2),
-        F.slice(ws, 3, n3),
-        join2,
-    )
+    tgms = doc_trigrams(F.col("text"))
     ref = (
         docs.filter(F.col("doc_id") % 2 == 0)
         .select(F.explode(tgms).alias("tgm"))
@@ -1217,42 +1267,7 @@ def cross_corpus_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode(tgms).alias("pos", "tgm"))
         .withColumn("pos", F.col("pos") + 1)  # oracle's 1-based positions
     )
-    from pulsar_3_2_codedump_spark.catalog import ckpt_unless_plan_only
-
-    # the hit frame feeds the runs decomposition AND the per-doc counts —
-    # left lazy both re-ran the trigram join (4 documents scans, and the
-    # doc-parity filters are arithmetic so they cannot push into the
-    # parquet scan). Bounded: <= SB_SCORE_DOCS held docs x positions.
-    hit = ckpt_unless_plan_only(
-        held.join(ref, "tgm", "left").select(
-            "doc_id", "pos", F.coalesce("is_hit", F.lit(False)).alias("is_hit")
-        ),
-        cut_plan_only=True,
-    )
-    runs = hit.filter("is_hit").select(
-        "doc_id",
-        (
-            F.col("pos")
-            - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
-        ).alias("grp"),
-    )
-    rl = runs.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("run"))
-    mx = rl.groupBy("doc_id").agg(F.max("run").alias("max_run"))
-    agg = hit.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tri"),
-        F.sum(F.col("is_hit").cast("int")).cast("long").alias("n_hit"),
-    )
-    return agg.join(mx, "doc_id", "left").select(
-        "doc_id",
-        "n_tri",
-        "n_hit",
-        F.coalesce(F.col("max_run"), F.lit(0)).cast("long").alias("max_run"),
-        F.when(F.col("max_run").isNotNull(), F.col("max_run") + 2)
-        .otherwise(0)
-        .cast("long")
-        .alias("matched_span_tokens"),
-        F.round(F.col("n_hit") / F.col("n_tri"), 4).alias("overlap_ratio"),
-    )
+    return overlap_span_stats(held, ref)
 
 
 # --------------------------------------------------------------------------

@@ -838,3 +838,114 @@ def exactly_once_replay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# Replicated-subscription cursor-sync audit bounds (events fixture has
+# >= 1000 rows at every SF, so the three cuts exist everywhere)
+REPL_SYNC_GEN1 = 400   # events appended+replicated before snapshot s1
+REPL_SYNC_TOTAL = 800  # events appended+replicated before snapshot s2
+REPL_SYNC_CUT = 600    # consumer's acked prefix on the source cluster
+
+
+@query(
+    "replicated_cursor_sync_audit",
+    section="2.L2",
+    doc="REPLICATED-SUBSCRIPTION CURSOR SYNC, audited end-to-end against "
+    "real topics (VERDICT r13 item 6c; ReplicatedSubscriptionsController "
+    "+ PulsarMarkers.proto:44-68 ReplicatedSubscriptionsSnapshot): a "
+    "source cluster (2 partitions) replicates identity-preserving copies "
+    "to a destination cluster with DIFFERENT partitioning (3 partitions, "
+    "key-routed), snapshot markers s1/s2 are written mid-stream, and a "
+    f"consumer acks the first {REPL_SYNC_CUT} events. The audit runs BOTH "
+    "cursor translations the module implements — the EXACT identity-join "
+    "(subscriptions.translate_cursor: acked set semi-joined onto the dst "
+    "log by (producer_name, sequence_id), condensed to dst ranges) and "
+    "the reference's snapshot-coarse method (translate_cursor_by_"
+    "snapshot: newest marker at-or-before markDelete) — and reports, per "
+    "dst partition, the acked coverage of each plus the REDELIVERY COST "
+    "of the coarse method (everything between the chosen snapshot and "
+    "the true cursor repeats on the destination; at-least-once makes "
+    "both correct, the audit quantifies the difference the reference "
+    "accepts for avoiding the join). Exact oracle: identity/routing "
+    "arithmetic on the events fixture predicts every count. Scale: one "
+    "identity-key shuffle per log for the exact path; the coarse path "
+    "is a control-plane marker scan.",
+    oracle=f"""
+        SELECT CAST(user_id % 3 AS INT) AS partition,
+               CAST(SUM(CASE WHEN event_id < {REPL_SYNC_CUT} THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_acked_exact,
+               CAST(SUM(CASE WHEN event_id < {REPL_SYNC_GEN1} THEN 1 ELSE 0
+                        END) AS BIGINT) AS snapshot_resume,
+               CAST(SUM(CASE WHEN event_id >= {REPL_SYNC_GEN1}
+                             AND event_id < {REPL_SYNC_CUT} THEN 1 ELSE 0
+                        END) AS BIGINT) AS redelivered
+        FROM events WHERE event_id < {REPL_SYNC_TOTAL}
+        GROUP BY 1
+    """,
+)
+def replicated_cursor_sync_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pulsar_3_2_codedump_spark import subscriptions as S
+    from pulsar_3_2_codedump_spark import topic as T
+    from pulsar_3_2_codedump_spark.envelope import wrap_events
+
+    root = tempfile.mkdtemp(prefix="replsync_")
+    try:
+        src = T.create_topic(root, "src-cluster", n_partitions=2)
+        dst = T.create_topic(root, "dst-cluster", n_partitions=3)
+        env = (
+            wrap_events(load(spark, sf_dir, "events"))
+            .filter(F.col("sequence_id") < REPL_SYNC_TOTAL)
+            .drop("partition", "offset")
+        )
+        # deterministic key routing (key = user_id string) so the oracle can
+        # predict both clusters' partitioning arithmetically
+        part = lambda n: F.pmod(F.col("key").cast("long"), F.lit(n)).cast("int")  # noqa: E731
+        for lo, hi, snap in (
+            (0, REPL_SYNC_GEN1, "s1"),
+            (REPL_SYNC_GEN1, REPL_SYNC_TOTAL, "s2"),
+        ):
+            batch = env.filter(F.col("sequence_id").between(lo, hi - 1))
+            T.append(spark, batch.withColumn("partition", part(2)), src, dedup=False)
+            # the replicator carries identity verbatim; the dst router
+            # re-partitions by key over ITS 3 partitions
+            T.append(spark, batch.withColumn("partition", part(3)), dst, dedup=False)
+            S.write_repl_snapshot(spark, src, dst, snap)
+
+        src_env = T.read_topic(spark, src)
+        dst_env = T.read_topic(spark, dst)
+        acked = src_env.filter(F.col("sequence_id") < REPL_SYNC_CUT)
+        state = S.ack_individual(
+            S.new_ack_state(), S.condense_ranges(acked.select("partition", "offset"))
+        )
+        # EXACT translation: dst cursor state covering the same messages
+        dst_state = S.translate_cursor(spark, src_env, dst_env, state)
+        exact_counts = {
+            p: st["mark_delete"] + 1 + sum(hi - lo + 1 for lo, hi in st["ranges"])
+            for p, st in dst_state.items()
+        }
+        # COARSE translation: markDelete as per-partition acked counts (the
+        # prefix cursor), snapshot lookup exactly as the reference does it
+        md = {
+            str(r["partition"]): int(r["n"])
+            for r in acked.groupBy("partition").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        coarse = S.translate_cursor_by_snapshot(spark, src, md) or {}
+        rows = [
+            (
+                int(p),
+                int(exact_counts.get(p, 0)),
+                int(coarse.get(str(p), 0)),
+                int(exact_counts.get(p, 0)) - int(coarse.get(str(p), 0)),
+            )
+            for p in range(3)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "partition int, n_acked_exact long, snapshot_resume long, "
+            "redelivered long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

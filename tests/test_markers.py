@@ -224,3 +224,32 @@ def test_repl_snapshot_cursor_translation(spark, tmp_root):
         T.read_topic(spark, src, read_markers=True)
         .filter(F.col("marker_type").isNotNull()).count() == 2
     )
+
+
+def test_replicated_cursor_sync_audit_measures_coarse_gap(spark):
+    """The registered L2 audit must exercise the real mechanism: the coarse
+    translation picks snapshot s1 (s2's recorded positions exceed the
+    cursor), so per dst partition snapshot_resume <= n_acked_exact with a
+    strictly positive total redelivery gap (the events between s1 and the
+    true cursor), and the exact path covers exactly the acked identities."""
+    from pulsar_3_2_codedump_spark.operators.delivery import (
+        REPL_SYNC_CUT,
+        REPL_SYNC_GEN1,
+        replicated_cursor_sync_audit,
+    )
+
+    rows = {r["partition"]: r for r in replicated_cursor_sync_audit(spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1, 2}
+    ev = load(spark, SF_DIR, "events")
+    by_part = {
+        p: (
+            ev.filter((F.col("event_id") < REPL_SYNC_CUT) & (F.col("user_id") % 3 == p)).count(),
+            ev.filter((F.col("event_id") < REPL_SYNC_GEN1) & (F.col("user_id") % 3 == p)).count(),
+        )
+        for p in range(3)
+    }
+    for p, r in rows.items():
+        exact, snap = by_part[p]
+        assert (r["n_acked_exact"], r["snapshot_resume"]) == (exact, snap)
+        assert r["redelivered"] == exact - snap >= 0
+    assert sum(r["redelivered"] for r in rows.values()) > 0

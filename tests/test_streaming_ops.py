@@ -552,3 +552,27 @@ def test_streaming_eos_sink_commit_replays_batch_and_dedups(spark, monkeypatch):
         for r in exp_df.collect()
     }
     assert got == exp
+
+
+def test_streaming_contamination_monitor_generations(spark):
+    """The checkpointed cursor means generation 2 scores ONLY the newly
+    arrived half: exactly one row per held-out doc, gen split exactly at
+    the append boundary, and the per-doc stats equal the batch query's
+    (the streaming monitor reuses overlap_span_stats, so divergence here
+    means the stream path corrupted the inputs)."""
+    from pulsar_3_2_codedump_spark.functions.text import SB_SCORE_DOCS
+    from pulsar_3_2_codedump_spark.queries import load_all
+
+    reg = load_all()
+    rows = reg["streaming_contamination_monitor"].fn(spark, SF_DIR).collect()
+    half = SB_SCORE_DOCS // 2
+    assert len(rows) == len({r["doc_id"] for r in rows})  # no double-scoring
+    gens = {r["doc_id"]: r["gen"] for r in rows}
+    assert all(g == (1 if d < half else 2) for d, g in gens.items())
+    assert {1, 2} <= set(gens.values())
+    batch = {
+        r["doc_id"]: (r["n_tri"], r["n_hit"], r["max_run"])
+        for r in reg["cross_corpus_overlap_spans"].fn(spark, SF_DIR).collect()
+    }
+    got = {r["doc_id"]: (r["n_tri"], r["n_hit"], r["max_run"]) for r in rows}
+    assert got == batch
