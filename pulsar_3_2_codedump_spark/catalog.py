@@ -90,6 +90,38 @@ def fanout(df: DataFrame, partitions: int | None = None) -> DataFrame:
 # the very queries the discipline fixed (ADVICE r12).
 PLAN_ONLY_SUPPRESSED_CKPTS = 0
 
+# Which FACT TABLES the materialization discipline actually covers, recorded
+# per helper call while SPARK_GRAFT_PLAN_ONLY is set (ADVICE r13: a bare
+# counter tick made discipline a per-query boolean, so a query that
+# checkpoints one tiny control-plane frame but re-scans a DIFFERENT fact
+# table >=4x passed the gate undetected). scan_audit snapshots this set
+# around each construction; a multi-scanned table only counts as disciplined
+# when some materialized frame's own subtree read it. Zero product-mode
+# cost: recording only happens under the sweep env var.
+PLAN_ONLY_MATERIALIZED_TABLES: set[str] = set()
+
+_FACT_TABLES = ("orders", "lineitem", "events", "documents", "embeddings")
+
+
+def record_plan_only_materialization(df: DataFrame) -> None:
+    """Under SPARK_GRAFT_PLAN_ONLY, note which fact tables ``df``'s analyzed
+    plan reads — called by every materialize-once site (the two catalog
+    helpers plus ad-hoc control-plane collects like similarity._ivf_cells)
+    so the scan audit can attribute discipline to tables, not queries."""
+    import os
+
+    if not os.environ.get("SPARK_GRAFT_PLAN_ONLY"):
+        return
+    try:
+        # inputFiles() resolves the plan's file-source relations to paths
+        # without running a job (the logical plan's toString omits paths)
+        txt = " ".join(df.inputFiles())
+    except Exception:
+        return
+    for t in _FACT_TABLES:
+        if f"{t}.parquet" in txt:
+            PLAN_ONLY_MATERIALIZED_TABLES.add(t)
+
 
 def ckpt_unless_plan_only(df: DataFrame, cut_plan_only: bool = False) -> DataFrame:
     """localCheckpoint in product runs; lazy under SPARK_GRAFT_PLAN_ONLY.
@@ -126,7 +158,16 @@ def ckpt_unless_plan_only(df: DataFrame, cut_plan_only: bool = False) -> DataFra
     if os.environ.get("SPARK_GRAFT_PLAN_ONLY"):
         global PLAN_ONLY_SUPPRESSED_CKPTS
         PLAN_ONLY_SUPPRESSED_CKPTS += 1
-        if cut_plan_only:
+        record_plan_only_materialization(df)
+        # SPARK_GRAFT_PLAN_ONLY_NO_CUT (ADVICE r13): the empty-RDD cut
+        # hides the cut subtree's explicit broadcasts and fact scans from
+        # the flip/scan audits. Setting this extra var keeps even
+        # cut-marked frames in IDENTITY form so a targeted audit pass can
+        # inspect those subtrees. Only for bounded-unroll queries — the
+        # deeply loop-carried builds (connected components' log rounds,
+        # BPE's merge chain) nest the identity plan exponentially, which
+        # is the reason the cut exists.
+        if cut_plan_only and not os.environ.get("SPARK_GRAFT_PLAN_ONLY_NO_CUT"):
             spark = df.sparkSession
             return spark.createDataFrame(spark.sparkContext.emptyRDD(), df.schema)
         return df
@@ -162,6 +203,7 @@ def persist_shared_corpus_frame(df: DataFrame) -> DataFrame:
     the tracker comment above)."""
     from pyspark import StorageLevel
 
+    record_plan_only_materialization(df)
     out = df.persist(StorageLevel.DISK_ONLY)
     _SHARED_FRAMES.append(out)
     return out

@@ -209,6 +209,9 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     global _LAST_SIG
     if _LAST_SIG is not None:
         _LAST_SIG.unpersist(blocking=True)
+    from pulsar_3_2_codedump_spark.catalog import record_plan_only_materialization
+
+    record_plan_only_materialization(sig)
     sig = sig.persist()
     if not os.environ.get("SPARK_GRAFT_PLAN_ONLY"):
         sig.count()  # eager fill; persist itself is lazy, so plan-only sweeps skip
@@ -1045,6 +1048,9 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = sh.withColumn("hs", base_hashes(F.col("sh"))).select(
         "doc_id", "sh", *minhash_signature(F.col("hs"))
     ).persist()
+    from pulsar_3_2_codedump_spark.catalog import record_plan_only_materialization
+
+    record_plan_only_materialization(sig)
     if not os.environ.get("SPARK_GRAFT_PLAN_ONLY"):
         sig.count()  # eager fill; persist itself is lazy, so plan-only sweeps skip
     _LAST_SIG = sig

@@ -1396,7 +1396,12 @@ def _ivf_cells(emb: DataFrame) -> DataFrame:
     if os.environ.get("SPARK_GRAFT_PLAN_ONLY"):
         # planning-only sweeps (the flip audit) must not run actions at
         # construction; the lazy Limit-bounded subtree is the right frame
-        # for them to judge (identical rows, un-materialized).
+        # for them to judge (identical rows, un-materialized). Record that
+        # this control-plane collect materializes an embeddings-rooted
+        # frame so the scan audit's per-table attribution sees it.
+        from pulsar_3_2_codedump_spark.catalog import record_plan_only_materialization
+
+        record_plan_only_materialization(cells)
         return cells
     return cells.sparkSession.createDataFrame(cells.collect(), cells.schema)
 

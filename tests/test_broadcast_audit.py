@@ -179,3 +179,74 @@ def test_subtree_stops_at_sibling_depth():
     assert "HashAggregate" in sub
     # the probe side (shallower/equal depth) is not part of the build subtree
     assert "SortMergeJoin" not in sub and "Sort [ng#1" not in sub
+
+
+# ADVICE r13: cut_plan_only's empty-RDD leaf hid the cut subtrees'
+# explicit broadcasts and fact scans from the flip audit. This pass
+# re-plans every cut-using query with SPARK_GRAFT_PLAN_ONLY_NO_CUT=1
+# (identity mode even for cut-marked frames) so those subtrees are
+# judged too. connected_components/greedy/BPE-class loop-carried builds
+# are tractable here because the fixture unrolls are bounded; if a new
+# query's identity plan becomes intractable, exclude it HERE with the
+# reason, not by silently relying on the cut.
+NO_CUT_AUDITED = [
+    "nn_descent_graph_convergence",
+    "suffix_longest_match_doubling",
+    "cross_corpus_overlap_spans",
+    "funnel_within_window",
+    "kmeans_lloyd_iterations",
+    "pca_power_iteration",
+    "ivfpq_residual_topk",
+    "tfidf_top_terms",
+    "bpe_train_merges",
+    "connected_components_star",
+    "dedup_clusters",
+    "greedy_coverage_selection",
+    "event_trigram_paths",
+    "duplicated_ngram_coverage",
+    "psi_drift",
+    "bloom_filter_semi_join",
+    "hnsw_beam_search_recall",
+]
+
+
+def test_flip_audit_sees_through_plan_only_cuts(spark, monkeypatch):
+    """The cut-subtree blind spot stays closed: with cuts disabled, the
+    flip audit (floored broadcast threshold) over every cut-using query
+    must find no unqualified fact-backed broadcast inside the subtrees the
+    normal sweeps cannot see (the bloom word table, the HNSW entry-strata
+    targets, the capped ANN query sets)."""
+    from broadcast_audit import flip_audit
+
+    from pulsar_3_2_codedump_spark.queries import load_all
+
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_ONLY_NO_CUT", "1")
+    flagged = flip_audit(spark, load_all(), SF_DIR, only=NO_CUT_AUDITED)
+    assert not flagged, flagged
+
+
+def test_capped_query_set_filter_is_bounded():
+    """The ANN broadcast-queries contract is visible to the classifier: a
+    build whose spine filters on BOTH the stride modulus and the id cap is
+    bounded (<= ANN_MAX_QUERIES rows at any corpus size); either predicate
+    alone is not."""
+    from broadcast_audit import audit_plan_rich
+
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        QUERY_ID_CAP,
+        QUERY_STRIDE,
+    )
+
+    capped = f"""AdaptiveSparkPlan isFinalPlan=false
++- SortMergeJoin [ng#1], [ng#2], Inner
+   :- Sort [ng#1 ASC NULLS FIRST], false, 0
+   :  +- Exchange hashpartitioning(ng#1, 32)
+   :     +- FileScan parquet [doc_id#0,ng#1] ... documents.parquet
+   +- BroadcastExchange HashedRelationBroadcastMode(List(input[0, bigint, false]),false)
+      +- Project [vec_id#3L AS query_id#9L]
+         +- Filter (((vec_id#3L % {QUERY_STRIDE}) = 0) AND (vec_id#3L < {QUERY_ID_CAP}))
+            +- FileScan parquet [vec_id#3L] ... embeddings.parquet
+"""
+    assert audit_plan_rich(capped) == []
+    stride_only = capped.replace(f" AND (vec_id#3L < {QUERY_ID_CAP})", "")
+    assert len(audit_plan_rich(stride_only)) == 1

@@ -62,3 +62,42 @@ def test_registry_has_no_unclassified_multiscan_plans_and_sweep_runs_no_jobs(spa
     # 3) allowlist hygiene: entries carry a non-trivial documented reason
     for name, reason in BENIGN_MULTISCAN.items():
         assert reason and len(reason) > 20, name
+
+
+def test_discipline_is_attributed_per_table(spark, monkeypatch):
+    """ADVICE r13: a checkpoint of a control-plane frame must NOT excuse an
+    unrelated fact table scanned >= threshold times — and a materialization
+    whose subtree DOES read the multi-scanned table must. Both directions,
+    on synthetic single-query registries."""
+    from types import SimpleNamespace
+
+    from scan_audit import audit
+
+    from pulsar_3_2_codedump_spark.catalog import (
+        ckpt_unless_plan_only,
+        load,
+    )
+
+    def masked(s, sf):
+        # discipline tick on a frame that reads NO fact table...
+        ckpt_unless_plan_only(s.range(0, 10))
+        ev = load(s, sf, "events").select("event_id", "user_id")
+        # ...while the events table is unioned 4x (re-scanned per branch)
+        u = ev
+        for _ in range(3):
+            u = u.unionByName(ev)
+        return u.groupBy("user_id").count()
+
+    def covered(s, sf):
+        ev = ckpt_unless_plan_only(
+            load(s, sf, "events").select("event_id", "user_id")
+        )
+        u = ev
+        for _ in range(3):
+            u = u.unionByName(ev)
+        return u.groupBy("user_id").count()
+
+    reg = lambda fn: {"probe": SimpleNamespace(fn=fn)}  # noqa: E731
+    hits = audit(spark, reg(masked), SF_DIR)
+    assert [h[1] for h in hits] == ["probe"], hits  # loophole now flags
+    assert audit(spark, reg(covered), SF_DIR) == []  # real coverage excuses

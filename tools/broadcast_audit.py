@@ -141,7 +141,15 @@ EXPLICIT_MEASUREMENT_BROADCASTS: dict[str, str] = {
 # SPARK_GRAFT_PLAN_ONLY construction is action-free. exactly_once_replay_audit
 # stays: it drives the REAL topic sink (append/replay/commit) at build time —
 # the execution IS the operator under test.
-CONSTRUCTION_EXECUTES = {"exactly_once_replay_audit"}
+CONSTRUCTION_EXECUTES = {
+    # fn() runs the full topic publish/replay pipeline at build time and
+    # returns a LocalTableScan audit result — nothing plannable to sweep
+    "exactly_once_replay_audit",
+    # fn() builds two real topic clusters, replicates, writes snapshot
+    # markers and runs both cursor translations (collects ack-range and
+    # marker metadata) before emitting the bounded audit rows (r14)
+    "replicated_cursor_sync_audit",
+}
 
 # Queries the sweeps DO plan and audit, but whose construction legitimately
 # runs a bounded number of Spark jobs even under SPARK_GRAFT_PLAN_ONLY —
@@ -330,6 +338,14 @@ QUERY_BOUNDED_KEYS: dict[str, set[str]] = {
     # kept) lets the classifier see the lineitem-derived build the old
     # executed localCheckpoint used to hide behind Scan ExistingRDD.
     "association_rules": {"item"},
+    # bloom word table: word = bit-position DIV 32, positions < BLOOM_M_BITS
+    # — the filter is m/32 rows at any corpus size (its cut_plan_only site
+    # documents the same bound; visible only to the NO_CUT audit pass)
+    "bloom_filter_semi_join": {"word"},
+    # entry-strata targets: DISTINCT of (cell_id, target rank) where ranks
+    # are the HNSW_ENTRIES per-cell strata — <= PQIVF_CELLS x HNSW_ENTRIES
+    # rows by construction (cellstats explode), never corpus-proportional
+    "hnsw_beam_search_recall": {"cell_id", "rnk"},
 }
 
 _LIMIT_NODE = re.compile(
@@ -345,6 +361,20 @@ def _key_names(keys: str):
     return set(re.findall(r"(\w+)#\d+", keys)) or (
         {keys.strip()} if keys.strip() else set()
     )
+
+
+# The ANN broadcast-queries contract (VERDICT r13 item 4, enforced in
+# similarity._query_pred): a frame filtered by BOTH the stride modulus and
+# the arithmetic id cap holds at most ANN_MAX_QUERIES rows at ANY corpus
+# size — the one bounded-build form that is a Filter, not a Limit or a
+# domain-keyed aggregate. Constants imported so the rule tracks the code.
+def _capped_query_set(ln: str) -> bool:
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        QUERY_ID_CAP,
+        QUERY_STRIDE,
+    )
+
+    return f"% {QUERY_STRIDE}) = 0" in ln and f" < {QUERY_ID_CAP}" in ln
 
 
 def _classify(lines, i, end, bounded_keys):
@@ -369,6 +399,8 @@ def _classify(lines, i, end, bounded_keys):
     ln = lines[i]
     if _LIMIT_NODE.search(ln):
         return True, set()
+    if _capped_query_set(ln):
+        return True, set()  # ANN query set: <= ANN_MAX_QUERIES by contract
     m = _AGG_NODE.search(ln)
     if m:
         keys = _key_names(m.group("keys"))

@@ -9,18 +9,22 @@ re-planned — and re-SCANNED — per reference, invisible to ReuseExchange
 whenever the shared subtree has no Exchange root (TakeOrdered, plain
 filtered scans, chained per-stage aggregates).
 
-Discipline detection (ADVICE r12 — the audit must SEE the fix it
-prescribes): a query counts as disciplined when EITHER
-  - its plan shows a materialization marker (InMemoryTableScan from a
-    persist, ExistingRDD from a checkpoint/collect/plan-only cut), OR
-  - constructing it under SPARK_GRAFT_PLAN_ONLY ticked
-    catalog.PLAN_ONLY_SUPPRESSED_CKPTS — i.e. the build routes through
-    catalog.ckpt_unless_plan_only, whose identity mode deliberately
-    leaves the raw (multi-scan) lineage in the audited plan so the flip
-    audit can judge the build subtree. Without the counter the audit
-    permanently false-positived the very queries the discipline fixed
-    (funnel_within_window, bootstrap_median_replicates, ... — the r12
-    sweep re-flagged all of them at HEAD).
+Discipline detection (ADVICE r12/r13 — the audit must SEE the fix it
+prescribes, and see WHAT it covers): every materialize-once site
+(catalog.ckpt_unless_plan_only, catalog.persist_shared_corpus_frame, the
+minhash signature cache, similarity._ivf_cells' control-plane collect)
+records — under SPARK_GRAFT_PLAN_ONLY only — which FACT TABLES the
+materialized frame's own subtree reads (df.inputFiles(), resolved without
+running a job) into catalog.PLAN_ONLY_MATERIALIZED_TABLES. A multi-scanned
+table is excused ONLY when some materialization covered that table:
+ADVICE r13 showed the previous per-query boolean let a query checkpoint
+one tiny control-plane frame while re-scanning a DIFFERENT fact table
+>= threshold times undetected. The identity mode still deliberately
+leaves the raw (multi-scan) lineage in the audited plan so the flip
+audit can judge the build subtree — attribution, not plan shape, is what
+changed. Plans showing a marker (InMemoryTableScan/ExistingRDD) with NO
+recorded coverage and NO counter tick keep the legacy any-table pass
+(a checkpoint executed inside the callable before env gating).
 
 Triage policy (a hit is a CANDIDATE, not automatically a bug):
   - REAL when the branches re-read the SAME rows/projection — fix with
@@ -134,6 +138,7 @@ def audit(spark, registry, sf: str, threshold: int = 4, jobs_out: dict | None = 
             if name.startswith("streaming_") or name in CONSTRUCTION_EXECUTES:
                 continue
             ckpt0 = catalog.PLAN_ONLY_SUPPRESSED_CKPTS
+            catalog.PLAN_ONLY_MATERIALIZED_TABLES.clear()
             mark = max_job_id(spark) if jobs_out is not None else -1
             try:
                 df = q.fn(spark, sf)
@@ -144,18 +149,30 @@ def audit(spark, registry, sf: str, threshold: int = 4, jobs_out: dict | None = 
                 ran = exec_jobs_after(spark, mark)
                 if ran:
                     jobs_out[name] = ran
-            disciplined = (
-                "InMemoryTableScan" in plan
-                or "ExistingRDD" in plan
-                or catalog.PLAN_ONLY_SUPPRESSED_CKPTS > ckpt0
-            )
+            # Discipline is attributed PER TABLE (ADVICE r13): a
+            # materialization only excuses multi-scans of the tables its
+            # own subtree reads — a checkpoint of a control-plane frame no
+            # longer masks an unrelated fact table scanned >= threshold
+            # times. Plan markers without a recorded table set (e.g. a
+            # localCheckpoint executed inside the callable before the
+            # sweep's env var gating, leaving only Scan ExistingRDD) fall
+            # back to the old any-table behavior.
+            covered = set(catalog.PLAN_ONLY_MATERIALIZED_TABLES)
+            legacy_marker = (
+                "InMemoryTableScan" in plan or "ExistingRDD" in plan
+            ) and catalog.PLAN_ONLY_SUPPRESSED_CKPTS == ckpt0 and not covered
             tabs: dict[str, int] = {}
             for s in re.findall(r"FileScan parquet[^\n]*", plan):
                 m = re.search(rf"({'|'.join(TABLES)})\.parquet", s)
                 t = m.group(1) if m else "?"
                 tabs[t] = tabs.get(t, 0) + 1
-            worst = max((v for k, v in tabs.items() if k in FACTS), default=0)
-            if worst >= threshold and not disciplined:
+            flagged = {
+                t: v
+                for t, v in tabs.items()
+                if t in FACTS and v >= threshold and t not in covered
+            }
+            if flagged and not legacy_marker:
+                worst = max(flagged.values())
                 hits.append((worst, name, tabs))
     finally:
         os.environ.pop("SPARK_GRAFT_PLAN_ONLY", None)
