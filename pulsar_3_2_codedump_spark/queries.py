@@ -64,22 +64,72 @@ def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""
 #      than ~4 rounds stale against fixture regenerations.
 # The window is ALWAYS the first 50 entries of this list; the boundary
 # comment below marks it. Never leave a changed query below the boundary.
-# r13 window (tools/rotate_window.py --changed <41 names>): the 41
-# code-changed queries (the checkpoint-discipline migration — every raw
-# eager localCheckpoint routed through ckpt_unless_plan_only or switched
-# to a DISK_ONLY persist_shared_corpus_frame, INCLUDING the 11 former
-# scan-audit accepted-real plans now persisted (semdedup, setsim, the
-# shingle-pair family, pmi/chi2 token streams, calibration/MAD/sweep/
-# watermark shared frames, constraint_audit's per-fact projections) —
-# plus the minhash eager-count plan-only
-# gate, the ESD position-sampled escalation census and the
-# column_profile doc fix), the 3 NEW r13 registrations (streaming
-# exactly-once sink-commit audit, suffix longest-match binary lifting,
-# HNSW beam-search recall), then 6 freshness re-hashes
-# oldest-green-first (the r7 cohort's stragglers rotate r14 — the 44
-# changed+new slots consumed this round's freshness budget;
-# correctness-first rule: a changed query never sits below the boundary).
+# r14 window (tools/rotate_window.py --changed <26 names>): the 26
+# code-changed queries — the whole similarity.py family (the duplicate
+# float32 _sqdist definition removed so every distance folds in double
+# exactly like the oracles; the ANN broadcast-queries cap added to every
+# stride predicate on both engines; the HNSW build rewritten to bounded
+# NN-descent with retuned search constants), cross_corpus_overlap_spans
+# (scoring factored into overlap_span_stats for the streaming twin), and
+# the two minhash signature-cache queries (coverage recording at the
+# persist sites) — plus the 3 NEW r14 registrations
+# (nn_descent_graph_convergence, replicated_cursor_sync_audit,
+# streaming_contamination_monitor), then 21 freshness re-hashes
+# oldest-green-first (the r7 cohort: 16 of its 24 fit this round — 5 of
+# the cohort were already in the changed set — leaving the stragglers
+# at the top of the r15 freshness queue).
 PRIORITY_ORDER = [
+    "ann_ndcg_at_k",
+    "ann_recall_at_k",
+    "approx_distinct_sketch",
+    "cosine_topk",
+    "embedding_centroids",
+    "embedding_cosine_neardup",
+    "embedding_quantization",
+    "filtered_vector_search",
+    "hard_negative_mining",
+    "hnsw_beam_search_recall",
+    "ivf_ann_topk",
+    "ivfadc_ann_topk",
+    "ivfpq_residual_topk",
+    "kmeans_lloyd_iterations",
+    "knn_label_vote",
+    "lsh_ann_topk",
+    "lsh_bucket_stats",
+    "opq_rotated_adc_topk",
+    "pca_power_iteration",
+    "pq_adc_ann_topk",
+    "quantized_ann_recall",
+    "semdedup_prune",
+    "truncated_embedding_recall",
+    "cross_corpus_overlap_spans",
+    "minhash_lsh_dedup",
+    "minhash_estimate_error",
+    "nn_descent_graph_convergence",
+    "replicated_cursor_sync_audit",
+    "streaming_contamination_monitor",
+    "peek_skip_messages",
+    "cdc_chunk_dedup",
+    "json_properties",
+    "string_library",
+    "date_extraction",
+    "regexp_functions",
+    "array_functions",
+    "offset_pagination",
+    "temperature_mixture",
+    "backlog_quota_eviction",
+    "priority_dispatch",
+    "streaming_multi_topic_union",
+    "ohlc_resample",
+    "streaming_sequence_gap_monitor",
+    "pivot_revenue_matrix",
+    "event_trigram_paths",
+    "scd2_intervals",
+    "group_holdout_split",
+    "winsorized_stats",
+    "tfidf_top_terms",
+    "zipf_slope",
+    # ---- rotation window boundary (50) ----
     "rfm_scores",
     "event_graph_pagerank",
     "association_rules",
@@ -95,20 +145,14 @@ PRIORITY_ORDER = [
     "bootstrap_median_replicates",
     "bpe_train_merges",
     "bpe_apply_encode",
-    "kmeans_lloyd_iterations",
-    "pca_power_iteration",
-    "ivfpq_residual_topk",
     "sorted_neighborhood_pairs",
     "phrase_search_postings",
     "mmr_rerank",
     "histogram_equi_depth",
     "trigram_backoff_perplexity",
     "column_profile",
-    "minhash_lsh_dedup",
     "lsh_dedup_recall",
-    "minhash_estimate_error",
     "exact_substring_dedup",
-    "semdedup_prune",
     "setsim_prefix_join",
     "source_overlap_matrix",
     "pmi_collocations",
@@ -120,8 +164,6 @@ PRIORITY_ORDER = [
     "ngram_jaccard_pairs",
     "shingle_containment_pairs",
     "constraint_audit",
-    "cross_corpus_overlap_spans",
-    "hnsw_beam_search_recall",
     "suffix_longest_match_doubling",
     "streaming_exactly_once_sink_commit",
     "streaming_left_outer_join",
@@ -130,20 +172,6 @@ PRIORITY_ORDER = [
     "streaming_chunk_reassembly",
     "token_balanced_shards",
     "count_min_heavy_hitters",
-    # ---- rotation window boundary (50) ----
-    "peek_skip_messages",
-    "cdc_chunk_dedup",
-    "json_properties",
-    "string_library",
-    "date_extraction",
-    "regexp_functions",
-    "array_functions",
-    "offset_pagination",
-    "temperature_mixture",
-    "backlog_quota_eviction",
-    "priority_dispatch",
-    "streaming_multi_topic_union",
-    "ivfadc_ann_topk",
     "streaming_watermark_skew_rebalance",
     "outer_join_order_counts",
     "theta_join_acctbal",
@@ -172,16 +200,13 @@ PRIORITY_ORDER = [
     "gopher_quality_rules",
     "char_entropy",
     "perplexity_proxy",
-    "ann_recall_at_k",
     "streaming_dedup",
     "streaming_stream_stream_join",
     "winnowing_fingerprints",
     "cross_corpus_dedup",
     "pricing_summary",
-    "pq_adc_ann_topk",
     "quality_classifier_score",
     "streaming_late_side_topic",
-    "opq_rotated_adc_topk",
     "shipping_priority",
     "local_supplier_volume",
     "returned_item_customers",
@@ -201,23 +226,17 @@ PRIORITY_ORDER = [
     "pii_scrub_stats",
     "corpus_curation_pipeline",
     "multimodal_frame_sample",
-    "embedding_quantization",
     "round_robin_routing",
     "avro_decode_value",
     "keyvalue_decode",
     "stats_summary",
     "exact_dedup",
-    "cosine_topk",
     "text_quality_score",
     "tumbling_window_counts",
     "sliding_window_counts",
     "session_window_gaps",
     "count_window_tumbling",
-    "lsh_ann_topk",
-    "ivf_ann_topk",
-    "lsh_bucket_stats",
     "simhash_fingerprint",
-    "embedding_cosine_neardup",
     "language_id",
     "doc_fingerprints",
     "top_terms",
@@ -282,16 +301,12 @@ PRIORITY_ORDER = [
     "conversion_paths",
     "skew_diagnosis",
     "decayed_engagement_scores",
-    "ann_ndcg_at_k",
     "revenue_trend_ols",
-    "hard_negative_mining",
     "time_weighted_avg",
-    "truncated_embedding_recall",
     "hll_union_windows",
     "passjoin_edit_pairs",
     "hybrid_rrf_fusion",
     "bitmap_distinct_rollup",
-    "filtered_vector_search",
     "streaming_hll_distinct",
     "attribution_position_based",
     "missing_hours_audit",
@@ -305,7 +320,6 @@ PRIORITY_ORDER = [
     "scalar_functions",
     "vocab_oov_rate",
     "length_bucketing",
-    "embedding_centroids",
     "bm25_topk",
     "repeated_passages",
     "funnel_conversion",
@@ -323,7 +337,6 @@ PRIORITY_ORDER = [
     "moving_range_frame_revenue",
     "unpivot_price_components",
     "streaming_static_enrich",
-    "approx_distinct_sketch",
     "approx_percentile_sketch",
     "entry_filter_reschedule",
     "nack_redelivery_ladder",
@@ -340,21 +353,8 @@ PRIORITY_ORDER = [
     "publish_rate_limit",
     "subscribe_rate_limit",
     "dispatch_rate_limit",
-    "ohlc_resample",
-    "streaming_sequence_gap_monitor",
-    "pivot_revenue_matrix",
-    "quantized_ann_recall",
-    "event_trigram_paths",
-    "knn_label_vote",
-    "scd2_intervals",
-    "group_holdout_split",
-    "winsorized_stats",
-    "tfidf_top_terms",
-    "zipf_slope",
     "topic_storage_stats",
 ]
-
-
 def load_all() -> dict[str, Query]:
     """Import every module that registers queries, then return the registry
     in verification-priority order (PRIORITY_ORDER first, rest appended in
