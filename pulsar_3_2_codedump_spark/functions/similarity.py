@@ -2635,7 +2635,7 @@ def _nn_descent_edges(av: DataFrame, cells: DataFrame) -> list[DataFrame]:
     Neighbor Graph Construction for Generic Similarity Measures', WWW'11 —
     the standard production build HNSW/faiss-class indexes start from).
     Returns the per-round edge frames [edges_0 .. edges_HNSW_ND_ROUNDS],
-    each (src, se, dst, de, d) with HNSW_M out-edges per vector.
+    each (src, dst, d) with HNSW_M out-edges per vector.
 
     Seed: vectors ranked within their cell by distance-to-centroid (a cheap
     deterministic 1-D key); each vector's candidates are the <= 2*SEED_W
@@ -2644,9 +2644,16 @@ def _nn_descent_edges(av: DataFrame, cells: DataFrame) -> list[DataFrame]:
     rows, never an all-pairs product, regardless of cell count or size.
     Refinement: HNSW_ND_ROUNDS synchronous rounds of candidates(u) = N(u) u
     N(N(u)) u reverse(N)(u) re-ranked by exact sqdist — O(n * M^2) candidate
-    rows per round. Edges carry both endpoint embeddings so no round (and no
-    beam hop downstream) re-joins the corpus for scoring; every round is
-    checkpointed (loop-carried n x M frame)."""
+    rows per round.
+
+    Shuffle discipline (measured, SCALE.md r14): candidate frames move as
+    (src, dst) ID PAIRS (~16 B/row) and join the corpus for the two
+    endpoint embeddings only at scoring time — exactly the oracle's shape.
+    A first cut carried both 64-float embeddings through every
+    union/dedup/window (~1.1 KB/row): at 200k vectors that was a 17 GB
+    shuffle per round and went superlinear (381 s vs 14 s at 20k); the
+    id-only form keeps the candidate shuffles ~60x lighter. Every round
+    is checkpointed (loop-carried n x M frame)."""
     from pulsar_3_2_codedump_spark.catalog import ckpt_unless_plan_only
 
     wr = W.partitionBy("cell_id").orderBy("cd", "vec_id")
@@ -2654,13 +2661,10 @@ def _nn_descent_edges(av: DataFrame, cells: DataFrame) -> list[DataFrame]:
         av.join(F.broadcast(cells), "cell_id")
         .withColumn("cd", _sqdist(F.col("embedding"), F.col("cent")))
         .withColumn("rnk", F.row_number().over(wr))
-        .select("cell_id", "vec_id", "embedding", "rnk")
+        .select("cell_id", "vec_id", "rnk")
     )
     src_side = ranked.select(
-        "cell_id",
-        F.col("vec_id").alias("src"),
-        F.col("embedding").alias("se"),
-        F.col("rnk").alias("srnk"),
+        "cell_id", F.col("vec_id").alias("src"), F.col("rnk").alias("srnk")
     ).withColumn(
         "bkt",
         F.explode(
@@ -2672,18 +2676,23 @@ def _nn_descent_edges(av: DataFrame, cells: DataFrame) -> list[DataFrame]:
     dst_side = ranked.select(
         "cell_id",
         F.col("vec_id").alias("dst"),
-        F.col("embedding").alias("de"),
         F.col("rnk").alias("drnk"),
         F.floor(F.col("rnk") / HNSW_SEED_W).alias("bkt"),
     )
+    ea = av.select(F.col("vec_id").alias("src"), F.col("embedding").alias("se"))
+    eb = av.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("de"))
     we = W.partitionBy("src").orderBy("d", "dst")
 
     def top_m(cand: DataFrame) -> DataFrame:
+        scored = (
+            cand.join(ea, "src")
+            .join(eb, "dst")
+            .withColumn("d", _sqdist(F.col("se"), F.col("de")))
+        )
         return ckpt_unless_plan_only(
-            cand.withColumn("d", _sqdist(F.col("se"), F.col("de")))
-            .withColumn("rn", F.row_number().over(we))
+            scored.withColumn("rn", F.row_number().over(we))
             .filter(F.col("rn") <= HNSW_M)
-            .select("src", "se", "dst", "de", "d"),
+            .select("src", "dst", "d"),
             cut_plan_only=True,  # loop-carried n x M frame
         )
 
@@ -2694,29 +2703,22 @@ def _nn_descent_edges(av: DataFrame, cells: DataFrame) -> list[DataFrame]:
                 (F.col("src") != F.col("dst"))
                 & (F.abs(F.col("srnk") - F.col("drnk")) <= HNSW_SEED_W)
             )
-            .select("src", "se", "dst", "de")
+            .select("src", "dst")
         )
     ]
     for _ in range(HNSW_ND_ROUNDS):
-        fwd = rounds[-1].select("src", "se", "dst", "de")
-        e1 = fwd.select(
-            F.col("src"), F.col("se"), F.col("dst").alias("mid")
+        fwd = rounds[-1].select("src", "dst")
+        non = (
+            fwd.select("src", F.col("dst").alias("mid"))
+            .join(fwd.select(F.col("src").alias("mid"), "dst"), "mid")
+            .select("src", "dst")
         )
-        e2 = fwd.select(
-            F.col("src").alias("mid"), F.col("dst"), F.col("de")
-        )
-        non = e1.join(e2, "mid").select("src", "se", "dst", "de")
-        rev = fwd.select(
-            F.col("dst").alias("src"),
-            F.col("de").alias("se"),
-            F.col("src").alias("dst"),
-            F.col("se").alias("de"),
-        )
+        rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         cand = (
             fwd.unionByName(non)
             .unionByName(rev)
             .filter(F.col("src") != F.col("dst"))
-            .dropDuplicates(["src", "dst"])  # se/de functionally dep. on ids
+            .dropDuplicates(["src", "dst"])
         )
         rounds.append(top_m(cand))
     return rounds
@@ -2841,9 +2843,18 @@ def hnsw_beam_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = _ivf_cells(emb)
     assign = _argmin_cell(emb, cells, "vec_id", 1)
     av = emb.join(assign, "vec_id")
-    # NN-descent kNN digraph (bounded build — no all-pairs term); the edge
-    # list carries the dst embedding so hops never re-join the corpus
-    edges = _nn_descent_edges(av, cells)[-1].select("src", "dst", "de")
+    # NN-descent kNN digraph (bounded build — no all-pairs term); the final
+    # edge list picks up the dst embedding ONCE (checkpointed) so the
+    # unrolled hops never re-join the corpus for neighbor expansion
+    edges = ckpt_unless_plan_only(
+        _nn_descent_edges(av, cells)[-1]
+        .join(
+            emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("de")),
+            "dst",
+        )
+        .select("src", "dst", "de"),
+        cut_plan_only=True,  # n x M frame referenced once per hop
+    )
     # HNSW_ENTRIES evenly-spread entry points per cell over the distance-
     # to-centroid rank order (rank 1 is the medoid): per-cell strata
     # targets are a control-plane frame (#cells x HNSW_ENTRIES rows),
