@@ -1,9 +1,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
 on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (LAST on stdout, <=1.8 KB so the driver's
+2,000-char stdout tail always contains it whole — VERDICT r14 item 1):
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": 0.1}
+     "queries": {"q": sec, ...}, "sf": 0.1, "clean": bool,
+     "pass_totals": [...], "cores_probes": [...], "loads": [...]}
+Full detail (per-pass raw timings, secondary minima, probes) goes to stderr
+and ./bench_detail_local.json.
 
 Each query is fully executed (collect) so the number includes the whole plan,
 not just planning. A warmup pass on sf0.001 primes the JVM/codegen caches so
@@ -209,24 +213,50 @@ def main() -> None:
     secondary = {k: min(p["secondary"][k] for p in passes) for k in SECONDARY}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "secondary": secondary,
-                "sf": sf,
-                "aggregation": f"per-query min of {len(passes)} same-session "
-                "passes (shared frames released per query)",
-                "clean": healthy(),
-                "passes": passes,
-                "load_1m_start": load_1m_start,
-                "effective_cores_start": effective_cores_start,
-            }
-        )
+    detail = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "secondary": secondary,
+        "sf": sf,
+        "aggregation": f"per-query min of {len(passes)} same-session "
+        "passes (shared frames released per query)",
+        "clean": healthy(),
+        "passes": passes,
+        "load_1m_start": load_1m_start,
+        "effective_cores_start": effective_cores_start,
+    }
+    # Full detail (passes array, secondary minima, probes) goes to stderr and
+    # a local file: the driver records only a 2,000-char stdout TAIL, and the
+    # monolithic JSON outgrew it once the passes array landed (~3-4 KB), so
+    # BENCH_r13/r14 both recorded parsed:null (VERDICT r14 item 1). The
+    # machine-readable artifact is the compact summary printed LAST below.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail_local.json"
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f)
+    except OSError:
+        pass
+    print(json.dumps(detail), file=sys.stderr)
+
+    summary = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "clean": healthy(),
+        "pass_totals": [p["total"] for p in passes],
+        "cores_probes": [p["effective_cores_before"] for p in passes],
+        "loads": [p["load_1m_before"] for p in passes],
+        "detail": "bench_detail_local.json",
+    }
+    line = json.dumps(summary)
+    assert len(line) <= 1800, f"summary line too long for driver tail: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -116,7 +116,16 @@ def record_plan_only_materialization(df: DataFrame) -> None:
         # inputFiles() resolves the plan's file-source relations to paths
         # without running a job (the logical plan's toString omits paths)
         txt = " ".join(df.inputFiles())
-    except Exception:
+    except Exception as e:  # noqa: BLE001 — sweep-only path, zero product cost
+        # losing attribution here surfaces only as a confusing downstream
+        # scan-audit hit — make the loss visible (ADVICE r14)
+        import sys
+
+        print(
+            f"# plan-only materialization: inputFiles() failed "
+            f"({type(e).__name__}: {e}) — table coverage lost for this frame",
+            file=sys.stderr,
+        )
         return
     for t in _FACT_TABLES:
         if f"{t}.parquet" in txt:

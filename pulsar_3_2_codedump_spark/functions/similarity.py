@@ -986,10 +986,13 @@ def pq_adc_search_arrow(codes_df: DataFrame, cb: DataFrame, qdf: DataFrame) -> D
     # refuse instead of collecting the full set (VERDICT r13 item 4)
     qrows = qdf.select("vec_id", "embedding").limit(ANN_MAX_QUERIES + 1).collect()
     if len(qrows) > ANN_MAX_QUERIES:
+        # the collect is truncated at cap+1, so len(qrows) is NOT the real
+        # set size — don't print it as if it were (ADVICE r14)
         raise ValueError(
             f"ADC query set exceeds the broadcast-queries contract "
-            f"({len(qrows)} > ANN_MAX_QUERIES={ANN_MAX_QUERIES}); derive the "
-            f"query frame through _query_pred() so it is capped at the scan"
+            f"(> ANN_MAX_QUERIES={ANN_MAX_QUERIES}; collect truncated at "
+            f"cap+1, real set may be far larger); derive the query frame "
+            f"through _query_pred() so it is capped at the scan"
         )
     qids = [r["vec_id"] for r in qrows]
     qx = np.vstack([r["embedding"] for r in qrows]).astype(np.float64)
@@ -2556,17 +2559,42 @@ def opq_rotated_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HNSW-style beam search over the IVF graph (VERDICT r12 item 4c)
 # --------------------------------------------------------------------------
 # Search constants, tuned on the sf0.1 fixture with the plain-Python mirror
-# (SCALE.md r14): M=4/EF=8/3 hops/single-medoid entry walked 0.0167 recall@3
-# against a 0.658 nprobe-3 cell ceiling — greedy ascent on a sparse NN-only
-# digraph from ONE dense-center entry stalls in local optima (the reason
-# real HNSW adds hierarchy). M=8 + HNSW_ENTRIES spread entries per probed
-# cell + EF=16 recovers 0.33 (~half the cell ceiling) at the same
-# asymptotics; hops beyond 4 measured flat.
+# (tools/hnsw_proto.py, SCALE.md r14/r15): M=4/EF=8/3 hops/single-medoid
+# entry walked 0.0167 recall@3 against a 0.658 nprobe-3 cell ceiling —
+# greedy ascent on a sparse NN-only digraph from ONE dense-center entry
+# stalls in local optima (the reason real HNSW adds hierarchy). M=8 +
+# HNSW_ENTRIES spread entries per probed cell + EF=16 recovered 0.33; r15
+# (VERDICT r14 item 3, the measured cheap lever): EF 16->64 lifts the flat
+# search to 0.5167 (mirror series: EF 16/24/32/48/64 -> 0.333/0.367/0.417/
+# 0.475/0.517; hops beyond 4 flat). Cost stays bounded: per-hop state is
+# #queries x EF x (M+1) <= 4096 x 64 x 9 ~ 2.4M id-pair rows at the query
+# cap — beam width is exactly the efSearch knob real HNSW deployments turn
+# (faiss defaults 16..128), not an asymptotic change.
 HNSW_M = 8      # graph degree: NN-descent edges per vector within its cell
-HNSW_EF = 16    # beam width per hop
+HNSW_EF = 64    # beam width per hop (efSearch; r15 16->64, measured above)
 HNSW_HOPS = 4   # unrolled greedy-expansion hops
 HNSW_K = 3      # recall@K against brute-force truth
 HNSW_ENTRIES = 8  # evenly-spread entry points per probed cell
+
+# Long-link layer constants — VERDICT r14 items 3 + 6a, resolved by
+# measurement (tools/hnsw_proto2.py, SCALE.md r15). The hierarchy the r14
+# verdict sketched — a second NN-descent graph over a rank-stratified
+# half-sample, entered at probed-cell medoids and descended — was built,
+# oracle-verified, and MEASURED WORSE than the flat search (0.3417 vs
+# 0.5167 at sf0.1): a kNN graph over a stratified subsample adds mostly
+# redundant short links, and the descent concentrates the beam into one
+# basin. What actually lifts recall is Malkov's PRE-hierarchy NSW device,
+# random long-range links: a deterministic md5-ring (nodes bucketed by the
+# first hex char of md5('ll:'||vec_id), ringed within each bucket in md5
+# order, each node linked to its next HNSW_LL_K ring successors) merged
+# into the walk graph. The ring crosses IVF cells, so the beam can escape
+# the probed cells entirely — measured recall@3 at sf0.1 is 0.8250, ABOVE
+# the 0.658 nprobe-3 cell ceiling that binds every cell-partitioned
+# search. Scale: the ring build is a per-bucket window (bucket count
+# scales with a longer md5 prefix, one hex char per 16x corpus growth, so
+# window partitions stay bounded); the ring adds <= LL_K id-pair edges
+# per node; per-hop beam state is #queries x EF x (M + LL_K + 1).
+HNSW_LL_K = 12  # ring successors linked per node (long-link out-degree)
 
 _D_COS_FC = f"{_D_DOT} / ({_D_NORM_Q} * {_D_NORM_C})"
 
@@ -2586,47 +2614,51 @@ def _d_nn_descent_edges(sq: str) -> str:
     synchronous Dong-et-al. refinement rounds — candidates(u) = N(u) u
     N(N(u)) u reverse(N)(u), re-ranked by exact sqdist with dst tiebreak,
     kept to HNSW_M."""
+    sfx = ""
+    src = "av"
     parts = [f"""
-        ranked AS MATERIALIZED (
+        ranked{sfx} AS MATERIALIZED (
             SELECT v.vec_id, v.cell_id, v.embedding,
                    ROW_NUMBER() OVER (PARTITION BY v.cell_id
                        ORDER BY {sq.format(a="v.embedding", b="c.cent")},
                                 v.vec_id) AS rnk
-            FROM av v JOIN cells c ON c.cell_id = v.cell_id),
-        edges0 AS MATERIALIZED (
+            FROM {src} v JOIN cells c ON c.cell_id = v.cell_id),
+        edges{sfx}_r0 AS MATERIALIZED (
             SELECT src, dst FROM (
                 SELECT a.vec_id AS src, b.vec_id AS dst,
                        ROW_NUMBER() OVER (PARTITION BY a.vec_id
                            ORDER BY {sq.format(a="a.embedding", b="b.embedding")},
                                     b.vec_id) AS rn
-                FROM ranked a JOIN ranked b
+                FROM ranked{sfx} a JOIN ranked{sfx} b
                   ON b.cell_id = a.cell_id AND b.vec_id <> a.vec_id
                  AND b.rnk BETWEEN a.rnk - {HNSW_SEED_W}
                               AND a.rnk + {HNSW_SEED_W})
             WHERE rn <= {HNSW_M})"""]
     for r in range(1, HNSW_ND_ROUNDS + 1):
         parts.append(f"""
-        cand{r} AS MATERIALIZED (
+        cand{sfx}_r{r} AS MATERIALIZED (
             SELECT DISTINCT src, dst FROM (
-                SELECT src, dst FROM edges{r - 1}
+                SELECT src, dst FROM edges{sfx}_r{r - 1}
                 UNION ALL
                 SELECT e1.src, e2.dst
-                FROM edges{r - 1} e1 JOIN edges{r - 1} e2 ON e2.src = e1.dst
+                FROM edges{sfx}_r{r - 1} e1
+                JOIN edges{sfx}_r{r - 1} e2 ON e2.src = e1.dst
                 UNION ALL
-                SELECT dst AS src, src AS dst FROM edges{r - 1}) u
+                SELECT dst AS src, src AS dst FROM edges{sfx}_r{r - 1}) u
             WHERE src <> dst),
-        edges{r} AS MATERIALIZED (
+        edges{sfx}_r{r} AS MATERIALIZED (
             SELECT src, dst FROM (
                 SELECT cc.src, cc.dst,
                        ROW_NUMBER() OVER (PARTITION BY cc.src
                            ORDER BY {sq.format(a="a.embedding", b="b.embedding")},
                                     cc.dst) AS rn
-                FROM cand{r} cc
+                FROM cand{sfx}_r{r} cc
                 JOIN embeddings a ON a.vec_id = cc.src
                 JOIN embeddings b ON b.vec_id = cc.dst)
             WHERE rn <= {HNSW_M})""")
     parts.append(f"""
-        edges AS MATERIALIZED (SELECT src, dst FROM edges{HNSW_ND_ROUNDS})""")
+        edges{sfx} AS MATERIALIZED (
+            SELECT src, dst FROM edges{sfx}_r{HNSW_ND_ROUNDS})""")
     return ",".join(parts)
 
 
@@ -2975,7 +3007,7 @@ def hnsw_beam_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _nn_descent_convergence_oracle() -> str:
     sq = _D_SQ.format(n=PQ_M * PQ_SUB, a="{a}", b="{b}")
     union = "\n                UNION ALL\n                ".join(
-        f"SELECT {r} AS nd_round, src, dst FROM edges{r}"
+        f"SELECT {r} AS nd_round, src, dst FROM edges_r{r}"
         for r in range(HNSW_ND_ROUNDS + 1)
     )
     return f"""
@@ -3031,4 +3063,314 @@ def nn_descent_graph_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allr.groupBy("nd_round").agg(
         F.count(F.lit(1)).alias("n_edges"),
         F.sum(F.floor(F.col("d") * 1e6)).cast("long").alias("sum_d_micro"),
+    )
+
+
+def _nsw_long_link_oracle() -> str:
+    """DuckDB mirror of the long-link search: the same NN-descent block,
+    the same deterministic md5-ring long links (hex-prefix buckets, ring
+    in md5 order, HNSW_LL_K successors each), the same spread entry
+    points, and the same unrolled beam recurrence over the MERGED edge
+    set."""
+    sq = _D_SQ.format(n=PQ_M * PQ_SUB, a="{a}", b="{b}")
+    hops = []
+    for h in range(1, HNSW_HOPS + 1):
+        hops.append(f"""
+        beam{h} AS (
+            SELECT query_id, vec_id FROM (
+                SELECT f.query_id, f.vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY f.query_id
+                                          ORDER BY {_D_COS_FC} DESC,
+                                                   f.vec_id) AS rn
+                FROM (SELECT DISTINCT u.query_id, u.vec_id FROM (
+                          SELECT query_id, vec_id FROM beam{h - 1}
+                          UNION ALL
+                          SELECT b.query_id, e2.dst
+                          FROM beam{h - 1} b JOIN medge e2 ON e2.src = b.vec_id
+                      ) u WHERE u.vec_id <> u.query_id) f
+                JOIN embeddings c ON c.vec_id = f.vec_id
+                JOIN qset q ON q.query_id = f.query_id)
+            WHERE rn <= {HNSW_EF})""")
+    return f"""
+        WITH {_D_CELLS.strip()},
+        av AS (SELECT e.vec_id, ca.cell_id, e.embedding
+               FROM embeddings e JOIN cellassign ca USING (vec_id)),
+        {_d_nn_descent_edges(sq).strip()},
+        llrank AS MATERIALIZED (
+            SELECT vec_id, substr(hx, 1, 1) AS bkt,
+                   ROW_NUMBER() OVER (PARTITION BY substr(hx, 1, 1)
+                                      ORDER BY hx, vec_id) AS rn
+            FROM (SELECT vec_id,
+                         md5(concat('ll:', CAST(vec_id AS VARCHAR))) AS hx
+                  FROM embeddings)),
+        llsz AS (SELECT bkt, COUNT(*) AS bsz FROM llrank GROUP BY bkt),
+        ring AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst
+            FROM llrank a
+            JOIN llsz s USING (bkt)
+            CROSS JOIN generate_series(1, {HNSW_LL_K}) g(j)
+            JOIN llrank b ON b.bkt = a.bkt
+                         AND b.rn = ((a.rn - 1 + g.j) % s.bsz) + 1
+            WHERE b.vec_id <> a.vec_id),
+        medge AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM edges
+                UNION ALL
+                SELECT src, dst FROM ring)),
+        cellstats AS (SELECT cell_id, COUNT(*) AS csz FROM ranked
+                      GROUP BY cell_id),
+        entrypts AS (
+            SELECT DISTINCT r.cell_id, r.vec_id AS entry_id
+            FROM cellstats s
+            CROSS JOIN generate_series(0, {HNSW_ENTRIES - 1}) g(i)
+            JOIN ranked r ON r.cell_id = s.cell_id
+                         AND r.rnk = 1 + (g.i * s.csz) // {HNSW_ENTRIES}),
+        qset AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                 WHERE vec_id % {QUERY_STRIDE} = 0 AND vec_id < {QUERY_ID_CAP}),
+        probe1 AS (
+            SELECT query_id, cell_id FROM (
+                SELECT q.vec_id AS query_id, c.cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY {sq.format(a="q.embedding", b="c.cent")},
+                                    c.cell_id) AS rn
+                FROM embeddings q JOIN cells c ON TRUE
+                WHERE q.vec_id % {QUERY_STRIDE} = 0 AND q.vec_id < {QUERY_ID_CAP})
+            WHERE rn <= {PQIVF_NPROBE}),
+        beam0 AS (SELECT p.query_id, m.entry_id AS vec_id
+                  FROM probe1 p JOIN entrypts m USING (cell_id)),
+        entrystats AS (
+            SELECT query_id, CAST(SUM(vec_id) AS BIGINT) AS entry_id_sum,
+                   CAST(COUNT(*) AS BIGINT) AS n_entry
+            FROM beam0 GROUP BY query_id),{",".join(hops)},
+        beamstats AS (
+            SELECT query_id, CAST(SUM(vec_id) AS BIGINT) AS beam_id_sum
+            FROM beam{HNSW_HOPS} GROUP BY query_id),
+        approx_top AS (
+            SELECT query_id, vec_id AS neighbor_id FROM (
+                SELECT f.query_id, f.vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY f.query_id
+                                          ORDER BY {_D_COS_FC} DESC,
+                                                   f.vec_id) AS rn
+                FROM beam{HNSW_HOPS} f
+                JOIN embeddings c ON c.vec_id = f.vec_id
+                JOIN qset q ON q.query_id = f.query_id)
+            WHERE rn <= {HNSW_K}),
+        exact_top AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                          ORDER BY {_D_COS_FC} DESC,
+                                                   c.vec_id) AS rn
+                FROM qset q JOIN embeddings c ON c.vec_id <> q.query_id)
+            WHERE rn <= {HNSW_K})
+        SELECT e.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) * 1.0 / {HNSW_K}, 4)
+                   AS recall_at_k,
+               s.entry_id_sum, s.n_entry, bs.beam_id_sum
+        FROM exact_top e
+        LEFT JOIN approx_top a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        JOIN entrystats s ON s.query_id = e.query_id
+        JOIN beamstats bs ON bs.query_id = e.query_id
+        GROUP BY e.query_id, s.entry_id_sum, s.n_entry, bs.beam_id_sum
+    """
+
+
+@query(
+    "nsw_long_link_search_recall",
+    section="2.N-sim",
+    doc="NSW LONG-LINK SEARCH — VERDICT r14 items 3+6a resolved by "
+    "measurement. The sketched hierarchy (a second NN-descent graph over "
+    "a rank-stratified half-sample, medoid entry, descent) was built, "
+    "oracle-verified, and measured WORSE than the flat beam (0.3417 vs "
+    "0.5167 recall@3 at sf0.1): a kNN graph over a stratified subsample "
+    "adds mostly redundant short links. What lifts recall is the device "
+    "HNSW's hierarchy exists to emulate incrementally — Malkov et al.'s "
+    "NSW long-range links — built deterministically so both engines "
+    "construct the IDENTICAL graph: nodes bucket by the first hex char "
+    "of md5('ll:'||vec_id), ring within each bucket in (md5, vec_id) "
+    f"order, each node linked to its {HNSW_LL_K} ring successors; the "
+    "ring merges with the NN-descent kNN digraph and the SAME unrolled "
+    f"beam recurrence runs over the union (EF={HNSW_EF}, {HNSW_HOPS} "
+    "hops, spread strata entries in the probed cells). The long links "
+    "cross IVF cells, so the beam ESCAPES the probed cells — measured "
+    "recall@3 at sf0.1 is 0.8250, above the 0.658 nprobe-3 cell ceiling "
+    "that binds every cell-partitioned search (flat EF=64: 0.5167; "
+    "series in SCALE.md r15). The hash pins the whole trajectory: "
+    "per-query entry_id_sum/n_entry (the entry front) and beam_id_sum "
+    "(the exact final beam), not just the recall. Scale: the ring build "
+    "is a per-bucket window (one more md5 hex char per 16x corpus "
+    "growth keeps partitions bounded) emitting <= LL_K id pairs per "
+    "node; per-hop state is #queries x EF x (M + LL_K + 1) rows.",
+    oracle=_nsw_long_link_oracle(),
+)
+def nsw_long_link_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_3_2_codedump_spark.catalog import ckpt_unless_plan_only
+
+    emb = load(spark, sf_dir, "embeddings")
+    cells = _ivf_cells(emb)
+    assign = _argmin_cell(emb, cells, "vec_id", 1)
+    av = emb.join(assign, "vec_id")
+    edges0 = _nn_descent_edges(av, cells)[-1].select("src", "dst")
+    # deterministic md5-ring long links: hex-prefix buckets keep the rank
+    # window partitioned (never a global sort), ring successors wrap
+    llrank = emb.select(
+        "vec_id",
+        F.md5(F.concat(F.lit("ll:"), F.col("vec_id").cast("string"))).alias("hx"),
+    ).select(
+        "vec_id",
+        "hx",
+        F.substring("hx", 1, 1).alias("bkt"),
+    )
+    wll = W.partitionBy("bkt").orderBy("hx", "vec_id")
+    llrank = llrank.withColumn("rn", F.row_number().over(wll)).select(
+        "vec_id", "bkt", "rn"
+    )
+    llsz = llrank.groupBy("bkt").agg(F.count(F.lit(1)).alias("bsz"))
+    ring_src = (
+        llrank.join(llsz, "bkt")
+        .withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(HNSW_LL_K))))
+        .select(
+            "bkt",
+            F.col("vec_id").alias("src"),
+            (((F.col("rn") - 1 + F.col("j")) % F.col("bsz")) + 1).alias("drn"),
+        )
+    )
+    ring = (
+        ring_src.join(
+            llrank.select(
+                "bkt", F.col("vec_id").alias("dst"), F.col("rn").alias("drn")
+            ),
+            ["bkt", "drn"],
+        )
+        .filter(F.col("dst") != F.col("src"))
+        .select("src", "dst")
+    )
+    # the walk graph: id-pair frame (~16 B/row), materialized once;
+    # embeddings re-enter only inside each hop's bounded rescore
+    medge = ckpt_unless_plan_only(
+        edges0.unionByName(ring).dropDuplicates(["src", "dst"]),
+        cut_plan_only=True,  # <= n x (M + LL_K) frame referenced per hop
+    )
+    # spread strata entry points per cell (same device as the flat query)
+    wm = W.partitionBy("cell_id").orderBy("cd", "vec_id")
+    ranked_e = (
+        av.join(F.broadcast(cells), "cell_id")
+        .withColumn("cd", _sqdist(F.col("embedding"), F.col("cent")))
+        .withColumn("rnk", F.row_number().over(wm))
+        .select("cell_id", "vec_id", "rnk")
+    )
+    targets = (
+        ranked_e.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("csz"))
+        .withColumn(
+            "i", F.explode(F.sequence(F.lit(0), F.lit(HNSW_ENTRIES - 1)))
+        )
+        .select(
+            "cell_id",
+            (F.lit(1) + F.expr(f"(i * csz) div {HNSW_ENTRIES}")).alias("rnk"),
+        )
+        .distinct()
+    )
+    entrypts = ranked_e.join(F.broadcast(targets), ["cell_id", "rnk"]).select(
+        "cell_id", F.col("vec_id").alias("entry_id")
+    )
+    q = emb.filter(_query_pred()).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe1 = _argmin_cell(
+        q.select(F.col("query_id").alias("vec_id"), F.col("q_emb").alias("embedding")),
+        cells,
+        "vec_id",
+        PQIVF_NPROBE,
+    ).select(F.col("vec_id").alias("query_id"), "cell_id")
+    beam = ckpt_unless_plan_only(
+        probe1.join(entrypts, "cell_id").select(
+            "query_id", F.col("entry_id").alias("vec_id")
+        ),
+        cut_plan_only=True,  # #queries x (nprobe x ENTRIES) frame, used twice
+    )
+    entrystats = beam.groupBy("query_id").agg(
+        F.sum("vec_id").cast("long").alias("entry_id_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_entry"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+
+    def rescore(frontier: DataFrame, keep: int) -> DataFrame:
+        scored = (
+            frontier.join(
+                emb.select(F.col("vec_id"), F.col("embedding").alias("c_emb")),
+                "vec_id",
+            )
+            .join(F.broadcast(q), "query_id")
+            .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= keep)
+            .select("query_id", "vec_id")
+        )
+
+    for _ in range(HNSW_HOPS):
+        nb = beam.join(medge, beam.vec_id == medge.src).select(
+            "query_id", F.col("dst").alias("vec_id")
+        )
+        frontier = (
+            beam.select("query_id", "vec_id")
+            .unionByName(nb)
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .distinct()
+        )
+        beam = ckpt_unless_plan_only(
+            rescore(frontier, HNSW_EF),
+            cut_plan_only=True,  # loop-carried #queries x EF frame
+        )
+    beamstats = beam.groupBy("query_id").agg(
+        F.sum("vec_id").cast("long").alias("beam_id_sum")
+    )
+    approx_top = rescore(beam, HNSW_K).select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+    exact_top = (
+        F.broadcast(q)
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"),
+            ),
+            F.col("neighbor_id") != F.col("query_id"),
+        )
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+            ),
+        )
+        .filter(F.col("rn") <= HNSW_K)
+        .select("query_id", "neighbor_id")
+    )
+    hit = F.when(F.col("a_neighbor").isNotNull(), 1).otherwise(0)
+    approx_renamed = approx_top.select(
+        F.col("query_id").alias("a_query"), F.col("neighbor_id").alias("a_neighbor")
+    )
+    return (
+        exact_top.join(
+            F.broadcast(approx_renamed),
+            (F.col("a_neighbor") == F.col("neighbor_id"))
+            & (F.col("a_query") == F.col("query_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(hit).cast("long").alias("n_hit"),
+            F.round(F.sum(hit) / HNSW_K, 4).alias("recall_at_k"),
+        )
+        .join(F.broadcast(entrystats), "query_id")
+        .join(F.broadcast(beamstats), "query_id")
     )

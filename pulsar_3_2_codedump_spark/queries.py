@@ -355,6 +355,8 @@ PRIORITY_ORDER = [
     "dispatch_rate_limit",
     "topic_storage_stats",
 ]
+
+
 def load_all() -> dict[str, Query]:
     """Import every module that registers queries, then return the registry
     in verification-priority order (PRIORITY_ORDER first, rest appended in

@@ -113,6 +113,10 @@ EXPLICIT_MEASUREMENT_BROADCASTS: dict[str, str] = {
     "query set (the residual form of ivfadc_ann_topk's LUT broadcast)",
     "hnsw_beam_search_recall": _QUERY_SET + "; beam re-scoring joins the "
     "bounded (#queries x EF x (M+1)) frontier against the query set",
+    "nsw_long_link_search_recall": _QUERY_SET + "; beam re-scoring joins "
+    "the bounded (#queries x EF x (M+LL_K+1)) frontier against the query "
+    "set; the entry/beam trajectory stats are #queries-row aggregates of "
+    "the capped beam frames",
     "knn_label_vote": _QUERY_SET,
     "lsh_ann_topk": _QUERY_SET,
     "mmr_rerank": _QUERY_SET + "; the re-ranked pool is top-"
@@ -346,6 +350,9 @@ QUERY_BOUNDED_KEYS: dict[str, set[str]] = {
     # are the HNSW_ENTRIES per-cell strata — <= PQIVF_CELLS x HNSW_ENTRIES
     # rows by construction (cellstats explode), never corpus-proportional
     "hnsw_beam_search_recall": {"cell_id", "rnk"},
+    # same entry-strata targets device as hnsw_beam_search_recall, plus the
+    # #queries-row trajectory-stat frames keyed on the capped query set
+    "nsw_long_link_search_recall": {"cell_id", "rnk", "query_id"},
 }
 
 _LIMIT_NODE = re.compile(

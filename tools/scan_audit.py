@@ -137,7 +137,6 @@ def audit(spark, registry, sf: str, threshold: int = 4, jobs_out: dict | None = 
         for name, q in sorted(registry.items()):
             if name.startswith("streaming_") or name in CONSTRUCTION_EXECUTES:
                 continue
-            ckpt0 = catalog.PLAN_ONLY_SUPPRESSED_CKPTS
             catalog.PLAN_ONLY_MATERIALIZED_TABLES.clear()
             mark = max_job_id(spark) if jobs_out is not None else -1
             try:
@@ -158,9 +157,15 @@ def audit(spark, registry, sf: str, threshold: int = 4, jobs_out: dict | None = 
             # sweep's env var gating, leaving only Scan ExistingRDD) fall
             # back to the old any-table behavior.
             covered = set(catalog.PLAN_ONLY_MATERIALIZED_TABLES)
+            # ADVICE r14: the legacy any-table pass is valid whenever a plan
+            # marker exists AND no table coverage was recorded — regardless
+            # of whether the ckpt counter ticked. A query with a genuine
+            # pre-gating checkpoint that ALSO routes one control-plane frame
+            # through ckpt_unless_plan_only (where inputFiles() yields no
+            # fact tables) must not lose the legacy excuse.
             legacy_marker = (
                 "InMemoryTableScan" in plan or "ExistingRDD" in plan
-            ) and catalog.PLAN_ONLY_SUPPRESSED_CKPTS == ckpt0 and not covered
+            ) and not covered
             tabs: dict[str, int] = {}
             for s in re.findall(r"FileScan parquet[^\n]*", plan):
                 m = re.search(rf"({'|'.join(TABLES)})\.parquet", s)
