@@ -1321,3 +1321,107 @@ def test_esd_position_probe_detects_single_giant_doc(spark):
         bucket_cap=256, escalate_threshold=20_000, probe_fraction=0.02,
         max_hot=16,
     ) == []
+
+
+def test_nsw_long_link_search_matches_python_walk(spark):
+    """Independent third implementation of the NSW long-link search (r15):
+    the md5-ring construction (first-hex-char buckets, (md5, vec_id) ring
+    order, HNSW_LL_K successors with wraparound), the merged walk graph,
+    the spread strata entries and the EF-bounded hop recurrence are all
+    recomputed in plain Python with the engine's exact tiebreaks — the
+    per-query (n_hit, entry_id_sum, n_entry, beam_id_sum) rows must agree
+    row-for-row, proving the Spark windows/joins implement the WALK and
+    the RING, not just a recall statistic."""
+    import hashlib
+
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        HNSW_EF,
+        HNSW_ENTRIES,
+        HNSW_HOPS,
+        HNSW_K,
+        HNSW_LL_K,
+        PQIVF_NPROBE,
+        QUERY_ID_CAP,
+        QUERY_STRIDE,
+        nsw_long_link_search_recall,
+    )
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load(spark, SF_DIR, "embeddings").collect()
+    }
+    sq = _py_sq
+
+    def cos(a, b):
+        d = n1 = n2 = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        for x in a:
+            n1 += x * x
+        for y in b:
+            n2 += y * y
+        return d / (math.sqrt(n1) * math.sqrt(n2))
+
+    cents, assign, by_cell, rounds = _py_nn_descent(vecs)
+    graph = {v: set(ns) for v, ns in rounds[-1].items()}
+    # md5-ring long links merged in
+    hx = {v: hashlib.md5(f"ll:{v}".encode()).hexdigest() for v in vecs}
+    buckets: dict = {}
+    for v in vecs:
+        buckets.setdefault(hx[v][0], []).append(v)
+    for mem in buckets.values():
+        order = sorted(mem, key=lambda v: (hx[v], v))
+        n = len(order)
+        for i, v in enumerate(order):
+            for j in range(1, HNSW_LL_K + 1):
+                u = order[(i + j) % n]
+                if u != v:
+                    graph[v].add(u)
+    # spread strata entries per cell (1 + (i*csz) div E ranks, distinct)
+    entries_by_cell = {}
+    for c, members in by_cell.items():
+        order = sorted(members, key=lambda v: (sq(vecs[v], cents[c]), v))
+        csz = len(order)
+        entries_by_cell[c] = sorted(
+            {order[(i * csz) // HNSW_ENTRIES] for i in range(HNSW_ENTRIES)}
+        )
+    queries = [
+        v for v in vecs if v % QUERY_STRIDE == 0 and v < QUERY_ID_CAP
+    ]
+    got = {
+        r["query_id"]: r
+        for r in nsw_long_link_search_recall(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(queries)
+    for q in queries:
+        probe = sorted(cents, key=lambda c: (sq(vecs[q], cents[c]), c))[
+            :PQIVF_NPROBE
+        ]
+        entries = [e for c in probe for e in entries_by_cell[c]]
+        # engine recurrence: beam0 is the UNFILTERED entry set; each hop
+        # expands beam u out-neighbors(beam), drops the query itself,
+        # re-ranks by (cos desc, vec_id) and keeps EF
+        beam = list(entries)
+        for _ in range(HNSW_HOPS):
+            frontier = set(beam)
+            for v in beam:
+                frontier |= graph[v]
+            frontier.discard(q)
+            beam = sorted(
+                frontier, key=lambda v: (-cos(vecs[q], vecs[v]), v)
+            )[:HNSW_EF]
+        approx = set(
+            sorted(beam, key=lambda v: (-cos(vecs[q], vecs[v]), v))[:HNSW_K]
+        )
+        exact = set(
+            sorted(
+                (v for v in vecs if v != q),
+                key=lambda v: (-cos(vecs[q], vecs[v]), v),
+            )[:HNSW_K]
+        )
+        row = got[q]
+        assert row["n_exact"] == HNSW_K
+        assert row["n_hit"] == len(approx & exact), q
+        assert row["entry_id_sum"] == sum(entries), q
+        assert row["n_entry"] == len(entries), q
+        assert row["beam_id_sum"] == sum(beam), q

@@ -576,3 +576,102 @@ def test_streaming_contamination_monitor_generations(spark):
     }
     got = {r["doc_id"]: (r["n_tri"], r["n_hit"], r["max_run"]) for r in rows}
     assert got == batch
+
+
+def test_streaming_ann_serving_matches_python_bruteforce(spark):
+    """r15 serving twin: every arriving query's top-k must equal a plain-
+    Python brute force over its probed cells (independent of the engine's
+    join/window machinery), gen-1 rows must be exactly the %100==0 query
+    ids and gen-2 the %100==50 ones — the checkpointed cursor proof."""
+    import math
+
+    from pulsar_3_2_codedump_spark.functions.similarity import (
+        PQIVF_CELLS,
+        PQIVF_NPROBE,
+        QUERY_ID_CAP,
+        QUERY_STRIDE,
+    )
+    from pulsar_3_2_codedump_spark.streaming.queries_streaming import (
+        ANN_SERVE_K,
+        streaming_ann_serving,
+    )
+    import hashlib
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def sq(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    order = sorted(
+        vecs, key=lambda v: (hashlib.md5(f"cell:{v}".encode()).hexdigest(), v)
+    )
+    cents = {i + 1: vecs[v] for i, v in enumerate(order[:PQIVF_CELLS])}
+    assign = {v: min(cents, key=lambda c: (sq(vecs[v], cents[c]), c)) for v in vecs}
+    rows = streaming_ann_serving(spark, SF_DIR).collect()
+    queries = [v for v in vecs if v % QUERY_STRIDE == 0 and v < QUERY_ID_CAP]
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(queries)
+    for q, qr in by_q.items():
+        gens = {r["gen"] for r in qr}
+        assert gens == {1 if q % 100 == 0 else 2}, (q, gens)
+        probe = sorted(cents, key=lambda c: (sq(vecs[q], cents[c]), c))[
+            :PQIVF_NPROBE
+        ]
+        cand = [v for v in vecs if assign[v] in probe and v != q]
+        expect = sorted(cand, key=lambda v: (-cos(vecs[q], vecs[v]), v))[
+            :ANN_SERVE_K
+        ]
+        got = [r["neighbor_id"] for r in sorted(qr, key=lambda r: r["rnk"])]
+        assert got == expect, q
+
+
+def test_streaming_minhash_ivm_updates_replace_stale_signatures(spark):
+    """r15 IVM twin: the final view must hold EXACTLY one row per doc, the
+    gen-2 updated docs at ver = doc_id + VER_BASE with the signature of
+    the UPDATED text (computed independently via the batch kernel), and
+    every other doc at its gen-1 version with the original signature."""
+    from pulsar_3_2_codedump_spark.functions.dedup_ml import (
+        N_HASHES,
+        base_hashes,
+        minhash_signature,
+        shingles,
+    )
+    from pulsar_3_2_codedump_spark.streaming.queries_streaming import (
+        MINHASH_IVM_DOCS,
+        MINHASH_IVM_UPD_MOD,
+        MINHASH_IVM_VER_BASE,
+        streaming_minhash_signature_ivm,
+    )
+
+    rows = {r["doc_id"]: r for r in streaming_minhash_signature_ivm(spark, SF_DIR).collect()}
+    docs = load(spark, SF_DIR, "documents").filter(F.col("doc_id") < MINHASH_IVM_DOCS)
+    latest = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % MINHASH_IVM_UPD_MOD == 3,
+            F.concat(F.col("text"), F.lit(" update-v2")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    expect = {
+        r["doc_id"]: r
+        for r in latest.select(
+            "doc_id", *minhash_signature(base_hashes(shingles(F.col("text"))))
+        ).collect()
+    }
+    assert set(rows) == set(expect)
+    for d, r in rows.items():
+        want_ver = d + MINHASH_IVM_VER_BASE if d % MINHASH_IVM_UPD_MOD == 3 else d
+        assert r["ver"] == want_ver, d
+        for j in range(N_HASHES):
+            assert r[f"h{j}"] == expect[d][f"h{j}"], (d, j)
