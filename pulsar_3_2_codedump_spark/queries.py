@@ -64,21 +64,69 @@ def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""
 #      than ~4 rounds stale against fixture regenerations.
 # The window is ALWAYS the first 50 entries of this list; the boundary
 # comment below marks it. Never leave a changed query below the boundary.
-# r14 window (tools/rotate_window.py --changed <26 names>): the 26
-# code-changed queries — the whole similarity.py family (the duplicate
-# float32 _sqdist definition removed so every distance folds in double
-# exactly like the oracles; the ANN broadcast-queries cap added to every
-# stride predicate on both engines; the HNSW build rewritten to bounded
-# NN-descent with retuned search constants), cross_corpus_overlap_spans
-# (scoring factored into overlap_span_stats for the streaming twin), and
-# the two minhash signature-cache queries (coverage recording at the
-# persist sites) — plus the 3 NEW r14 registrations
-# (nn_descent_graph_convergence, replicated_cursor_sync_audit,
-# streaming_contamination_monitor), then 21 freshness re-hashes
-# oldest-green-first (the r7 cohort: 16 of its 24 fit this round — 5 of
-# the cohort were already in the changed set — leaving the stragglers
-# at the top of the r15 freshness queue).
+# r15 window (tools/rotate_window.py --changed
+# hnsw_beam_search_recall,nn_descent_graph_convergence): the 2
+# code-changed queries (HNSW_EF 16->64 — the measured efSearch lift —
+# changes the flat query's plan AND its oracle; the NN-descent CTE
+# renames touch the convergence oracle's text), the 3 NEW r15
+# registrations (nsw_long_link_search_recall, streaming_ann_serving,
+# streaming_minhash_signature_ivm), then 45 freshness re-hashes
+# oldest-green-first — the ENTIRE r7/r8 stale cohort VERDICT r14 item 2
+# named (topic_storage_stats at r7 + the 35 r8 rows) fits with 9 slots
+# to spare, which take the next-oldest greens; after this round the
+# oldest green row advances to r9.
 PRIORITY_ORDER = [
+    "hnsw_beam_search_recall",
+    "nn_descent_graph_convergence",
+    "nsw_long_link_search_recall",
+    "streaming_ann_serving",
+    "streaming_minhash_signature_ivm",
+    "topic_storage_stats",
+    "vocab_oov_rate",
+    "length_bucketing",
+    "bm25_topk",
+    "repeated_passages",
+    "funnel_conversion",
+    "cohort_retention",
+    "event_bigram_counts",
+    "bpe_merge_step",
+    "hashing_trick_features",
+    "schema_evolution_decode",
+    "streaming_tableview",
+    "reservoir_sample_per_group",
+    "importance_resampling",
+    "ngram_novelty",
+    "streaming_topk",
+    "anomaly_zscore",
+    "moving_range_frame_revenue",
+    "unpivot_price_components",
+    "streaming_static_enrich",
+    "approx_percentile_sketch",
+    "entry_filter_reschedule",
+    "nack_redelivery_ladder",
+    "topic_gc_candidates",
+    "subscription_expiry_scan",
+    "source_cap_sample",
+    "expire_messages_by_time",
+    "tiered_shadow_roundtrip",
+    "kfold_assignment",
+    "fuzzy_blocking_pairs",
+    "theta_kll_sketch_battery",
+    "encrypted_roundtrip",
+    "streaming_encrypted_scan",
+    "publish_rate_limit",
+    "subscribe_rate_limit",
+    "dispatch_rate_limit",
+    "psi_drift",
+    "skyline_pareto",
+    "attribution_last_touch",
+    "priority_sample_topk",
+    "poisson_bootstrap_means",
+    "zorder_data_skipping",
+    "hll_explicit_distinct",
+    "streaming_psi_monitor",
+    "cusum_changepoint",
+    # ---- rotation window boundary (50) ----
     "ann_ndcg_at_k",
     "ann_recall_at_k",
     "approx_distinct_sketch",
@@ -88,7 +136,6 @@ PRIORITY_ORDER = [
     "embedding_quantization",
     "filtered_vector_search",
     "hard_negative_mining",
-    "hnsw_beam_search_recall",
     "ivf_ann_topk",
     "ivfadc_ann_topk",
     "ivfpq_residual_topk",
@@ -105,7 +152,6 @@ PRIORITY_ORDER = [
     "cross_corpus_overlap_spans",
     "minhash_lsh_dedup",
     "minhash_estimate_error",
-    "nn_descent_graph_convergence",
     "replicated_cursor_sync_audit",
     "streaming_contamination_monitor",
     "peek_skip_messages",
@@ -129,7 +175,6 @@ PRIORITY_ORDER = [
     "winsorized_stats",
     "tfidf_top_terms",
     "zipf_slope",
-    # ---- rotation window boundary (50) ----
     "rfm_scores",
     "event_graph_pagerank",
     "association_rules",
@@ -286,15 +331,6 @@ PRIORITY_ORDER = [
     "ack_holes_redelivery",
     "marker_filtered_scan",
     "jdbc_roundtrip",
-    "psi_drift",
-    "skyline_pareto",
-    "attribution_last_touch",
-    "priority_sample_topk",
-    "poisson_bootstrap_means",
-    "zorder_data_skipping",
-    "hll_explicit_distinct",
-    "streaming_psi_monitor",
-    "cusum_changepoint",
     "cms_join_size_estimate",
     "k_anonymity_audit",
     "dp_laplace_counts",
@@ -318,42 +354,6 @@ PRIORITY_ORDER = [
     "watermark_partition_lag",
     "streaming_cusum_alarm",
     "scalar_functions",
-    "vocab_oov_rate",
-    "length_bucketing",
-    "bm25_topk",
-    "repeated_passages",
-    "funnel_conversion",
-    "cohort_retention",
-    "event_bigram_counts",
-    "bpe_merge_step",
-    "hashing_trick_features",
-    "schema_evolution_decode",
-    "streaming_tableview",
-    "reservoir_sample_per_group",
-    "importance_resampling",
-    "ngram_novelty",
-    "streaming_topk",
-    "anomaly_zscore",
-    "moving_range_frame_revenue",
-    "unpivot_price_components",
-    "streaming_static_enrich",
-    "approx_percentile_sketch",
-    "entry_filter_reschedule",
-    "nack_redelivery_ladder",
-    "topic_gc_candidates",
-    "subscription_expiry_scan",
-    "source_cap_sample",
-    "expire_messages_by_time",
-    "tiered_shadow_roundtrip",
-    "kfold_assignment",
-    "fuzzy_blocking_pairs",
-    "theta_kll_sketch_battery",
-    "encrypted_roundtrip",
-    "streaming_encrypted_scan",
-    "publish_rate_limit",
-    "subscribe_rate_limit",
-    "dispatch_rate_limit",
-    "topic_storage_stats",
 ]
 
 
