@@ -113,6 +113,38 @@ SECONDARY = [
     "exact_substring_dedup",
 ]
 
+CORES_OK = 14.0   # below this the host is delivering < half its cores
+RATIO_OK = 2.0    # best two pass totals further apart than this = noise
+MAX_PASSES = 5    # 2 baseline + up to 3 self-heal retries
+BAND_CEIL = 12.5  # sf0.1 two-pass band ceiling (BASELINE.md); a would-be
+#                   headline above it on a mid-run-contended host retries
+RETRY_SLEEP = 45  # seconds — lets a passing ambient wave clear first
+
+
+def passes_healthy(passes: list[dict]) -> bool:
+    """Host-evidence criteria only — the measured value never feeds this
+    flag: best-two pass totals within RATIO_OK, and at least one
+    effective-cores probe at or above CORES_OK."""
+    totals = sorted(p["total"] for p in passes)
+    ratio_ok = len(totals) >= 2 and totals[1] <= RATIO_OK * totals[0]
+    cores_ok = any(p["effective_cores_before"] >= CORES_OK for p in passes)
+    return ratio_ok and cores_ok
+
+
+def retry_reason(passes: list[dict], sf: float) -> str:
+    """Why another bounded pass should run, or '' to stop. Band retry only
+    applies at sf0.1 (the documented band) and tests the would-be headline
+    (sum of per-query minima) — the number actually judged against it."""
+    if not passes_healthy(passes):
+        return "degraded"
+    if abs(sf - 0.1) <= 1e-9:
+        minima_sum = sum(
+            min(p["queries"][k] for p in passes) for k in HEADLINE
+        )
+        if minima_sum > BAND_CEIL:
+            return "headline above band ceiling"
+    return ""
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -183,13 +215,6 @@ def main() -> None:
             print(f"# [{tag}] {name}: {out[name]:.3f}s ({n} rows)", file=sys.stderr)
         return out
 
-    CORES_OK = 14.0   # below this the host is delivering < half its cores
-    RATIO_OK = 2.0    # best two pass totals further apart than this = noise
-    MAX_PASSES = 5    # 2 baseline + up to 3 self-heal retries
-    BAND_CEIL = 12.5  # sf0.1 two-pass band ceiling (BASELINE.md): a best
-    #                   total above it on a mid-run-contended host retries
-    RETRY_SLEEP = 45  # seconds — lets a passing ambient wave clear first
-
     passes: list[dict] = []
 
     def one_pass() -> None:
@@ -213,29 +238,17 @@ def main() -> None:
             }
         )
 
-    def healthy() -> bool:
-        totals = sorted(p["total"] for p in passes)
-        ratio_ok = len(totals) >= 2 and totals[1] <= RATIO_OK * totals[0]
-        cores_ok = any(p["effective_cores_before"] >= CORES_OK for p in passes)
-        return ratio_ok and cores_ok
-
-    def in_band() -> bool:
-        # only sf0.1 has a documented band; other SFs rely on the two
-        # host-evidence criteria alone. Tests the would-be headline (sum of
-        # per-query minima so far), the number actually judged against it.
-        if abs(sf - 0.1) > 1e-9:
-            return True
-        minima_sum = sum(min(p["queries"][k] for p in passes) for k in HEADLINE)
-        return minima_sum <= BAND_CEIL
-
     one_pass()
     one_pass()
-    while (not healthy() or not in_band()) and len(passes) < MAX_PASSES:
-        why = "degraded" if not healthy() else "best total above band ceiling"
+    while retry_reason(passes, sf) and len(passes) < MAX_PASSES:
+        why = retry_reason(passes, sf)
         print(f"# {why} after {len(passes)} passes — retrying in {RETRY_SLEEP}s",
               file=sys.stderr)
         time.sleep(RETRY_SLEEP)
         one_pass()
+
+    def healthy() -> bool:
+        return passes_healthy(passes)
 
     timings = {k: min(p["queries"][k] for p in passes) for k in HEADLINE}
     secondary = {k: min(p["secondary"][k] for p in passes) for k in SECONDARY}
