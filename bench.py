@@ -131,6 +131,21 @@ def passes_healthy(passes: list[dict]) -> bool:
     return ratio_ok and cores_ok
 
 
+def fit_summary_line(summary: dict, limit: int = 1800) -> str:
+    """Serialize the stdout summary, dropping optional host-evidence fields
+    (never the metric/value/unit/queries/sf contract) until it fits the
+    driver's 2,000-char stdout tail. Replaces the r15 assert, which raised
+    AFTER a completed run and lost the very artifact it guarded (ADVICE
+    r15)."""
+    line = json.dumps(summary)
+    for drop in ("loads", "cores_probes", "retries", "pass_totals", "clean"):
+        if len(line) <= limit:
+            break
+        summary.pop(drop, None)
+        line = json.dumps(summary)
+    return line
+
+
 def retry_reason(passes: list[dict], sf: float) -> str:
     """Why another bounded pass should run, or '' to stop. Band retry only
     applies at sf0.1 (the documented band) and tests the would-be headline
@@ -240,8 +255,10 @@ def main() -> None:
 
     one_pass()
     one_pass()
+    retry_reasons: list[str] = []  # why each extra pass ran (ADVICE r15)
     while retry_reason(passes, sf) and len(passes) < MAX_PASSES:
         why = retry_reason(passes, sf)
+        retry_reasons.append(why)
         print(f"# {why} after {len(passes)} passes — retrying in {RETRY_SLEEP}s",
               file=sys.stderr)
         time.sleep(RETRY_SLEEP)
@@ -264,6 +281,7 @@ def main() -> None:
         "aggregation": f"per-query min of {len(passes)} same-session "
         "passes (shared frames released per query)",
         "clean": healthy(),
+        "retry_reasons": retry_reasons,
         "passes": passes,
         "load_1m_start": load_1m_start,
         "effective_cores_start": effective_cores_start,
@@ -290,14 +308,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "clean": healthy(),
+        "retries": retry_reasons,
         "pass_totals": [p["total"] for p in passes],
         "cores_probes": [p["effective_cores_before"] for p in passes],
         "loads": [p["load_1m_before"] for p in passes],
         "detail": "bench_detail_local.json",
     }
-    line = json.dumps(summary)
-    assert len(line) <= 1800, f"summary line too long for driver tail: {len(line)}"
-    print(line)
+    print(fit_summary_line(summary))
 
 
 if __name__ == "__main__":

@@ -657,24 +657,23 @@ RRF_STRIDE = 50   # doc_id % RRF_STRIDE = 0 -> query set (matches similarity.py)
 def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from pulsar_3_2_codedump_spark.functions.similarity import cosine
+    from pulsar_3_2_codedump_spark.functions.similarity import dot, l2_norm
 
     docs = fanout(load(spark, sf_dir, "documents"))
-    # the doc-word set feeds the size agg, the query-side extraction AND
-    # the inverted-index probe — deliberately NOT persisted: the distinct
-    # is Exchange-rooted, so ReuseExchange serves all three consumers from
-    # ONE shuffle at runtime (the static plan prints 3 scans; the executed
-    # plan runs one), and a DISK_ONLY persist measurably REGRESSED the
-    # query (6.1-10.0 s vs the 3.4-3.9 s band at sf0.1 — it replaces the
-    # free exchange reuse with a serialize-to-disk round trip). The r13
-    # scan-audit allowlist entry documents this trade.
-    tok = docs.select(
+    # r16 restructure (tools/exp_r16_2.py: 3.30 s vs 7.46 s at sf0.1): the
+    # word-SET of a document is a per-document property, so compute it
+    # per row with array_distinct instead of a global (doc_id, word)
+    # DISTINCT — the distinct Exchange disappears outright, and the
+    # vocabulary size becomes a per-row size() instead of a groupBy
+    # (two fewer shuffles; identical sets, identical Jaccard). The
+    # fanout exchange still feeds every consumer via ReuseExchange.
+    wsets = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
-    ).distinct()
-    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    qt = tok.filter(F.col("doc_id") % RRF_STRIDE == 0).select(
-        F.col("doc_id").alias("query_id"), F.col("word").alias("qword")
+        F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+")).alias("wset"),
+    )
+    tok = wsets.select("doc_id", F.explode("wset").alias("word"))
+    qt = wsets.filter(F.col("doc_id") % RRF_STRIDE == 0).select(
+        F.col("doc_id").alias("query_id"), F.explode("wset").alias("qword")
     )
     ix = (
         F.broadcast(qt)
@@ -686,8 +685,10 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", F.col("doc_id").alias("item_id"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sq = sz.select(F.col("doc_id").alias("query_id"), F.col("n").alias("nq"))
-    sc = sz.select(F.col("doc_id").alias("item_id"), F.col("n").alias("nc"))
+    sq = wsets.filter(F.col("doc_id") % RRF_STRIDE == 0).select(
+        F.col("doc_id").alias("query_id"), F.size("wset").alias("nq")
+    )
+    sc = wsets.select(F.col("doc_id").alias("item_id"), F.size("wset").alias("nc"))
     jacc = F.col("inter") / (F.col("nq") + F.col("nc") - F.col("inter")).cast(
         "double"
     )
@@ -700,17 +701,21 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "item_id", "rank_lex")
     )
     emb = load(spark, sf_dir, "embeddings")
+    # norms precomputed per side (r16, same IEEE expression — see
+    # similarity.cosine_topk): one fold per pair instead of three
     qv = emb.filter(F.col("vec_id") % RRF_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
     )
     cv = fanout(emb).select(
-        F.col("vec_id").alias("item_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("item_id"), F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
     )
     wd = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("item_id"))
     dense = (
         F.broadcast(qv)
         .join(cv, F.col("item_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cos", dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")))
         .withColumn("rank_dense", F.row_number().over(wd))
         .filter(F.col("rank_dense") <= RRF_POOL)
         .select("query_id", "item_id", "rank_dense")

@@ -106,18 +106,26 @@ _D_NORM_C = (
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
+    # Precompute each side's L2 norm ONCE per row (r16): cosine() re-folds
+    # both norms inside every scored pair, tripling the per-pair array-fold
+    # work (|q|·|corpus| pairs pay 3 folds instead of 1). The division
+    # dot / (q_norm * c_norm) is the identical IEEE expression — same
+    # doubles, same hash. Measured 0.34 s vs 0.73 s at sf0.1
+    # (tools/exp_r16_1.py).
     q = emb.filter(_query_pred()).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
     )
     c = fanout(emb).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
     )
     scored = (
         F.broadcast(q)
         .join(c, F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cos", dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -2614,51 +2622,49 @@ def _d_nn_descent_edges(sq: str) -> str:
     synchronous Dong-et-al. refinement rounds — candidates(u) = N(u) u
     N(N(u)) u reverse(N)(u), re-ranked by exact sqdist with dst tiebreak,
     kept to HNSW_M."""
-    sfx = ""
-    src = "av"
     parts = [f"""
-        ranked{sfx} AS MATERIALIZED (
+        ranked AS MATERIALIZED (
             SELECT v.vec_id, v.cell_id, v.embedding,
                    ROW_NUMBER() OVER (PARTITION BY v.cell_id
                        ORDER BY {sq.format(a="v.embedding", b="c.cent")},
                                 v.vec_id) AS rnk
-            FROM {src} v JOIN cells c ON c.cell_id = v.cell_id),
-        edges{sfx}_r0 AS MATERIALIZED (
+            FROM av v JOIN cells c ON c.cell_id = v.cell_id),
+        edges_r0 AS MATERIALIZED (
             SELECT src, dst FROM (
                 SELECT a.vec_id AS src, b.vec_id AS dst,
                        ROW_NUMBER() OVER (PARTITION BY a.vec_id
                            ORDER BY {sq.format(a="a.embedding", b="b.embedding")},
                                     b.vec_id) AS rn
-                FROM ranked{sfx} a JOIN ranked{sfx} b
+                FROM ranked a JOIN ranked b
                   ON b.cell_id = a.cell_id AND b.vec_id <> a.vec_id
                  AND b.rnk BETWEEN a.rnk - {HNSW_SEED_W}
                               AND a.rnk + {HNSW_SEED_W})
             WHERE rn <= {HNSW_M})"""]
     for r in range(1, HNSW_ND_ROUNDS + 1):
         parts.append(f"""
-        cand{sfx}_r{r} AS MATERIALIZED (
+        cand_r{r} AS MATERIALIZED (
             SELECT DISTINCT src, dst FROM (
-                SELECT src, dst FROM edges{sfx}_r{r - 1}
+                SELECT src, dst FROM edges_r{r - 1}
                 UNION ALL
                 SELECT e1.src, e2.dst
-                FROM edges{sfx}_r{r - 1} e1
-                JOIN edges{sfx}_r{r - 1} e2 ON e2.src = e1.dst
+                FROM edges_r{r - 1} e1
+                JOIN edges_r{r - 1} e2 ON e2.src = e1.dst
                 UNION ALL
-                SELECT dst AS src, src AS dst FROM edges{sfx}_r{r - 1}) u
+                SELECT dst AS src, src AS dst FROM edges_r{r - 1}) u
             WHERE src <> dst),
-        edges{sfx}_r{r} AS MATERIALIZED (
+        edges_r{r} AS MATERIALIZED (
             SELECT src, dst FROM (
                 SELECT cc.src, cc.dst,
                        ROW_NUMBER() OVER (PARTITION BY cc.src
                            ORDER BY {sq.format(a="a.embedding", b="b.embedding")},
                                     cc.dst) AS rn
-                FROM cand{sfx}_r{r} cc
+                FROM cand_r{r} cc
                 JOIN embeddings a ON a.vec_id = cc.src
                 JOIN embeddings b ON b.vec_id = cc.dst)
             WHERE rn <= {HNSW_M})""")
     parts.append(f"""
-        edges{sfx} AS MATERIALIZED (
-            SELECT src, dst FROM edges{sfx}_r{HNSW_ND_ROUNDS})""")
+        edges AS MATERIALIZED (
+            SELECT src, dst FROM edges_r{HNSW_ND_ROUNDS})""")
     return ",".join(parts)
 
 

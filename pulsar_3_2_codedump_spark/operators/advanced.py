@@ -36,13 +36,14 @@ from pulsar_3_2_codedump_spark.queries import query
     """,
 )
 def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pulsar_3_2_codedump_spark.catalog import fanout
-
-    # exact percentiles buffer per-group values in the aggregator — fan the
-    # single-row-group scan out so partial aggregation runs on all cores.
+    # No fanout here (r16): the round-robin exchange (plus its
+    # sort-before-repartition pass) costs more than the parallel partial
+    # aggregation buys — measured 2.29 s with fanout vs 1.78 s without at
+    # sf0.1 (tools/exp_r16_1.py); at real scale the scan arrives as many
+    # splits and the partial agg parallelizes off the scan tasks anyway.
     # corr/covar can round to IEEE -0.0 in one engine and +0.0 in the other;
     # "+ 0.0" (here and in the oracle) normalizes the sign of zero.
-    li = fanout(load(spark, sf_dir, "lineitem"))
+    li = load(spark, sf_dir, "lineitem")
     # one percentile buffer for both price quantiles (each percentile() agg
     # otherwise collects the full column per group independently)
     pcts = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)))

@@ -170,39 +170,6 @@ def event_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 NTILE_BUCKETS = 32  # range buckets backing each distributed NTILE rank
 
 
-def _distributed_ntile(per: DataFrame, key, tiebreak: str, n_tiles: int, out: str) -> DataFrame:
-    """Exact NTILE(n) OVER (ORDER BY key, tiebreak) without a global window:
-    global row_number via prefixops.distributed_rank (range-bucket the sort
-    key, prefix-count carry-ins over the metadata-scale bucket frame), then
-    NTILE's closed form from (rank, N) — with N rows, base = N div n and
-    rem = N mod n, the first rem tiles carry base+1 rows. Bit-identical to
-    the window NTILE including tie behavior: equal keys share a bucket, the
-    tiebreak orders them within it, and the closed form is a pure function
-    of the resulting rank."""
-    from pulsar_3_2_codedump_spark.operators.prefixops import (
-        distributed_rank,
-        range_bucket,
-    )
-
-    t = range_bucket(per.withColumn("__k", key), "__k", NTILE_BUCKETS, "__nb")
-    ranked = distributed_rank(
-        t, F.col("__nb"), [F.col("__k"), F.col(tiebreak)], "__rn"
-    ).drop("__nb")
-    n = per.agg(F.count(F.lit(1)).alias("__N"))
-    r0 = F.col("__rn") - 1
-    base = F.floor(F.col("__N") / n_tiles)
-    rem = F.col("__N") % n_tiles
-    big = rem * (base + 1)
-    tile = F.when(r0 < big, F.floor(r0 / (base + 1)) + 1).otherwise(
-        rem + F.floor((r0 - big) / F.greatest(base, F.lit(1))) + 1
-    )
-    return (
-        ranked.join(F.broadcast(n))
-        .withColumn(out, tile.cast("int"))
-        .drop("__k", "__rn", "__N")
-    )
-
-
 @query(
     "rfm_scores",
     section="2.N-behavior",
@@ -250,23 +217,74 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m",
         )
     )
-    # truncate lineage first (the dedup_clusters localCheckpoint pattern),
-    # then score each dimension INDEPENDENTLY off the flat checkpointed
-    # user frame and join the three (user_id, score) outputs back — naive
-    # chaining nests each stage's bound/count aggregates inside the next
-    # stage's lineage and the plan grows ~4^depth (measured: ~560 exchanges
-    # chained vs 24 in this shape — PLANS.md distinct-node convention)
+    # truncate lineage first (the dedup_clusters localCheckpoint pattern) so
+    # the three rank pipelines below all read the flat materialized frame
+    # instead of nesting each other's aggregates (~4^depth plan growth)
     per = ckpt_unless_plan_only(per, cut_plan_only=True)
-    # DESC orderings rank by the negated value (ties keep the user_id ASC
-    # tiebreak, matching NTILE ... ORDER BY x DESC, user_id exactly)
-    def dim(key, out):
-        return _distributed_ntile(per, key, "user_id", 5, out).select("user_id", out)
+    # r16 restructure (tools/exp_r16_2.py, in-rep faster 3 of 4 reps, e.g.
+    # 1.45 s vs 2.74 s at sf0.1; static exchanges 43 -> 13): the three NTILE
+    # dimensions share ONE bounds+count aggregate (each range_bucket's
+    # min/max and the row count N collapse into a single broadcast row), and
+    # the three distributed ranks CHAIN on the same frame — per-dim bucket
+    # counts -> triangular exclusive-prefix carries (prefixops) -> broadcast
+    # back -> per-bucket row_number windows — so the three (user_id, score)
+    # join-backs (which planned as SortMergeJoins over the stats-free
+    # checkpoint) disappear. Rank arithmetic, tie behavior (user_id ASC
+    # tiebreak; DESC dims rank by the negated value) and NTILE's closed form
+    # are unchanged — bit-identical scores, no unpartitioned window.
+    from pulsar_3_2_codedump_spark.operators.prefixops import exclusive_prefix
 
-    return (
-        per.join(dim(F.col("r_days"), "r_score"), "user_id")
-        .join(dim(-F.col("f"), "f_score"), "user_id")
-        .join(dim(-F.col("m"), "m_score"), "user_id")
-        .select("user_id", "r_days", "f", "m", "r_score", "f_score", "m_score")
+    keys = {"r": F.col("r_days"), "f": (-F.col("f")).cast("long"), "m": -F.col("m")}
+    bounds = per.agg(
+        F.count(F.lit(1)).alias("__N"),
+        *[
+            x
+            for d, k in keys.items()
+            for x in (F.min(k).alias(f"__lo_{d}"), F.max(k).alias(f"__hi_{d}"))
+        ],
+    )
+    t = per.crossJoin(F.broadcast(bounds))
+    for d, k in keys.items():
+        # range_bucket's formula inline, per dimension off the shared bounds
+        t = t.withColumn(
+            f"__b_{d}",
+            F.least(
+                F.floor(
+                    (k - F.col(f"__lo_{d}"))
+                    * NTILE_BUCKETS
+                    / (F.col(f"__hi_{d}") - F.col(f"__lo_{d}") + 1)
+                ),
+                F.lit(NTILE_BUCKETS - 1),
+            ),
+        )
+    out = t
+    for d, k in keys.items():
+        counts = t.groupBy(f"__b_{d}").agg(F.count(F.lit(1)).alias("__n"))
+        carry = exclusive_prefix(counts, f"__b_{d}", "__n", "sum", f"__carry_{d}")
+        win = Window.partitionBy(f"__b_{d}").orderBy(k, F.col("user_id"))
+        out = out.join(F.broadcast(carry), f"__b_{d}").withColumn(
+            f"__rn_{d}",
+            (
+                F.coalesce(F.col(f"__carry_{d}"), F.lit(0)) + F.row_number().over(win)
+            ).cast("long"),
+        )
+
+    def tile(d: str):
+        # NTILE(5)'s closed form from (global rank, N): the first N%5 tiles
+        # carry floor(N/5)+1 rows
+        r0 = F.col(f"__rn_{d}") - 1
+        base = F.floor(F.col("__N") / 5)
+        rem = F.col("__N") % 5
+        big = rem * (base + 1)
+        return (
+            F.when(r0 < big, F.floor(r0 / (base + 1)) + 1)
+            .otherwise(rem + F.floor((r0 - big) / F.greatest(base, F.lit(1))) + 1)
+            .cast("int")
+        )
+
+    return out.select(
+        "user_id", "r_days", "f", "m",
+        tile("r").alias("r_score"), tile("f").alias("f_score"), tile("m").alias("m_score"),
     )
 
 

@@ -22,7 +22,7 @@ hash agg, no sort at all.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.window import Window as W
 
 from pulsar_3_2_codedump_spark.catalog import load
@@ -32,19 +32,52 @@ from pulsar_3_2_codedump_spark.queries import query
 _ENV = f"WITH envelope AS ({EVENTS_ENVELOPE_ORACLE})"
 
 
+def _orderable(dt: T.DataType) -> bool:
+    """Whether Spark can sort/compare the type (maps are not orderable)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    return True
+
+
 def latest_per_key(env: DataFrame, key_cols=("key",)) -> DataFrame:
     """TableView / compaction phase-1: keep the highest-(partition, offset)
     row per key.
 
-    Plan choice: ``max_by(col, struct(partition, offset))`` per column — a
-    partial+final HASH aggregation (map-side combine shrinks each partition
-    to its distinct keys before the shuffle). ~2× faster than the
+    Plan choice: a partial+final aggregation (map-side combine shrinks each
+    partition to its distinct keys before the shuffle) — ~2× faster than the
     row_number-window form at 10M rows (tools/scale_smoke.py) and the right
-    100 TB plan: no sort, and the shuffle carries only one row per (map
-    partition × key), not the whole log."""
+    100 TB plan: the shuffle carries only one row per (map partition × key),
+    not the whole log. When every payload column is ORDERABLE the aggregate
+    is ONE lexicographic ``max(struct(partition, offset, payload...))``:
+    (partition, offset) is unique within a key group (offsets are dense
+    per-partition indexes), so the payload fields never decide the
+    comparison and the winner is identical to per-column max_by — but the
+    agg buffer is a single struct instead of one (value, ordering) pair per
+    column (r16; tools/exp_r16_1.py). Frames carrying map columns (the full
+    envelope's ``properties``/``encryption_keys``) keep the per-column
+    ``max_by(col, struct(partition, offset))`` form — callers that only
+    need scalar payloads should project them out first to take the fast
+    path."""
     key_cols = list(key_cols)
-    rank = F.struct("partition", "offset")
     others = [c for c in env.columns if c not in key_cols]
+    types = {f.name: f.dataType for f in env.schema.fields}
+    if (
+        "partition" in others
+        and "offset" in others
+        and all(_orderable(types[c]) for c in others)
+    ):
+        ride = [c for c in others if c not in ("partition", "offset")]
+        agg = env.groupBy(*key_cols).agg(
+            F.max(F.struct("partition", "offset", *ride)).alias("__s")
+        )
+        return agg.select(
+            *key_cols, *[F.col(f"__s.{c}").alias(c) for c in others]
+        ).select(*env.columns)
+    rank = F.struct("partition", "offset")
     return env.groupBy(*key_cols).agg(*[F.max_by(c, rank).alias(c) for c in others]).select(
         *env.columns
     )
@@ -93,6 +126,10 @@ def tableview_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         F.col("event_id").alias("sequence_id"), "event_type", F.col("value").alias("ev_value")
     )
+    # project the scalar payloads first (r16) so latest_per_key plans the
+    # single struct-max hash path instead of per-column max_by over the
+    # full envelope (whose map columns force the slow per-column form)
+    env = env.select("key", "partition", "offset", "sequence_id")
     out = latest_per_key(env).join(ev, "sequence_id")
     return out.select(
         "key",
@@ -121,14 +158,19 @@ def tableview_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def compaction_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = cached_envelope(spark, sf_dir)
-    kept = compact(env, tombstone=F.col("properties")["event_type"] == "error")
-    return kept.select(
+    # extract the tombstone marker from the properties map BEFORE the
+    # aggregation (r16): the winning row is decided by (partition, offset)
+    # alone, so its event_type rides along identically — and with the map
+    # column gone latest_per_key takes the single struct-max path
+    env = env.select(
         "key",
-        "sequence_id",
-        F.col("properties")["event_type"].alias("event_type"),
         "partition",
         "offset",
+        "sequence_id",
+        F.col("properties")["event_type"].alias("event_type"),
     )
+    kept = compact(env, tombstone=F.col("event_type") == "error")
+    return kept.select("key", "sequence_id", "event_type", "partition", "offset")
 
 
 @query(
@@ -175,7 +217,9 @@ def strategic_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def compacted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = cached_envelope(spark, sf_dir)
     horizon = 500
+    cols = ["key", "sequence_id", "partition", "offset"]
+    # scalar projection first (r16) — struct-max path, see tableview_latest
+    env = env.select("key", "partition", "offset", "sequence_id")
     snapshot = latest_per_key(env.filter(F.col("offset") <= horizon))
     tail = env.filter(F.col("offset") > horizon)
-    cols = ["key", "sequence_id", "partition", "offset"]
     return snapshot.select(*cols).unionByName(tail.select(*cols))

@@ -137,9 +137,18 @@ def count_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def session_window_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    # Repartition by user_id BEFORE the session aggregation (r16): the
+    # session groupBy requires hashpartitioning(user_id) anyway, so this is
+    # the SAME single shuffle — but issued on the raw 3-column rows, it moves
+    # the per-row session-struct projection and the partial aggregation off
+    # the one-task parquet scan onto all cores (sessions barely merge
+    # pre-shuffle, so map-side partials saved nothing). Measured 0.244 s vs
+    # 0.374 s at sf0.1 (tools/exp_r16_1.py); plan stays one Exchange.
+    ev = load(spark, sf_dir, "events").select("ts", "user_id", "value")
+    n = spark.sparkContext.defaultParallelism
     return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        ev.repartition(n, "user_id")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.min("ts").alias("mts"),
             F.count(F.lit(1)).alias("n_events"),

@@ -84,3 +84,32 @@ def test_retry_budget_constants():
     assert bench.MAX_PASSES == 5
     assert bench.BAND_CEIL == 12.5
     assert bench.RETRY_SLEEP <= 60
+
+
+def test_fit_summary_line_never_raises_and_keeps_contract_fields():
+    # ADVICE r15: a completed run must always print its summary — oversize
+    # lines drop optional host-evidence fields, never the contract fields
+    import json
+
+    base = {
+        "metric": "headline_query_wall_seconds",
+        "value": 12.0,
+        "unit": "sec",
+        "queries": {f"q{i}": 0.5 for i in range(19)},
+        "sf": 0.1,
+        "clean": True,
+        "retries": ["degraded"] * 50,
+        "pass_totals": [12.0] * 200,
+        "cores_probes": [16.0] * 200,
+        "loads": [1.0] * 200,
+        "detail": "bench_detail_local.json",
+    }
+    line = bench.fit_summary_line(dict(base), limit=600)
+    assert len(line) <= 600
+    parsed = json.loads(line)
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in parsed
+    # small summaries pass through whole
+    small = {"metric": "m", "value": 1.0, "unit": "sec", "queries": {}, "sf": 0.1,
+             "clean": True, "pass_totals": [1.0], "loads": [0.1]}
+    assert json.loads(bench.fit_summary_line(dict(small))) == small
