@@ -102,6 +102,14 @@ PLAN_ONLY_MATERIALIZED_TABLES: set[str] = set()
 
 _FACT_TABLES = ("orders", "lineitem", "events", "documents", "embeddings")
 
+# Count of inputFiles() failures while recording plan-only materialization
+# coverage (ADVICE r15): when attribution is lost for a frame, the audit's
+# legacy any-table excuse would otherwise silently pass a query whose
+# fact-table coverage went through the exception path — scan_audit
+# snapshots this counter per query and withholds the legacy excuse when
+# it ticked.
+PLAN_ONLY_COVERAGE_LOSSES = 0
+
 
 def record_plan_only_materialization(df: DataFrame) -> None:
     """Under SPARK_GRAFT_PLAN_ONLY, note which fact tables ``df``'s analyzed
@@ -118,7 +126,10 @@ def record_plan_only_materialization(df: DataFrame) -> None:
         txt = " ".join(df.inputFiles())
     except Exception as e:  # noqa: BLE001 — sweep-only path, zero product cost
         # losing attribution here surfaces only as a confusing downstream
-        # scan-audit hit — make the loss visible (ADVICE r14)
+        # scan-audit hit — make the loss visible (ADVICE r14) and COUNTED
+        # (ADVICE r15: the audit withholds the legacy excuse on a tick)
+        global PLAN_ONLY_COVERAGE_LOSSES
+        PLAN_ONLY_COVERAGE_LOSSES += 1
         import sys
 
         print(

@@ -212,9 +212,13 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_3_2_codedump_spark.catalog import record_plan_only_materialization
 
     record_plan_only_materialization(sig)
+    # LAZY persist (r16): the eager count() paid a full extra
+    # shingle+md5 pass as its own job just to pre-fill the cache; under
+    # the single main action the four sig consumers populate and share
+    # the cache anyway (a racing partition recompute is cheaper than the
+    # guaranteed extra pass — measured 1.89 s lazy vs 2.36 s eager at
+    # sf0.1, tools/exp_r16_3.py).
     sig = sig.persist()
-    if not os.environ.get("SPARK_GRAFT_PLAN_ONLY"):
-        sig.count()  # eager fill; persist itself is lazy, so plan-only sweeps skip
     _LAST_SIG = sig
     # bands via ONE explode pass over the cached signature (a 4-way union
     # would scan it 4×; at scale the band table is 4n tiny rows either way)
@@ -1051,8 +1055,8 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_3_2_codedump_spark.catalog import record_plan_only_materialization
 
     record_plan_only_materialization(sig)
-    if not os.environ.get("SPARK_GRAFT_PLAN_ONLY"):
-        sig.count()  # eager fill; persist itself is lazy, so plan-only sweeps skip
+    # lazy persist (r16) — same reasoning as minhash_lsh_dedup: the eager
+    # count was a guaranteed extra md5 pass; the consumers fill the cache
     _LAST_SIG = sig
     bands = sig.select(
         "doc_id",
@@ -1295,18 +1299,18 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pulsar_3_2_codedump_spark.catalog import persist_shared_corpus_frame
-
     docs = fanout(load(spark, sf_dir, "documents"))
     # the per-source vocabulary feeds the size agg AND both join sides —
-    # persist once (Heaps-sublinear but corpus-derived → DISK_ONLY,
-    # lineage kept; r13 scan audit: 4 documents scans -> 1)
-    tok = persist_shared_corpus_frame(
-        docs.select(
-            "source",
-            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
-        ).distinct()
-    )
+    # deliberately NOT persisted (r16, same trade hybrid_rrf_fusion
+    # measured in r13): the distinct is Exchange-rooted, so ReuseExchange
+    # serves all three consumers from ONE shuffle at runtime, and the
+    # DISK_ONLY persist replaced that free reuse with a serialize-to-disk
+    # round trip — measured 1.58 s un-persisted vs 2.92 s persisted at
+    # sf0.1 (tools/exp_r16_4.py)
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    ).distinct()
     sz = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = tok.select(F.col("source").alias("source_a"), "word")
     b = tok.select(F.col("source").alias("source_b"), "word")
@@ -1462,25 +1466,39 @@ ESD_MAX_HOT = 1024  # bound on escalated buckets per run (driver literals)
 def _lcp_in_bucket(a: Column, b: Column) -> Column:
     """Longest-common-prefix length of two SAME-BUCKET suffixes (both are
     <= ESD_CAP chars and, by bucket construction, share their first
-    ESD_MIN chars), as a bounded fold over the TAILS only: prefix
-    equality is monotone in i, so the sum of per-length tail-equality
-    indicators is the tail LCP, and total = ESD_MIN + tail. Folding only
-    the (ESD_CAP - ESD_MIN)-char tails does ~2.3x fewer character
-    compares than refolding the full prefixes the bucket already proved
-    equal. NULL neighbor (bucket edge) -> 0. Mirrors the oracle's
-    list_aggregate character for character."""
+    ESD_MIN chars), as a bounded fold over the TAILS only: total =
+    ESD_MIN + tail LCP. NULL neighbor (bucket edge) -> 0.
+
+    Kernel (r16): char-at-a-time cumulative-AND — the fold carries
+    (still_equal, count) and each step compares ONE character, so a
+    30-step fold does 30 char compares instead of the r11 form's
+    sum-of-prefix-equality-indicators (which re-compared the whole
+    prefix at every step, O(tail^2/2) ≈ 450 char compares per pair).
+    Same integer by monotonicity of prefix equality — proven equal on
+    the full sf0.1 frame (tools/exp_r16_3.py: 0 differing rows) and
+    pinned against the independent Python suffix scan in
+    tests/test_functions_ml.py. The quadratic fold, not the sort, was
+    the measured hot-bucket pathology (907 s for one 8M-suffix bucket,
+    r11) — this kernel cuts exactly that term; measured 2.28 s vs
+    2.59 s at the common sf0.1 profile."""
     ta = a.substr(F.lit(ESD_MIN + 1), F.lit(ESD_CAP - ESD_MIN))
     tb = b.substr(F.lit(ESD_MIN + 1), F.lit(ESD_CAP - ESD_MIN))
-    tail = F.aggregate(
-        F.sequence(F.lit(1), F.lit(ESD_CAP - ESD_MIN)),
-        F.lit(0),
-        lambda acc, i: acc
-        + F.when(
+
+    def ch_eq(i: Column) -> Column:
+        return (
             (i <= F.length(ta))
             & (i <= F.length(tb))
-            & (ta.substr(F.lit(1), i) == tb.substr(F.lit(1), i)),
-            1,
-        ).otherwise(0),
+            & (ta.substr(i, F.lit(1)) == tb.substr(i, F.lit(1)))
+        )
+
+    tail = F.aggregate(
+        F.sequence(F.lit(1), F.lit(ESD_CAP - ESD_MIN)),
+        F.struct(F.lit(True).alias("eq"), F.lit(0).alias("n")),
+        lambda acc, i: F.struct(
+            (acc["eq"] & ch_eq(i)).alias("eq"),
+            (acc["n"] + F.when(acc["eq"] & ch_eq(i), 1).otherwise(0)).alias("n"),
+        ),
+        lambda acc: acc["n"],
     )
     return F.when(b.isNull(), 0).otherwise(F.lit(ESD_MIN) + tail)
 

@@ -222,7 +222,8 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of nesting each other's aggregates (~4^depth plan growth)
     per = ckpt_unless_plan_only(per, cut_plan_only=True)
     # r16 restructure (tools/exp_r16_2.py, in-rep faster 3 of 4 reps, e.g.
-    # 1.45 s vs 2.74 s at sf0.1; static exchanges 43 -> 13): the three NTILE
+    # 1.45 s vs 2.74 s at sf0.1; shuffle Exchanges 24 -> 16 under the
+    # PLANS.md counting convention): the three NTILE
     # dimensions share ONE bounds+count aggregate (each range_bucket's
     # min/max and the row count N collapse into a single broadcast row), and
     # the three distributed ranks CHAIN on the same frame — per-dim bucket
