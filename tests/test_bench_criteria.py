@@ -113,3 +113,14 @@ def test_fit_summary_line_never_raises_and_keeps_contract_fields():
     small = {"metric": "m", "value": 1.0, "unit": "sec", "queries": {}, "sf": 0.1,
              "clean": True, "pass_totals": [1.0], "loads": [0.1]}
     assert json.loads(bench.fit_summary_line(dict(small))) == small
+
+
+def test_low_core_criteria_scale_with_requested_cores():
+    # r16 measurement fix: the cores criterion and the local[32] band
+    # retry must not condemn the driver's LOWER-core bench runs
+    assert bench.cores_ok_for(32) == 14.0
+    assert bench.cores_ok_for(8) == 3.5
+    assert bench.cores_ok_for(64) == 14.0  # capped at the historical value
+    assert bench.band_retry_applies(0.1, 32)
+    assert not bench.band_retry_applies(0.1, 8)
+    assert not bench.band_retry_applies(0.01, 32)
