@@ -104,15 +104,21 @@ def test_fit_summary_line_never_raises_and_keeps_contract_fields():
         "loads": [1.0] * 200,
         "detail": "bench_detail_local.json",
     }
-    line = bench.fit_summary_line(dict(base), limit=600)
+    snapshot = {k: (list(v) if isinstance(v, list) else v) for k, v in base.items()}
+    line = bench.fit_summary_line(base, limit=600)
     assert len(line) <= 600
     parsed = json.loads(line)
-    for k in ("metric", "value", "unit", "queries", "sf"):
-        assert k in parsed
+    for k in ("metric", "value", "unit", "queries", "sf", "clean"):
+        assert k in parsed  # clean is judge-facing evidence: NEVER dropped (r17)
+    assert base == snapshot  # works on a copy — caller's dict untouched (ADVICE r16)
     # small summaries pass through whole
     small = {"metric": "m", "value": 1.0, "unit": "sec", "queries": {}, "sf": 0.1,
              "clean": True, "pass_totals": [1.0], "loads": [0.1]}
     assert json.loads(bench.fit_summary_line(dict(small))) == small
+    # pathological limit: the fallback still prints a parseable contract object
+    tiny = bench.fit_summary_line(base, limit=10)
+    parsed_tiny = json.loads(tiny)
+    assert parsed_tiny["value"] == 12.0 and parsed_tiny["clean"] is True
 
 
 def test_low_core_criteria_scale_with_requested_cores():
