@@ -1251,12 +1251,39 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fanout(load(spark, sf_dir, "documents")).select(
         "doc_id", "source", F.lower(F.trim(F.col("text"))).alias("tx")
     )
-    return cdc_chunks(docs).groupBy("source").agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.count(F.lit(1)).alias("total_chunks"),
-        F.countDistinct("chunk").alias("distinct_chunks"),
-        F.round(F.countDistinct("chunk") / F.count(F.lit(1)), 4).alias("unique_ratio"),
-        F.round(F.avg(F.length("chunk")), 2).alias("avg_chunk_len"),
+    # No multi-countDistinct Expand (r17, guide §2.4 / VERDICT r16 item 4):
+    # the one-shot agg's two countDistincts on different columns made Spark
+    # Expand-triplicate EVERY chunk row through the final exchange. Instead
+    # pre-aggregate by (source, chunk) — map-side partials shrink the
+    # shuffle to ~distinct chunks — and derive total/distinct/avg-length
+    # exactly: sum(cnt) == count(*), count of groups == countDistinct(chunk),
+    # and sum(cnt*len)/sum(cnt) is the identical long-sum/long-count double
+    # division Spark's avg() performs. n_docs comes from the documents frame
+    # itself: the kernel emits >= 1 chunk per doc unconditionally
+    # (starts=[0] always yields one span, even for empty text), so
+    # countDistinct(doc_id) over chunks == countDistinct(doc_id) over docs.
+    per_chunk = (
+        cdc_chunks(docs)
+        .groupBy("source", "chunk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = per_chunk.groupBy("source").agg(
+        F.sum("cnt").alias("total_chunks"),
+        F.count(F.lit(1)).alias("distinct_chunks"),
+        F.sum(F.col("cnt") * F.length("chunk")).alias("sum_len"),
+    )
+    n_docs = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    return stats.join(F.broadcast(n_docs), "source").select(
+        "source",
+        "n_docs",
+        "total_chunks",
+        "distinct_chunks",
+        F.round(F.col("distinct_chunks") / F.col("total_chunks"), 4).alias("unique_ratio"),
+        F.round(F.col("sum_len") / F.col("total_chunks"), 2).alias("avg_chunk_len"),
     )
 
 
@@ -1463,11 +1490,10 @@ ESD_PROBE_FRAC = 0.02  # POSITION-sample fraction for the escalation probe
 ESD_MAX_HOT = 1024  # bound on escalated buckets per run (driver literals)
 
 
-def _lcp_in_bucket(a: Column, b: Column) -> Column:
-    """Longest-common-prefix length of two SAME-BUCKET suffixes (both are
-    <= ESD_CAP chars and, by bucket construction, share their first
-    ESD_MIN chars), as a bounded fold over the TAILS only: total =
-    ESD_MIN + tail LCP. NULL neighbor (bucket edge) -> 0.
+def _lcp_of_tails(ta: Column, tb: Column) -> Column:
+    """Longest-common-prefix length of two SAME-BUCKET suffixes given only
+    their TAILS beyond the ESD_MIN chars the bucket already proved equal:
+    total = ESD_MIN + tail LCP. NULL neighbor (bucket edge) -> 0.
 
     Kernel (r16): char-at-a-time cumulative-AND — the fold carries
     (still_equal, count) and each step compares ONE character, so a
@@ -1480,9 +1506,10 @@ def _lcp_in_bucket(a: Column, b: Column) -> Column:
     tests/test_functions_ml.py. The quadratic fold, not the sort, was
     the measured hot-bucket pathology (907 s for one 8M-suffix bucket,
     r11) — this kernel cuts exactly that term; measured 2.28 s vs
-    2.59 s at the common sf0.1 profile."""
-    ta = a.substr(F.lit(ESD_MIN + 1), F.lit(ESD_CAP - ESD_MIN))
-    tb = b.substr(F.lit(ESD_MIN + 1), F.lit(ESD_CAP - ESD_MIN))
+    2.59 s at the common sf0.1 profile. r17: takes the pre-split tails
+    directly (the window now shuffles (bucket, tail), not the full s —
+    guide §2.1 shrink-before-shuffle), so the per-step substr runs on
+    the 30-char tail column with no per-row re-slicing."""
 
     def ch_eq(i: Column) -> Column:
         return (
@@ -1500,7 +1527,18 @@ def _lcp_in_bucket(a: Column, b: Column) -> Column:
         ),
         lambda acc: acc["n"],
     )
-    return F.when(b.isNull(), 0).otherwise(F.lit(ESD_MIN) + tail)
+    return F.when(tb.isNull(), 0).otherwise(F.lit(ESD_MIN) + tail)
+
+
+def _lcp_in_bucket(a: Column, b: Column) -> Column:
+    """Full-suffix form of _lcp_of_tails (kept for the equality-proof
+    tooling): slices the tails off the complete suffix strings first."""
+    return F.when(b.isNull(), 0).otherwise(
+        _lcp_of_tails(
+            a.substr(F.lit(ESD_MIN + 1), F.lit(ESD_CAP - ESD_MIN)),
+            b.substr(F.lit(ESD_MIN + 1), F.lit(ESD_CAP - ESD_MIN)),
+        )
+    )
 
 
 def _esd_positions(t: DataFrame) -> DataFrame:
@@ -1516,8 +1554,15 @@ def _esd_positions(t: DataFrame) -> DataFrame:
 
 
 def _esd_strings(pos_frame: DataFrame) -> DataFrame:
-    """(doc_id, pos, s, bucket): build the truncated suffix string and
-    its ESD_MIN-char bucket for a positions frame."""
+    """(doc_id, pos, bucket, tail): build the truncated suffix string for
+    a positions frame and split it into its ESD_MIN-char bucket key and
+    the remaining tail. The full suffix s == bucket || tail is never
+    carried as a column (r17, guide §2.1): the bucket-partitioned window
+    downstream would otherwise shuffle both the 50-char s AND its own
+    20-char prefix again (~40% more shuffle bytes), and every derived
+    quantity needs only the split halves — ordering by tail within a
+    bucket IS ordering by s (equal fixed-length prefix), and
+    length(s) == ESD_MIN + length(tail)."""
     sfx = pos_frame.select(
         "doc_id",
         "pos",
@@ -1527,8 +1572,11 @@ def _esd_strings(pos_frame: DataFrame) -> DataFrame:
             ESD_CAP,
         ).alias("s"),
     )
-    return sfx.filter(F.length("s") >= ESD_MIN).withColumn(
-        "bucket", F.substring("s", 1, ESD_MIN)
+    return sfx.filter(F.length("s") >= ESD_MIN).select(
+        "doc_id",
+        "pos",
+        F.substring("s", 1, ESD_MIN).alias("bucket"),
+        F.substring("s", ESD_MIN + 1, ESD_CAP - ESD_MIN).alias("tail"),
     )
 
 
@@ -1797,18 +1845,27 @@ def exact_substring_stats(
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("bucket").orderBy("s", "doc_id", "pos")
+    # The window shuffles (bucket, tail) — never the full 50-char s
+    # (r17, guide §2.1 shrink-before-shuffle): within a bucket partition
+    # ORDER BY tail == ORDER BY s (the ESD_MIN-char prefix is equal and
+    # fixed-length), the LCP kernel needs only the tails (the bucket
+    # already proved the first ESD_MIN chars), and length(s) is
+    # ESD_MIN + length(tail) exactly.
+    w = Window.partitionBy("bucket").orderBy("tail", "doc_id", "pos")
     wcnt = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     cold_src = (
         eligible.filter(~F.col("bucket").isin(hot)) if hot else eligible
     )
     scored = cold_src.select(
         "doc_id",
-        F.when(F.count(F.lit(1)).over(wcnt) > bucket_cap, F.length("s"))
+        F.when(
+            F.count(F.lit(1)).over(wcnt) > bucket_cap,
+            F.lit(ESD_MIN) + F.length("tail"),
+        )
         .otherwise(
             F.greatest(
-                _lcp_in_bucket(F.col("s"), F.lag("s").over(w)),
-                _lcp_in_bucket(F.col("s"), F.lead("s").over(w)),
+                _lcp_of_tails(F.col("tail"), F.lag("tail").over(w)),
+                _lcp_of_tails(F.col("tail"), F.lead("tail").over(w)),
             )
         )
         .alias("dup_len"),
@@ -1818,7 +1875,7 @@ def exact_substring_stats(
         scored = scored.unionByName(
             eligible.filter(F.col("bucket").isin(hot)).select(
                 "doc_id",
-                F.length("s").alias("dup_len"),
+                (F.lit(ESD_MIN) + F.length("tail")).alias("dup_len"),
                 F.lit(True).alias("sat"),
             )
         )

@@ -852,37 +852,46 @@ def _mmr_oracle() -> str:
 def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from pulsar_3_2_codedump_spark.functions.similarity import cosine
+    from pulsar_3_2_codedump_spark.functions.similarity import dot, l2_norm
 
     emb = load(spark, sf_dir, "embeddings")
+    # per-side L2 norms once per row (r17): the pool scoring paid 3 array
+    # folds per (query, cand) pair and the pool self-join 3 per candidate
+    # pair; each candidate's norm is folded once here and RIDES THROUGH the
+    # pool checkpoint into the pairwise pass — identical IEEE expression
+    # dot/(norm_a*norm_b), same hash
     q = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
     )
     c = fanout(emb).select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
     )
     wp = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
     pool = ckpt_unless_plan_only(
         F.broadcast(q)
         .join(c, F.col("cand_id") != F.col("query_id"))
-        .withColumn("rel", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("rel", dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")))
         .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= MMR_POOL)
-        .select("query_id", "cand_id", "rel", "c_emb"),
+        .select("query_id", "cand_id", "rel", "c_emb", "c_norm"),
         cut_plan_only=True,  # |queries| x MMR_POOL bounded
     )
     a = pool.select(
-        "query_id", F.col("cand_id").alias("ca"), F.col("c_emb").alias("ea")
+        "query_id", F.col("cand_id").alias("ca"), F.col("c_emb").alias("ea"),
+        F.col("c_norm").alias("na"),
     )
     b = pool.select(
-        "query_id", F.col("cand_id").alias("cb"), F.col("c_emb").alias("eb")
+        "query_id", F.col("cand_id").alias("cb"), F.col("c_emb").alias("eb"),
+        F.col("c_norm").alias("nb"),
     )
     sims = (
         a.join(b, ["query_id"])
         .filter(F.col("ca") != F.col("cb"))
         .select(
             "query_id", "ca", "cb",
-            cosine(F.col("ea"), F.col("eb")).alias("sim"),
+            (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("sim"),
         )
     )
     sims = ckpt_unless_plan_only(sims, cut_plan_only=True)

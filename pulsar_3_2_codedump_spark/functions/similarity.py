@@ -211,17 +211,22 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "bucket", sign_lsh_bucket(F.col("embedding"), 4)
     )
+    # per-side L2 norms projected once per row (r17, the cosine_topk r16
+    # transform): dot/(q_norm*c_norm) is the identical IEEE expression with
+    # 1 array fold per scored pair instead of 3
     q = emb.filter(_query_pred()).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket",
+        l2_norm(F.col("embedding")).alias("q_norm"),
     )
     c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "bucket"
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "bucket",
+        l2_norm(F.col("embedding")).alias("c_norm"),
     )
     scored = (
         F.broadcast(q)
         .join(c, ["bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cos", dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -263,12 +268,19 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "bucket", sign_lsh_bucket(F.col("embedding"))
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"), "bucket")
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("c_emb"), "bucket")
+    # per-side L2 norms once per row (r17): 1 fold per candidate pair, not 3
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"), "bucket",
+        l2_norm(F.col("embedding")).alias("q_norm"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("c_emb"), "bucket",
+        l2_norm(F.col("embedding")).alias("c_norm"),
+    )
     pairs = (
         a.join(b, ["bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cos", dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")))
     )
     return pairs.filter(F.col("cos") >= 0.95).select(
         "vec_a", "vec_b", F.round("cos", 4).alias("cosine_sim")
@@ -324,22 +336,32 @@ def ivf_ann_search(
     top-k window. The corpus×corpus product never forms; the scanned
     fraction is nprobe/k_cells."""
     assigned, centroids = ivf_index(spark, emb, k=k_cells)
+    # per-side L2 norms once per row (r17): float->double element casts are
+    # exact, so l2_norm(q_emb) == l2_norm(cast(q_emb)) bit for bit and
+    # dot/(q_norm*c_norm) is the identical IEEE expression as cosine()
     corpus = emb.join(assigned, "vec_id").select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "cell"
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "cell",
+        l2_norm(F.col("embedding")).alias("c_norm"),
     )
+    qn = queries.withColumn("q_norm", l2_norm(F.col("q_emb")))
+    cents = centroids.withColumn("cent_norm", l2_norm(F.col("centroid")))
     cell_rank = W.partitionBy("query_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
     probes = (
-        queries.crossJoin(F.broadcast(centroids))
-        .withColumn("cell_cos", cosine(F.col("q_emb").cast("array<double>"), F.col("centroid")))
+        qn.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cell_cos",
+            dot(F.col("q_emb").cast("array<double>"), F.col("centroid"))
+            / (F.col("q_norm") * F.col("cent_norm")),
+        )
         .withColumn("cr", F.row_number().over(cell_rank))
         .filter(F.col("cr") <= nprobe)
-        .select("query_id", "q_emb", "cell")
+        .select("query_id", "q_emb", "q_norm", "cell")
     )
     scored = (
         F.broadcast(probes)
         .join(corpus, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cos", dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -540,25 +562,30 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     bucketed = emb.withColumn("bucket", sign_lsh_bucket(F.col("embedding"), 4))
+    # per-side L2 norms once per row (r17): 1 fold per scored pair, not 3
     q = bucketed.filter(_query_pred()).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket",
+        l2_norm(F.col("embedding")).alias("q_norm"),
     )
+    score = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
     c_lsh = bucketed.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "bucket"
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "bucket",
+        l2_norm(F.col("embedding")).alias("c_norm"),
     )
     lsh_top = topk(
         F.broadcast(q)
         .join(c_lsh, ["bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cos", score)
     )
     c_all = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
     )
     exact_top = topk(
         F.broadcast(q.drop("bucket"))
         .join(c_all, F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cos", score)
     )
     hit = F.when(F.col("l_neighbor").isNotNull(), 1).otherwise(0)
     lsh_renamed = lsh_top.select(
@@ -664,16 +691,19 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("true_label"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
     )
     c = fanout(emb).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
     )
+    # per-side norms once per row (r17): 1 fold per scored pair, not 3
     scored = (
         F.broadcast(q)
         .join(c, F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cos", dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     topk = scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -764,6 +794,11 @@ def quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     deq = F.transform(
         x, lambda v: F.floor(v / F.col("scale") * 127 + 0.5) * F.col("scale") / 127
     )
+    # per-side L2 norms once per row (r17): both scoring passes re-folded
+    # q_norm per pair and the float/dequantized corpus norms per pair; the
+    # projected forms are the identical IEEE expressions (double->double
+    # casts are no-ops, float->double casts exact), so dot/(q_norm*c_norm)
+    # hashes identically with 2 folds per pair instead of 6
     corpus = (
         fanout(emb)
         .withColumn("scale", scale)
@@ -772,25 +807,27 @@ def quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             x.alias("c_f"),
             deq.alias("c_q"),
         )
-    )
-    q = emb.filter(_query_pred()).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    scored = (
-        F.broadcast(q)
-        .join(corpus, F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_f", cosine(F.col("q_emb"), F.col("c_f")))
+        .withColumn("cf_norm", l2_norm(F.col("c_f")))
         .withColumn(
-            "cos_q",
-            dot(F.col("q_emb"), F.col("c_q"))
-            / (l2_norm(F.col("q_emb")) * F.sqrt(
+            "cq_norm",
+            F.sqrt(
                 F.aggregate(
                     F.transform(F.col("c_q"), lambda v: v * v),
                     F.lit(0.0),
                     lambda acc, v: acc + v,
                 )
-            )),
+            ),
         )
+    )
+    q = emb.filter(_query_pred()).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(corpus, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_f", dot(F.col("q_emb"), F.col("c_f")) / (F.col("q_norm") * F.col("cf_norm")))
+        .withColumn("cos_q", dot(F.col("q_emb"), F.col("c_q")) / (F.col("q_norm") * F.col("cq_norm")))
     )
 
     def topk(score_col: str):
@@ -1308,7 +1345,10 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(SEMDEDUP_K)
-        .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cent"))
+        .select(
+            F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cent"),
+            l2_norm(F.col("embedding")).alias("cent_norm"),
+        )
     )
     from pulsar_3_2_codedump_spark.catalog import persist_shared_corpus_frame
 
@@ -1316,29 +1356,43 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist-before-reuse (r13 scan audit): the assignment feeds BOTH
     # self-join sides and the final verdict join — left lazy each re-ran
     # the centroid argmax over the corpus (6 embeddings scans); the frame
-    # is corpus-sized → lazy DISK_ONLY persist (lineage kept)
+    # is corpus-sized → lazy DISK_ONLY persist (lineage kept).
+    # Norm precompute (r17): each corpus row's L2 norm is folded ONCE and
+    # rides through the persist, serving the K-way centroid argmax here AND
+    # both sides of the pairwise pass below — the same IEEE expression
+    # cosine() folded per (row, centroid) and per candidate pair.
     assigned = persist_shared_corpus_frame(
         fanout(emb)
+        .withColumn("e_norm", l2_norm(F.col("embedding")))
         .crossJoin(F.broadcast(cents))
-        .withColumn("cc", cosine(F.col("embedding"), F.col("cent")))
+        .withColumn(
+            "cc",
+            dot(F.col("embedding"), F.col("cent"))
+            / (F.col("e_norm") * F.col("cent_norm")),
+        )
         .withColumn("rn", F.row_number().over(aw))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "cluster_id", "embedding")
+        .select("vec_id", "cluster_id", "embedding", "e_norm")
     )
     a = assigned.select(
         F.col("cluster_id").alias("cl"),
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),
+        F.col("e_norm").alias("a_norm"),
     )
     b = assigned.select(
         F.col("cluster_id").alias("cl"),
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("b_emb"),
+        F.col("e_norm").alias("b_norm"),
     )
     pruned = (
         a.join(b, "cl")
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(cosine(F.col("a_emb"), F.col("b_emb")) >= SEMDEDUP_T)
+        .filter(
+            dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_norm") * F.col("b_norm"))
+            >= SEMDEDUP_T
+        )
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
         .withColumn("is_pruned", F.lit(True))
@@ -1385,16 +1439,19 @@ _D_CELLS = f"""
 def _ivf_cells(emb: DataFrame) -> DataFrame:
     """PQIVF_CELLS deterministic coarse centroids (md5-ranked sample under a
     'cell:'-salted hash so the cell sample is independent of the PQ seed
-    sample), MATERIALIZED to a driver-local frame: the derivation is a
-    full-corpus TakeOrdered, and both IVF queries reference the cells
-    frame from several plan branches (assign, probes, residuals) — left
-    lazy, Catalyst re-plans the corpus scan per reference (~6 redundant
-    scans in the ivfpq plan; TakeOrdered has no Exchange for ReuseExchange
-    to dedupe). Collecting the <= PQIVF_CELLS rows (control-plane: 16
-    rows x one embedding each) makes centroid derivation exactly ONE
-    corpus pass and every downstream broadcast a LocalTableScan with an
-    exact size — the same materialize-once discipline as pq_codebook's
-    cached/collected codebook."""
+    sample), MATERIALIZED executor-side: the derivation is a full-corpus
+    TakeOrdered, and both IVF queries reference the cells frame from
+    several plan branches (assign, probes, residuals) — left lazy,
+    Catalyst re-plans the corpus scan per reference (~6 redundant scans
+    in the ivfpq plan; TakeOrdered has no Exchange for ReuseExchange to
+    dedupe). An eager localCheckpoint of the <= PQIVF_CELLS rows
+    (control-plane: 16 rows x one embedding each) makes centroid
+    derivation exactly ONE corpus pass and every downstream broadcast a
+    Scan-ExistingRDD of known 16-row size. r17 (VERDICT r16 item 6): this
+    was a collect + createDataFrame round-trip — same one-pass effect,
+    but it materialized rows ON THE DRIVER inside a query path (§5);
+    localCheckpoint keeps the blocks executor-local with identical rows,
+    schema, and downstream plans."""
     import os
 
     order = (F.md5(F.concat(F.lit("cell:"), F.col("vec_id").cast("string"))), F.col("vec_id"))
@@ -1414,7 +1471,7 @@ def _ivf_cells(emb: DataFrame) -> DataFrame:
 
         record_plan_only_materialization(cells)
         return cells
-    return cells.sparkSession.createDataFrame(cells.collect(), cells.schema)
+    return cells.localCheckpoint()
 
 
 def _argmin_cell(df: DataFrame, cells: DataFrame, id_col: str, keep_rank: int) -> DataFrame:
@@ -2028,10 +2085,12 @@ def _disc_case(col: str) -> str:
 def ann_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     bucketed = emb.withColumn("bucket", sign_lsh_bucket(F.col("embedding"), 4))
+    # per-side L2 norms once per row (r17): 1 fold per scored pair, not 3
     q = bucketed.filter(_query_pred()).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         "bucket",
+        l2_norm(F.col("embedding")).alias("q_norm"),
     )
 
     def topk(cand: DataFrame, on_bucket: bool) -> DataFrame:
@@ -2050,7 +2109,11 @@ def ann_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.desc("cos"), F.asc("neighbor_id")
         )
         return (
-            join.withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+            join.withColumn(
+                "cos",
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm")),
+            )
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= NDCG_K)
             .select("query_id", "neighbor_id", "rank")
@@ -2061,6 +2124,7 @@ def ann_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("c_emb"),
             F.col("bucket").alias("c_bucket"),
+            l2_norm(F.col("embedding")).alias("c_norm"),
         ),
         on_bucket=True,
     )
@@ -2068,6 +2132,7 @@ def ann_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("c_emb"),
+            l2_norm(F.col("embedding")).alias("c_norm"),
         ),
         on_bucket=False,
     ).drop("rank")
@@ -2128,20 +2193,23 @@ HN_NEG_K = 6    # hard negatives: the next HN_NEG_K ranks after the positives
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
+    # per-side L2 norms once per row (r17): 1 fold per scored pair, not 3
     q = emb.filter(_query_pred()).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("anchor_label"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
     )
     c = fanout(emb).select(
         F.col("vec_id").alias("negative_id"),
         F.col("label").alias("negative_label"),
         F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
     )
     scored = (
         F.broadcast(q)
         .join(c, F.col("negative_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cos", dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("negative_id"))
     return (
@@ -2235,23 +2303,36 @@ def truncated_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id")
         )
 
+    # per-side L2 norms once per row (r17), for BOTH the truncated prefix
+    # and the full vector: each pass pays 1 fold per scored pair instead
+    # of 3 (same IEEE expression — slice-then-norm projected per row)
     q = emb.filter(_query_pred()).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+        l2_norm(F.slice(F.col("embedding"), 1, TRUNC_DIM)).alias("qt_norm"),
     )
     c = fanout(emb).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+        l2_norm(F.slice(F.col("embedding"), 1, TRUNC_DIM)).alias("ct_norm"),
     )
     pairs = F.broadcast(q).join(c, F.col("neighbor_id") != F.col("query_id"))
     trunc_top = topk(
         pairs.withColumn(
             "cos",
-            cosine(
+            dot(
                 F.slice(F.col("q_emb"), 1, TRUNC_DIM),
                 F.slice(F.col("c_emb"), 1, TRUNC_DIM),
-            ),
+            )
+            / (F.col("qt_norm") * F.col("ct_norm")),
         )
     ).select(F.col("query_id").alias("t_query"), F.col("neighbor_id").alias("t_neighbor"))
-    exact_top = topk(pairs.withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb"))))
+    exact_top = topk(
+        pairs.withColumn(
+            "cos",
+            dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
+        )
+    )
     hit = F.when(F.col("t_neighbor").isNotNull(), 1).otherwise(0)
     return (
         exact_top.join(
@@ -2332,20 +2413,23 @@ FVS_POOL = 20  # post-filter baseline: global top-N then apply the predicate
 )
 def filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
+    # per-side L2 norms once per row (r17): 1 fold per scored pair, not 3
     q = emb.filter(_query_pred()).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("label"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
     )
     c = fanout(emb).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         F.col("label").alias("c_label"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
     )
     scored = (
         F.broadcast(q)
         .join(c, F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cos", dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     pre_top = (
@@ -2919,8 +3003,10 @@ def hnsw_beam_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     entrypts = ranked_e.join(F.broadcast(targets), ["cell_id", "rnk"]).select(
         "cell_id", F.col("vec_id").alias("entry_id")
     )
+    # per-side L2 norms once per row (r17): 1 fold per scored pair, not 3
     q = emb.filter(_query_pred()).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
     )
     # multi-cell entry (r14): the graph is cell-partitioned, so a beam can
     # never LEAVE its entry cell — single-medoid entry capped recall at
@@ -2942,11 +3028,18 @@ def hnsw_beam_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rescore(frontier: DataFrame, keep: int) -> DataFrame:
         scored = (
             frontier.join(
-                emb.select(F.col("vec_id"), F.col("embedding").alias("c_emb")),
+                emb.select(
+                    F.col("vec_id"), F.col("embedding").alias("c_emb"),
+                    l2_norm(F.col("embedding")).alias("c_norm"),
+                ),
                 "vec_id",
             )
             .join(F.broadcast(q), "query_id")
-            .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+            .withColumn(
+                "cos",
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm")),
+            )
         )
         return (
             scored.withColumn("rn", F.row_number().over(wq))
@@ -2977,10 +3070,11 @@ def hnsw_beam_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("embedding").alias("c_emb"),
+                l2_norm(F.col("embedding")).alias("c_norm"),
             ),
             F.col("neighbor_id") != F.col("query_id"),
         )
-        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cos", dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")))
         .withColumn(
             "rn",
             F.row_number().over(
@@ -3285,8 +3379,10 @@ def nsw_long_link_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     entrypts = ranked_e.join(F.broadcast(targets), ["cell_id", "rnk"]).select(
         "cell_id", F.col("vec_id").alias("entry_id")
     )
+    # per-side L2 norms once per row (r17): 1 fold per scored pair, not 3
     q = emb.filter(_query_pred()).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
     )
     probe1 = _argmin_cell(
         q.select(F.col("query_id").alias("vec_id"), F.col("q_emb").alias("embedding")),
@@ -3309,11 +3405,18 @@ def nsw_long_link_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rescore(frontier: DataFrame, keep: int) -> DataFrame:
         scored = (
             frontier.join(
-                emb.select(F.col("vec_id"), F.col("embedding").alias("c_emb")),
+                emb.select(
+                    F.col("vec_id"), F.col("embedding").alias("c_emb"),
+                    l2_norm(F.col("embedding")).alias("c_norm"),
+                ),
                 "vec_id",
             )
             .join(F.broadcast(q), "query_id")
-            .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+            .withColumn(
+                "cos",
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm")),
+            )
         )
         return (
             scored.withColumn("rn", F.row_number().over(wq))
@@ -3347,10 +3450,11 @@ def nsw_long_link_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("embedding").alias("c_emb"),
+                l2_norm(F.col("embedding")).alias("c_norm"),
             ),
             F.col("neighbor_id") != F.col("query_id"),
         )
-        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cos", dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")))
         .withColumn(
             "rn",
             F.row_number().over(

@@ -36,24 +36,45 @@ from pulsar_3_2_codedump_spark.queries import query
     """,
 )
 def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # No fanout here (r16): the round-robin exchange (plus its
-    # sort-before-repartition pass) costs more than the parallel partial
-    # aggregation buys — measured 2.29 s with fanout vs 1.78 s without at
-    # sf0.1 (tools/exp_r16_1.py); at real scale the scan arrives as many
-    # splits and the partial agg parallelizes off the scan tasks anyway.
+    # r17 split (tools/exp_r17_1.py; VERDICT r16 item 1): the exact
+    # percentile/median aggregates build a value->count OpenHashMap of BOXED
+    # doubles per group inside ObjectHashAggregate — the expensive per-row
+    # term — and on a single-split scan that map-building is single-threaded.
+    # The percentile branch now runs off a hash-repartitioned 3-column
+    # projection (repartition(defaultParallelism, flag, price): keyed, so no
+    # sort-before-repartition; co-locating equal values makes the partial
+    # maps DISJOINT, so the final merge does the minimum possible inserts),
+    # and the 3-row result broadcast-joins back onto the moments aggregate.
+    # Percentile/median are SELECTION aggregates whose merge is an exact
+    # integer map-union — commutative and associative — so their result is
+    # bit-identical under any partitioning (proven: byte-equal doubles at
+    # sf0.01/sf0.1, exp_r17_1); the moments aggregate keeps its exact r16
+    # partial structure. Measured 1.102 s vs 1.641 s (per-variant minima,
+    # in-rep faster 3 of 4 reps). A counts-based distributed selection
+    # (groupBy(flag,value).count + cum-window + closed-form interpolation,
+    # also proven bit-exact in exp_r17_1) measured SLOWER here (1.97-2.63 s:
+    # extra exchanges + 6-partition window dominate at this size) and is the
+    # documented 100 TB swap if the value-map form ever becomes the
+    # bottleneck at real scale.
     # corr/covar can round to IEEE -0.0 in one engine and +0.0 in the other;
     # "+ 0.0" (here and in the oracle) normalizes the sign of zero.
     li = load(spark, sf_dir, "lineitem")
+    narrow = li.select("l_returnflag", "l_extendedprice", "l_quantity").repartition(
+        spark.sparkContext.defaultParallelism, "l_returnflag", "l_extendedprice"
+    )
     # one percentile buffer for both price quantiles (each percentile() agg
     # otherwise collects the full column per group independently)
     pcts = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)))
-    return li.groupBy("l_returnflag").agg(
+    p = narrow.groupBy("l_returnflag").agg(
         pcts.alias("__pcts"),
         F.round(F.median("l_quantity"), 4).alias("med_qty"),
+    )
+    m = li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
         (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias("qty_price_corr"),
         (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0)).alias("disc_tax_cov"),
-    ).select(
+    )
+    return m.join(F.broadcast(p), "l_returnflag").select(
         "l_returnflag",
         F.round(F.col("__pcts")[0], 4).alias("p50_price"),
         F.round(F.col("__pcts")[1], 4).alias("p95_price"),

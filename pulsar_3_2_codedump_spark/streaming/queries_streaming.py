@@ -2345,7 +2345,8 @@ def streaming_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         _argmin_cell,
         _ivf_cells,
         _query_pred,
-        cosine,
+        dot,
+        l2_norm,
     )
     from pulsar_3_2_codedump_spark.sources import register
 
@@ -2355,10 +2356,15 @@ def streaming_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         emb = load(spark, sf_dir, "embeddings")
         cells = _ivf_cells(emb)
-        # the static serving index: corpus vectors + their coarse cell,
-        # persisted once — every micro-batch joins against these blocks
+        # the static serving index: corpus vectors + their coarse cell +
+        # each vector's L2 norm (r17 — computed ONCE at index build, the
+        # production vector-store layout), persisted once — every
+        # micro-batch joins against these blocks and scores candidates
+        # with dot/(q_norm*c_norm), 1 array fold per pair instead of the
+        # 3 cosine() folded (identical IEEE expression, same hash)
         av = persist_shared_corpus_frame(
             emb.join(_argmin_cell(emb, cells, "vec_id", 1), "vec_id")
+            .withColumn("e_norm", l2_norm(F.col("embedding")))
         )
         ts = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
 
@@ -2397,9 +2403,12 @@ def streaming_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             # per-batch plan: broadcast the bounded arriving-query frame,
             # fetch vectors, probe cells, candidate join inside the cells
             qv = F.broadcast(batch).join(
-                av.select("vec_id", F.col("embedding").alias("q_emb")),
+                av.select(
+                    "vec_id", F.col("embedding").alias("q_emb"),
+                    F.col("e_norm").alias("q_norm"),
+                ),
                 batch.query_id == F.col("vec_id"),
-            ).select("query_id", "q_emb")
+            ).select("query_id", "q_emb", "q_norm")
             probe = _argmin_cell(
                 qv.select(
                     F.col("query_id").alias("vec_id"),
@@ -2413,7 +2422,11 @@ def streaming_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.broadcast(probe.join(qv, "query_id"))
                 .join(av, "cell_id")
                 .filter(F.col("vec_id") != F.col("query_id"))
-                .withColumn("cos", cosine(F.col("q_emb"), F.col("embedding")))
+                .withColumn(
+                    "cos",
+                    dot(F.col("q_emb"), F.col("embedding"))
+                    / (F.col("q_norm") * F.col("e_norm")),
+                )
                 .withColumn("neighbor_id", F.col("vec_id"))
                 .withColumn("rnk", F.row_number().over(wq))
                 .filter(F.col("rnk") <= ANN_SERVE_K)
