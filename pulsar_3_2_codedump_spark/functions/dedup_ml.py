@@ -1251,39 +1251,20 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fanout(load(spark, sf_dir, "documents")).select(
         "doc_id", "source", F.lower(F.trim(F.col("text"))).alias("tx")
     )
-    # No multi-countDistinct Expand (r17, guide §2.4 / VERDICT r16 item 4):
-    # the one-shot agg's two countDistincts on different columns made Spark
-    # Expand-triplicate EVERY chunk row through the final exchange. Instead
-    # pre-aggregate by (source, chunk) — map-side partials shrink the
-    # shuffle to ~distinct chunks — and derive total/distinct/avg-length
-    # exactly: sum(cnt) == count(*), count of groups == countDistinct(chunk),
-    # and sum(cnt*len)/sum(cnt) is the identical long-sum/long-count double
-    # division Spark's avg() performs. n_docs comes from the documents frame
-    # itself: the kernel emits >= 1 chunk per doc unconditionally
-    # (starts=[0] always yields one span, even for empty text), so
-    # countDistinct(doc_id) over chunks == countDistinct(doc_id) over docs.
-    per_chunk = (
-        cdc_chunks(docs)
-        .groupBy("source", "chunk")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    stats = per_chunk.groupBy("source").agg(
-        F.sum("cnt").alias("total_chunks"),
-        F.count(F.lit(1)).alias("distinct_chunks"),
-        F.sum(F.col("cnt") * F.length("chunk")).alias("sum_len"),
-    )
-    n_docs = (
-        load(spark, sf_dir, "documents")
-        .groupBy("source")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
-    )
-    return stats.join(F.broadcast(n_docs), "source").select(
-        "source",
-        "n_docs",
-        "total_chunks",
-        "distinct_chunks",
-        F.round(F.col("distinct_chunks") / F.col("total_chunks"), 4).alias("unique_ratio"),
-        F.round(F.col("sum_len") / F.col("total_chunks"), 2).alias("avg_chunk_len"),
+    # Kept as the one-shot multi-countDistinct agg DELIBERATELY (r17): the
+    # §2.4 pre-agg-by-(source, chunk) restructure (plus n_docs off the
+    # documents frame) was built, proven bit-identical, and A/B-rejected —
+    # tools/exp_r17_2.py measured minima 1.539 s vs 1.353 s for this form
+    # (the restructure lost 3 of 4 in-rep comparisons): the Arrow chunk
+    # kernel, not the Expand, dominates, and the old plan's Expand rows
+    # collapse in the map-side partial agg while the restructure pays two
+    # serial aggregation layers plus a second documents branch.
+    return cdc_chunks(docs).groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.countDistinct("chunk").alias("distinct_chunks"),
+        F.round(F.countDistinct("chunk") / F.count(F.lit(1)), 4).alias("unique_ratio"),
+        F.round(F.avg(F.length("chunk")), 2).alias("avg_chunk_len"),
     )
 
 

@@ -78,3 +78,40 @@ def ab_run(
     for k, v in out.items():
         print(f"MIN {k}: {v:.3f}s  (all: {[round(x, 3) for x in results[k]]})", flush=True)
     return out
+
+
+def ab_run_fns(
+    spark: SparkSession,
+    variants: dict[str, "callable"],
+    reps: int = 5,
+    warmup: bool = True,
+) -> dict[str, float]:
+    """bench.py-faithful A/B: each repetition times CONSTRUCTION + collect
+    of a freshly built DataFrame (so eager checkpoints / control-plane
+    collects inside the query constructor are inside the timed region,
+    exactly as bench.py and the driver time them), with
+    release_shared_frames() before every build so no persist survives into
+    a later rep. Interleaved variants, health-gated reps, per-variant
+    minima — same conventions as ab_run."""
+    from pulsar_3_2_codedump_spark.catalog import release_shared_frames
+
+    results: dict[str, list[float]] = {k: [] for k in variants}
+    if warmup:
+        for name, fn in variants.items():
+            release_shared_frames()
+            spark.sparkContext.setJobDescription(f"warmup:{name}")
+            fn().collect()
+    for rep in range(reps):
+        cores = wait_healthy(spark)
+        for name, fn in variants.items():
+            release_shared_frames()
+            spark.sparkContext.setJobDescription(f"{name}#{rep}")
+            t0 = time.time()
+            fn().collect()
+            dt = time.time() - t0
+            results[name].append(dt)
+            print(f"# rep{rep} (cores {cores}) {name}: {dt:.3f}s", flush=True)
+    out = {k: min(v) for k, v in results.items()}
+    for k, v in out.items():
+        print(f"MIN {k}: {v:.3f}s  (all: {[round(x, 3) for x in results[k]]})", flush=True)
+    return out
