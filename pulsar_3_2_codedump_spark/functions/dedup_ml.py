@@ -1837,20 +1837,32 @@ def exact_substring_stats(
     cold_src = (
         eligible.filter(~F.col("bucket").isin(hot)) if hot else eligible
     )
+    # lag/lead are projected ONCE before the LCP folds (r17): referencing
+    # .over(w) inside the fold expression made Catalyst emit five copies of
+    # each neighbor string in the WindowExec output schema (plan dump:
+    # _we1.._we10); binding them to columns first keeps the window output
+    # at 3 extra columns and evaluates the folds in the projection above it
+    # — same window spec, same pass, same integers.
     scored = cold_src.select(
         "doc_id",
+        "tail",
+        F.count(F.lit(1)).over(wcnt).alias("__bsz"),
+        F.lag("tail").over(w).alias("__prev"),
+        F.lead("tail").over(w).alias("__nxt"),
+    ).select(
+        "doc_id",
         F.when(
-            F.count(F.lit(1)).over(wcnt) > bucket_cap,
+            F.col("__bsz") > bucket_cap,
             F.lit(ESD_MIN) + F.length("tail"),
         )
         .otherwise(
             F.greatest(
-                _lcp_of_tails(F.col("tail"), F.lag("tail").over(w)),
-                _lcp_of_tails(F.col("tail"), F.lead("tail").over(w)),
+                _lcp_of_tails(F.col("tail"), F.col("__prev")),
+                _lcp_of_tails(F.col("tail"), F.col("__nxt")),
             )
         )
         .alias("dup_len"),
-        (F.count(F.lit(1)).over(wcnt) > bucket_cap).alias("sat"),
+        (F.col("__bsz") > bucket_cap).alias("sat"),
     )
     if hot:
         scored = scored.unionByName(
