@@ -17,21 +17,31 @@ SF_DIR = "/root/testdata/sf0.001"
 # "SocketTimeoutException: Timed out while waiting for the Python worker to
 # connect back" — which is how the r16 driver run lost
 # test_exactly_once.py::test_dlq_replay_after_crash_no_duplicates (no code
-# in that round touched streaming). The rerun below triggers ONLY on that
-# signature, waits for the wave to pass, and re-runs the full test protocol
-# with fresh function-scoped fixtures (a new tmp_path; the session Spark
-# stays — only the worker spawn failed). Restarting a streaming query is
-# exactly the crash-replay path the exactly-once tests exercise on purpose,
-# so a rerun can never mask a real failure of a different kind.
+# in that round touched streaming). The same createSimpleWorker path also
+# surfaces as "Python worker failed to connect back" (SparkException,
+# observed killing test_io.py::test_sink_connector_exports_topic during an
+# r17 wave with the identical createSimpleWorker stack). The rerun below
+# triggers ONLY on those signatures, waits for the wave to pass, and
+# re-runs the full test protocol with fresh function-scoped fixtures (a
+# new tmp_path; the session Spark stays — only the worker spawn failed).
+# Restarting a streaming query is exactly the crash-replay path the
+# exactly-once tests exercise on purpose, so a rerun can never mask a real
+# failure of a different kind; a deterministic worker crash still fails
+# after the bounded reruns.
 
-WAVE_SIG = "Timed out while waiting for the Python worker to connect back"
+WAVE_SIGS = (
+    "Timed out while waiting for the Python worker to connect back",
+    "Python worker failed to connect back",
+)
 WAVE_RERUNS = 2
 WAVE_SLEEP = 45  # seconds — same wave-clearing pause bench.py uses
 
 
 def _wave_failed(reports) -> bool:
     for r in reports:
-        if getattr(r, "failed", False) and WAVE_SIG in (r.longreprtext or ""):
+        if getattr(r, "failed", False) and any(
+            sig in (r.longreprtext or "") for sig in WAVE_SIGS
+        ):
             return True
     return False
 
